@@ -1,0 +1,69 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
+
+# Queries that exercise the main physical patterns: scan+agg, broadcast
+# join chains, window rank, union+distinct, regex extraction.
+HEADLINE = [
+    "pricing_summary",
+    "visits_by_region",
+    "top_nations_by_month",
+    "distinct_dates",
+    "parse_event_props",
+    "distinct_parts_by_flag",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as e
+    from data_engineering_capstone_project_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = e.queries()
+
+    # Warm the JVM/codegen paths outside the timed region.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

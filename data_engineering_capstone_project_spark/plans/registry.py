@@ -1,0 +1,59 @@
+"""Query registry: every analytical capability is a named (spark, sf_dir)
+-> DataFrame callable, optionally paired with an ANSI-SQL oracle string
+runnable by DuckDB on the same parquet tables.
+
+Contract notes (driver-facing, see /root/repo/__spark_entry__.py):
+* Column names must match between the Spark result and the oracle
+  (the comparator sorts columns by name before hashing).
+* Output no raw TIMESTAMP columns -- engines disagree on tz/precision
+  rendering; emit epoch seconds (bigint) or formatted strings instead.
+* Keep float outputs deterministic: aggregate in DECIMAL then cast to
+  DOUBLE, or round(x, 4), so summation order can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; ``oracle`` is the DuckDB twin (None -> the driver
+    records a weaker rows-only check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver table. Plain parquet scan -> Catalyst sees the file
+    relation directly; filters/projections in the query push down into it."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with ``ts`` as a proper TimestampType.
+
+    The parquet stores TIMESTAMP(NANOS), which Spark reads as int64 only
+    (``nanosAsLong``); convert with integer division (ns are ~1.7e18 --
+    beyond double's 53-bit mantissa, so ``/`` would corrupt them) to the
+    same microsecond truncation DuckDB applies to nanos timestamps.
+    """
+    from pyspark.sql import functions as F
+
+    # Runtime-settable; set defensively so event queries work on any
+    # session, not just ones built by our get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = table(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,454 @@
+"""Relational query surface (SURVEY.md §2.3-2.8, §2.10 and README
+questions #1-#4 re-expressed over the driver's TPC-H-ish star schema).
+
+Mapping to the reference's declared analytics (reference README.md:7-11):
+  #1 visitations for a selected year  -> visits_by_year (filter+count)
+  #2 visits by world region           -> visits_by_region (fact->dim joins)
+  #3 top-5 overseas countries YTD     -> top5_nations_ytd (range + top-k)
+  #4 top-5 countries by month         -> top_nations_by_month (window rank)
+plus the general ad-hoc surface (README.md:65) = Spark SQL itself.
+
+Scale posture: every dim join broadcasts (region 5 / nation 25 /
+customer 1.5k rows per sf -- at 100 TB the facts grow, dims don't);
+aggregations are partial+final hash aggs with no extra shuffles beyond
+the group keys; all filters are plain parquet-pushdown predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from data_engineering_capstone_project_spark.functions.dates import date_parts, sas_date
+from data_engineering_capstone_project_spark.functions.keys import surrogate_key
+from data_engineering_capstone_project_spark.plans.registry import (
+    events_table,
+    query,
+    table,
+)
+
+
+def _fixed_sum(col, alias):
+    """Order-independent double sum: floor each value to 1e-4 fixed-point
+    (the per-row double is bit-identical in any engine, so its floor is
+    too), sum exactly as int64, divide once. Engine-portable where a
+    straight double sum is not (summation order) and a double->decimal
+    cast is not (rounding mode differs between Spark and DuckDB)."""
+    return (F.sum(F.floor(col * 10000)) / F.lit(10000.0)).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Reference README question #1: filter + count by year (A6, P5).
+@query(
+    "visits_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           count(*) AS visits
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def visits_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.count("*").alias("visits"))
+    )
+
+
+# Reference README question #2: fact -> dim joins + group-by (J4, A6).
+@query(
+    "visits_by_region",
+    oracle="""
+    SELECT r.r_name, count(*) AS visits
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def visits_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    # customer is small relative to the fact at every sf; broadcast the
+    # whole dim chain so the fact never shuffles.
+    dim = (
+        customer.join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("visits"))
+    )
+
+
+# Reference README question #3: date-range + top-k (W2).
+@query(
+    "top5_nations_ytd",
+    oracle="""
+    SELECT n.n_name, count(*) AS visits
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+      AND o.o_orderdate < TIMESTAMP '2000-07-01'
+    GROUP BY n.n_name
+    ORDER BY visits DESC, n.n_name
+    LIMIT 5
+    """,
+)
+def top5_nations_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01").cast("timestamp"))
+    )
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    dim = customer.join(
+        broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+    return (
+        orders.join(broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("visits"))
+        # n_name is unique per group -> deterministic tiebreak, so LIMIT
+        # is stable across engines.
+        .orderBy(F.desc("visits"), F.asc("n_name"))
+        .limit(5)
+    )
+
+
+# Reference README question #4: per-month top-k via window rank (W2).
+@query(
+    "top_nations_by_month",
+    oracle="""
+    SELECT * FROM (
+        SELECT order_month, n_name, visits,
+               CAST(row_number() OVER (
+                   PARTITION BY order_month
+                   ORDER BY visits DESC, n_name
+               ) AS INTEGER) AS rnk
+        FROM (
+            SELECT CAST(month(o.o_orderdate) AS INTEGER) AS order_month,
+                   n.n_name,
+                   count(*) AS visits
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE year(o.o_orderdate) = 2000
+            GROUP BY 1, 2
+        )
+    ) WHERE rnk <= 5
+    """,
+)
+def top_nations_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 2000)
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    dim = customer.join(
+        broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+    counts = (
+        orders.join(broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy(F.month("o_orderdate").alias("order_month"), F.col("n_name"))
+        .agg(F.count("*").alias("visits"))
+    )
+    w = Window.partitionBy("order_month").orderBy(F.desc("visits"), F.asc("n_name"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary: the headline scan+agg benchmark query
+# (A6 + P4 casts). DECIMAL-internal sums keep the hash order-independent.
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           sum(CAST(floor(l_quantity * 10000) AS BIGINT)) / 10000.0 AS sum_qty,
+           sum(CAST(floor(l_extendedprice * 10000) AS BIGINT)) / 10000.0 AS sum_base_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) / 10000.0 AS sum_charge,
+           sum(CAST(floor(l_quantity * 10000) AS BIGINT)) / 10000.0 / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _fixed_sum(F.col("l_quantity"), "sum_qty"),
+        _fixed_sum(F.col("l_extendedprice"), "sum_base_price"),
+        _fixed_sum(disc_price, "sum_disc_price"),
+        _fixed_sum(charge, "sum_charge"),
+        (_fixed_sum(F.col("l_quantity"), "x") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# A3 + U1: distinct domain construction via union
+# (reference data_preparation.py:471-477, arrival ∪ departure dates).
+@query(
+    "distinct_dates",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+    UNION
+    SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem
+    """,
+)
+def distinct_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.select(F.col("o_orderdate").cast("date").alias("d"))
+        .union(li.select(F.col("l_shipdate").cast("date").alias("d")))
+        .distinct()
+    )
+
+
+# S6 + J2 + F1/F2/F3: literal dim (like the reference's hand-built
+# travel_modes/visa_categories, data_preparation.py:259-294), joined
+# case-insensitively (J2, data_preparation.py:173-181), with NVL +
+# INITCAP presentation (F1/F2, data_preparation.py:156). 'zh' is
+# deliberately missing from the dim -> exercises the left-outer NULL path.
+_LANG_DIM = [("EN", "english"), ("DE", "german"), ("FR", "french"), ("ES", "spanish")]
+
+
+@query(
+    "docs_by_language",
+    oracle="""
+    WITH lang_dim(lang_code, lang_name) AS (
+        VALUES ('EN','english'),('DE','german'),('FR','french'),('ES','spanish')
+    )
+    SELECT coalesce(upper(substr(d2.lang_name, 1, 1)) || lower(substr(d2.lang_name, 2)),
+                    'Unknown') AS language,
+           count(*) AS docs
+    FROM documents d
+    LEFT JOIN lang_dim d2 ON upper(d.lang) = upper(d2.lang_code)
+    GROUP BY 1
+    """,
+)
+def docs_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(_LANG_DIM, "lang_code string, lang_name string")
+    joined = docs.join(
+        broadcast(dim), F.upper(docs.lang) == F.upper(dim.lang_code), "left"
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.initcap("lang_name"), F.lit("Unknown")).alias("language")
+        ).agg(F.count("*").alias("docs"))
+    )
+
+
+# P6: CASE WHEN -> boolean flag (reference matflag logic,
+# data_preparation.py:438-443).
+@query(
+    "order_flags",
+    oracle="""
+    SELECT CASE WHEN o_orderstatus = 'F' THEN TRUE ELSE FALSE END AS is_finished,
+           CASE WHEN o_totalprice IS NOT NULL THEN TRUE ELSE FALSE END AS has_price,
+           count(*) AS orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.when(F.col("o_orderstatus") == "F", F.lit(True))
+            .otherwise(F.lit(False))
+            .alias("is_finished"),
+            F.col("o_totalprice").isNotNull().alias("has_price"),
+        ).agg(F.count("*").alias("orders"))
+    )
+
+
+# F4/F5: date-part extraction building a dim_date
+# (reference data_preparation.py:463-479).
+@query(
+    "dim_date_parts",
+    oracle="""
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+           CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
+           CAST(month(o_orderdate) AS INTEGER) AS month,
+           CAST(day(o_orderdate) AS INTEGER) AS day,
+           CAST(week(CAST(o_orderdate AS DATE)) AS INTEGER) AS week
+    FROM orders
+    """,
+)
+def dim_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    parts = date_parts(d)
+    return orders.select(
+        d.alias("d"),
+        *[c.alias(name) for name, c in parts.items()],
+    ).distinct()
+
+
+# D1-D4 analog: regex field extraction from semi-structured strings
+# (reference parse UDFs -> pure regexp_extract, SURVEY.md §2.9).
+@query(
+    "parse_event_props",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS k_sum,
+           count(*) AS events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def parse_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = events_table(spark, sf_dir)
+    k = F.regexp_extract(F.col("props"), r'"k":\s*([0-9]+)', 1).cast("int")
+    return events.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.count("*").alias("events"),
+    )
+
+
+# D5: SAS-epoch day-offset date conversion (data_preparation.py:69-77).
+@query(
+    "sas_dates",
+    oracle="""
+    SELECT p_size,
+           DATE '1960-01-01' + CAST(p_size AS INTEGER) AS sas_d,
+           count(*) AS parts
+    FROM part
+    GROUP BY 1, 2
+    """,
+)
+def sas_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.col("p_size"),
+            sas_date(F.col("p_size")).alias("sas_d"),
+        ).agg(F.count("*").alias("parts"))
+    )
+
+
+# D6 (fixed): deterministic surrogate keys instead of uuid4
+# (data_preparation.py:87 hazard, SURVEY.md §7).
+@query(
+    "surrogate_keys",
+    oracle="""
+    SELECT c_custkey,
+           sha256(concat_ws(chr(31), CAST(c_custkey AS VARCHAR), c_name)) AS sk
+    FROM customer
+    """,
+)
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        surrogate_key(F.col("c_custkey"), F.col("c_name")).alias("sk"),
+    )
+
+
+# Extended aggregation surface: ROLLUP (SURVEY.md §2.5 note).
+@query(
+    "customers_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name, count(*) AS customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def customers_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("customers"))
+
+
+# Semi/anti joins (SURVEY.md §2.4 "not present in reference" extension).
+@query(
+    "order_activity",
+    oracle="""
+    SELECT count(*) FILTER (WHERE EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           )) AS with_orders,
+           count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           )) AS without_orders
+    FROM customer c
+    """,
+)
+def order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count("*").alias("with_orders"))
+    )
+    without_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count("*").alias("without_orders"))
+    )
+    return with_orders.crossJoin(without_orders)
+
+
+# Exact COUNT(DISTINCT) (extended A surface).
+@query(
+    "distinct_parts_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_parts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("parts")
+    )
+
+
+# Q1+Q2 as a query: one-pass null-counts + row count
+# (reference data_quality.py:21-38 re-expressed as a single scan --
+# the reference issued one Redshift query per column).
+@query(
+    "quality_summary",
+    oracle="""
+    SELECT count(*) AS rows,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity,
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
+    FROM lineitem
+    """,
+)
+def quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("null_orderkey"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_quantity"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("null_shipdate"),
+    )

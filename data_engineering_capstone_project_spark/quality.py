@@ -1,0 +1,61 @@
+"""Data-quality assertions Q1-Q2 (SURVEY.md §2.10).
+
+Spark-native replacement for the reference's DataQualityOperator
+(plugins/operators/data_quality.py:21-38), which ran generated SQL
+against Redshift. Here the same checks are DataFrame aggregations, and
+the per-column null counts are computed in ONE pass (a single job with
+conditional sums) instead of one COUNT(*) query per column -- at 100 TB
+the reference's per-column scan loop would re-read the table N times.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class DataQualityError(ValueError):
+    """Raised when a quality gate fails (reference raises ValueError,
+    data_quality.py:29,38)."""
+
+
+def null_counts(df: DataFrame, columns: Sequence[str]) -> dict[str, int]:
+    """One-pass NULL count per column (Q1 core, data_quality.py:26-27)."""
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(c) for c in columns
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {c: int(row[c] or 0) for c in columns}
+
+
+def expect_no_nulls(df: DataFrame, columns: Sequence[str], table: str = "?") -> None:
+    """Q1: fail if any NULL in the given columns (data_quality.py:26-31;
+    the 10 configured pairs at dag_immigration.py:337-348)."""
+    bad = {c: n for c, n in null_counts(df, columns).items() if n > 0}
+    if bad:
+        raise DataQualityError(
+            f"Data quality check failed. {table} contains NULLs: {bad}"
+        )
+
+
+def expect_nonempty(df: DataFrame, table: str = "?") -> int:
+    """Q2: fail if the table has 0 rows (data_quality.py:33-38)."""
+    n = df.count()
+    if n < 1:
+        raise DataQualityError(f"Data quality check failed. {table} is empty")
+    return n
+
+
+def expect_unique(df: DataFrame, columns: Sequence[str], table: str = "?") -> None:
+    """Extension: fail if the given key columns are not unique. The
+    reference declares PKs in Redshift DDL (create_tables.sql) but
+    Redshift never enforces them; this makes the contract real."""
+    dupes = (
+        df.groupBy(*columns).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dupes:
+        raise DataQualityError(
+            f"Data quality check failed. {table} has duplicate keys on {list(columns)}"
+        )

@@ -1,0 +1,67 @@
+"""Source operators S1-S7 (SURVEY.md §2.1).
+
+All are thin, typed wrappers over Spark's declarative readers so that
+Catalyst sees the scan directly (predicate pushdown, column pruning,
+partition pruning all stay free). Reference citations:
+
+* S1 text-line scan       -- data_preparation.py:112,303
+* S2/S3/S4 CSV scans      -- data_preparation.py:124-134,151,202,243,347
+* S5 parquet scan (glob)  -- data_preparation.py:421
+* S6 literal rows         -- data_preparation.py:259-272,281-294
+* S7 view registration    -- data_preparation.py:121,148,...,482
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S1: one row per line, single column ``value: string``."""
+    return spark.read.text(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """S2/S3/S4: CSV scan.
+
+    With ``schema`` -> fixed types (S2/S3); without -> header-only
+    all-string columns, matching the reference's no-inference reads (S4:
+    data_preparation.py:151,202,243 -- it never sets inferSchema, so an
+    inference pass here would change both types and scan cost).
+    """
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """S5: parquet scan; globs/multi-part dirs handled natively."""
+    return spark.read.parquet(*paths)
+
+
+def read_literal_rows(
+    spark: SparkSession,
+    rows: Iterable[Mapping | tuple],
+    schema: StructType | str,
+) -> DataFrame:
+    """S6: in-memory literal relation (list of dicts/tuples + schema)."""
+    return spark.createDataFrame(list(rows), schema)
+
+
+def register_view(df: DataFrame, name: str) -> DataFrame:
+    """S7: name an intermediate relation so SQL and the DataFrame API both
+    see it (the reference's one architectural invariant, SURVEY.md §3 E2).
+    Returns the input for chaining.
+    """
+    df.createOrReplaceTempView(name)
+    return df
