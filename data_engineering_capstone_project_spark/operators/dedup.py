@@ -1,0 +1,194 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+* ``exact_dedup``      -- one hash-shuffle on the fingerprint; the only
+                          O(n) exact method. Always run it first: it
+                          shrinks the input for the fuzzy passes.
+* ``jaccard_pairs``    -- exact pairwise similarity *within blocks*.
+                          Quadratic in block size; only usable when a
+                          cheap blocking key (language, length bucket,
+                          LSH band) bounds blocks. The verifier for the
+                          sketch-based methods.
+* ``minhash_signatures``/``lsh_candidate_pairs``
+                       -- the 100 TB path: per-doc signature is a linear
+                          scan (explode shingles + min-agg), candidate
+                          generation is a self-join on band hashes, so
+                          total cost ~ O(n * bands) shuffle instead of
+                          O(n^2) compare. Lexicographic min over md5
+                          hex strings is a valid uniform MinHash and is
+                          engine-portable for the oracle.
+* ``simhash64``        -- near-dup via Hamming distance on a 64-bit
+                          signature; one pass, no join to build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Group rows by content fingerprint; keep the smallest id as the
+    canonical representative. Returns (hash, keep_id, dups)."""
+    return df.groupBy(key.alias("h")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("dups"),
+    )
+
+
+def word_set(text: Column) -> Column:
+    """Distinct lowercase whitespace tokens."""
+    return F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (arrays of 'w1 w2 w3' strings)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+    )
+    return F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, shingle))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|a ∩ b| / |a ∪ b| over distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: Column,
+    block_col: Column,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs within a block with Jaccard >= threshold.
+
+    The self-join shuffles once on the block key; pair generation never
+    crosses blocks, so the quadratic term is bounded by max block size
+    -- choose ``block_col`` accordingly (language, length bucket, or an
+    LSH band hash for the real scale path).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), set_col.alias("set_a"), block_col.alias("blk")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), set_col.alias("set_b"), block_col.alias("blk")
+    )
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    jac = jaccard(F.col("set_a"), F.col("set_b"))
+    return (
+        pairs.withColumn("jac", F.round(jac, 4))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingle_col: Column, num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: minhash_i = min over shingles of
+    md5(i || ':' || shingle) (lexicographic min of hex = uniform min).
+
+    Linear scan: explode shingles once, aggregate num_hashes mins in a
+    single partial+final agg -- no joins, no driver round-trips. Docs
+    with no shingles are dropped (nothing to compare).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingle_col).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature (bands x rows_per_band columns) and emit
+    candidate pairs sharing at least one band hash.
+
+    The union-of-bands plan is a narrow projection per band followed by
+    one shuffle on the band hash -- the standard LSH join. Distinct at
+    the end removes pairs caught by multiple bands.
+    """
+    pair_frames = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        # Band index is part of the hash so equal minhash values in
+        # *different* band positions can never collide into a pair.
+        banded = signatures.select(
+            F.col("doc"),
+            F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("band_h"),
+        )
+        a = banded.alias("a")
+        bb = banded.alias("b")
+        pair_frames.append(
+            a.join(bb, "band_h")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        )
+    out = pair_frames[0]
+    for f in pair_frames[1:]:
+        out = out.union(f)
+    return out.distinct()
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text: Column, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: each distinct token votes +/-1 per
+    bit position according to its xxhash64; the signature is the sign
+    vector, folded into one signed long.
+
+    Implemented as explode -> single partial+final hash agg with one
+    plain SUM per bit (no higher-order lambdas: a 64-wide nested-lambda
+    per-row variant exceeds Catalyst's analyzer iteration budget). The
+    explode shuffles once on the doc id; at 100 TB that shuffle carries
+    only (id, 64 small ints) after partial aggregation.
+    """
+    toks = F.explode(
+        F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    ).alias("tok")
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_bit = df.select(F.col(id_col).alias("doc"), toks).groupBy("doc").agg(*votes)
+    # Fold sign bits into one long. A 64-deep arithmetic chain exceeds
+    # the analyzer's iteration budget, and ANSI mode rejects the `*2`
+    # once the sign bit lands -- so fold a flat array with aggregate()
+    # using overflow-free shift/or.
+    bit_arr = F.array(
+        *[
+            F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(bits)
+        ]
+    )
+    sig = F.aggregate(
+        bit_arr,
+        F.lit(0).cast("long"),
+        lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b),
+    )
+    return per_bit.select("doc", sig.alias("sig"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures."""
+    return F.bit_count(a.bitwiseXOR(b))

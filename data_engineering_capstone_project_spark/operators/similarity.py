@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (SURVEY.md §7 M5):
+
+* ``brute_force_topk`` -- exact cosine top-k. The corpus side is
+  broadcast when it fits (typical for query-batch x corpus lookups);
+  otherwise the cross join shards naturally. O(|Q| x |C|) -- the
+  baseline and the verifier for approximate variants.
+* ``sign_lsh_bucket`` / ``ann_lsh_topk`` -- random-hyperplane-style LSH
+  restricted to coordinate hyperplanes (sign bits of fixed dims), so it
+  is deterministic and engine-portable. Buckets turn the cross join
+  into an equi-join on the bucket key: cost drops to O(n * bucket) and
+  the shuffle is a plain hash partition on the key -- the 100 TB path.
+
+All arithmetic is element-order left-to-right with per-element casts to
+double, so an oracle can reproduce results bit-for-bit (modulo the
+round() applied at the end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos, rnk).
+
+    Self-matches are excluded. Ranking is by the *rounded* cosine with
+    the neighbor id as tiebreak, so results are stable across engines
+    and runs (unrounded doubles can differ at 1 ulp between engines,
+    which must not reorder the top-k boundary).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    if broadcast_queries:
+        q = broadcast(q)
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+# Fixed coordinate hyperplanes for the deterministic sign-LSH bucket.
+SIGN_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)  # 1-indexed positions
+
+
+def sign_lsh_bucket(vec: Column, dims: tuple[int, ...] = SIGN_DIMS) -> Column:
+    """8-char '1'/'0' bucket key from the signs of fixed coordinates.
+
+    Equivalent to random-hyperplane LSH with axis-aligned hyperplanes;
+    deterministic (no RNG) so oracle engines agree. ~2^8 buckets."""
+    bits = [
+        F.when(F.element_at(vec, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine rank within bucket. The cross join becomes
+    an equi-join on the bucket key -- linear shuffle, no all-pairs."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_lsh_bucket(F.col(vec_col)).alias("bkt"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_lsh_bucket(F.col(vec_col)).alias("bkt"),
+    )
+    scored = (
+        broadcast(q)
+        .join(c, "bkt")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -4,3 +4,6 @@ __all__ = ["QUERIES", "ORACLES"]
 
 # Importing the query modules populates the registries.
 from data_engineering_capstone_project_spark.plans import relational  # noqa: E402,F401
+from data_engineering_capstone_project_spark.plans import text_analysis  # noqa: E402,F401
+from data_engineering_capstone_project_spark.plans import events_windows  # noqa: E402,F401
+from data_engineering_capstone_project_spark.plans import similarity_search  # noqa: E402,F401

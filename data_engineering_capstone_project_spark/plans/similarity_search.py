@@ -1,0 +1,110 @@
+"""Similarity-search query surface over the ``embeddings`` table
+(array<float>): exact brute-force cosine top-k and the LSH-bucketed
+approximate variant (SURVEY.md §7 M5).
+
+The oracle reproduces the dot product with per-element double casts;
+both engines rank by the cosine ROUNDED to 4 decimals (with neighbor id
+as tiebreak) so a 1-ulp summation difference can never reorder the
+top-k boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project_spark.operators import similarity as S
+from data_engineering_capstone_project_spark.plans.registry import query, table
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+_COS = f"round({_dot('q.qv', 'c.cv')} / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('c.cv', 'c.cv')})), 4)"
+
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+             SELECT q.query_id, c.neighbor_id, {_COS} AS cos
+             FROM q CROSS JOIN c
+             WHERE q.query_id <> c.neighbor_id
+         )
+    SELECT * FROM (
+        SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=3
+    )
+
+
+_BKT = (
+    "concat("
+    + ", ".join(
+        f"CASE WHEN {{v}}[{d}] >= 0 THEN '1' ELSE '0' END" for d in S.SIGN_DIMS
+    )
+    + ")"
+)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      {_BKT.format(v='embedding')} AS bkt
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                      {_BKT.format(v='embedding')} AS bkt
+               FROM embeddings),
+         scored AS (
+             SELECT q.query_id, c.neighbor_id, {_COS} AS cos
+             FROM q JOIN c USING (bkt)
+             WHERE q.query_id <> c.neighbor_id
+         )
+    SELECT * FROM (
+        SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
+
+
+@query(
+    "lsh_bucket_histogram",
+    oracle=f"""
+    SELECT {_BKT.format(v='embedding')} AS bkt,
+           count(*) AS vectors,
+           CAST(count(DISTINCT label) AS BIGINT) AS labels
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy diagnostics for the sign-LSH index: shows skew
+    a production deployment would need to salt/split."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.groupBy(
+        S.sign_lsh_bucket(F.col("embedding")).alias("bkt")
+    ).agg(
+        F.count("*").alias("vectors"),
+        F.count_distinct("label").alias("labels"),
+    )

@@ -1,0 +1,232 @@
+"""Text-analysis + deduplication query surface over the ``documents``
+table (the beyond-reference LLM-pipeline operators; SURVEY.md §7 M5).
+
+Every oracle mirrors the Spark expression tree exactly -- same token
+split, same arithmetic order, same rounding -- so int/double divisions
+are bit-identical across engines. DuckDB's regexp_replace needs the 'g'
+flag to match Spark's replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project_spark.functions import text as T
+from data_engineering_capstone_project_spark.operators import dedup as D
+from data_engineering_capstone_project_spark.plans.registry import query, table
+
+# DuckDB fragments shared by several oracles.
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+           END AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
+               AS bpe_tokens
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("ws_tokens"),
+        T.token_count_bpe_ish(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@query(
+    "doc_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS chars,
+           round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 / length(text), 4) AS punct_ratio,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / length(text), 4) AS alpha_ratio,
+           round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t IN ('the','a','of','and','to','in','is','it')))
+                 / len(string_split_regex(lower(trim(text)), '\\s+')), 4) AS stop_ratio,
+           round(0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
+                 + 0.3 * least(length(text) / 500.0, 1.0)
+                 + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                              / length(text)), 4) AS quality
+    FROM documents
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.char_count(t).alias("chars"),
+        F.round(T.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(T.alpha_ratio(t), 4).alias("alpha_ratio"),
+        F.round(T.stopword_ratio(t), 4).alias("stop_ratio"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter({_TOKS}, t -> t IN ('the','a','is','and','of'))) AS s_en,
+               len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','nicht'))) AS s_de,
+               len(list_filter({_TOKS}, t -> t IN ('le','la','et','les','des'))) AS s_fr,
+               len(list_filter({_TOKS}, t -> t IN ('el','los','y','que','una'))) AS s_es,
+               regexp_matches(text, '[一-鿿]') AS has_cjk
+        FROM documents
+    )
+    SELECT lang AS true_lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+                WHEN s_de >= s_fr AND s_de >= s_es AND s_de > s_en THEN 'de'
+                WHEN s_fr >= s_es AND s_fr > s_en THEN 'fr'
+                WHEN s_es > s_en THEN 'es'
+                ELSE 'en'
+           END AS pred_lang,
+           count(*) AS docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            T.lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("docs"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h,
+           min(doc_id) AS keep_id,
+           count(*) AS dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, T.fingerprint(F.col("text")), "doc_id")
+
+
+@query(
+    "near_dup_jaccard",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct({_TOKS}) AS ws
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ws, b.ws))
+                 / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jac
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.ws, b.ws))
+                / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.5
+    """,
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        set_col=D.word_set(F.col("text")),
+        block_col=F.col("lang"),
+        threshold=0.5,
+    )
+
+
+# MinHash + LSH end-to-end: signatures (8 hashes) -> 4 bands x 2 rows ->
+# candidate pairs. The oracle reproduces the identical md5-based scheme.
+_SHINGLES = r"""
+    list_distinct(list_transform(
+        generate_series(1, greatest(len({t}) - 2, 0)),
+        i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))
+""".replace("{t}", _TOKS)
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS doc, unnest({_SHINGLES}) AS sh
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc,
+               min(md5('0:' || sh)) AS mh_0, min(md5('1:' || sh)) AS mh_1,
+               min(md5('2:' || sh)) AS mh_2, min(md5('3:' || sh)) AS mh_3,
+               min(md5('4:' || sh)) AS mh_4, min(md5('5:' || sh)) AS mh_5,
+               min(md5('6:' || sh)) AS mh_6, min(md5('7:' || sh)) AS mh_7
+        FROM sh GROUP BY doc
+    ),
+    bands AS (
+        SELECT doc, md5(concat_ws('|', '0', mh_0, mh_1)) AS band_h FROM sig
+        UNION ALL
+        SELECT doc, md5(concat_ws('|', '1', mh_2, mh_3)) FROM sig
+        UNION ALL
+        SELECT doc, md5(concat_ws('|', '2', mh_4, mh_5)) FROM sig
+        UNION ALL
+        SELECT doc, md5(concat_ws('|', '3', mh_6, mh_7)) FROM sig
+    )
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+    FROM bands a JOIN bands b ON a.band_h = b.band_h AND a.doc < b.doc
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(
+        docs, id_col="doc_id", shingle_col=D.word_shingles(F.col("text"), 3),
+        num_hashes=8,
+    )
+    return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+# SimHash uses xxhash64 (JVM-only, no portable SQL twin) -> rows-only
+# check; the jaccard/minhash oracles above cover near-dup correctness.
+@query("simhash_near_dups")
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sigs = D.simhash_signatures(docs, "doc_id", F.col("text")).join(
+        docs.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    ).withColumnRenamed("doc", "doc_id")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, "lang")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            D.hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
