@@ -1,0 +1,17 @@
+from data_engineering_capstone_project_spark.streaming.events import (
+    EVENT_SCHEMA,
+    run_available_now_to_memory,
+    session_aggregate,
+    sliding_counts,
+    stream_events_from_dir,
+    tumbling_counts,
+)
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "stream_events_from_dir",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_aggregate",
+    "run_available_now_to_memory",
+]

@@ -1,0 +1,109 @@
+"""Structured Streaming event-time operators (SURVEY.md §2.11 extended
+surface). The reference has no streaming; its closest analogue is the
+"daily batch, partition by date" scaling answer (reference
+README.md:116-117). Here every windowed aggregation is ONE transform
+function applied to either a batch or a streaming DataFrame -- the
+batch twins are the oracle-checked queries in plans.events_windows, so
+streaming correctness is anchored to the same semantics.
+
+Watermarks bound state: with ``withWatermark("ts", X)`` Spark drops
+window state older than X behind the max event time, so a 100 TB/day
+stream holds only O(windows-in-X) state per key instead of growing
+forever. Late rows beyond X are dropped (documented, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events_from_dir(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events directory (parquet). The file
+    source is exactly-once and replayable -- the batch/stream parity
+    anchor for tests."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Transforms: each takes a DataFrame (batch OR streaming) and returns the
+# windowed aggregate; streaming callers get watermarking applied first.
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("events"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "events",
+            "value_sum",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("events"), F.sum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "events", "value_sum")
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "10 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Session windows per user (dynamic-length windows merged on
+    overlap). In streaming mode a watermark is REQUIRED by Spark --
+    session state would otherwise be unbounded."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain everything currently available through the streaming
+    engine into an in-memory table ``name`` (test/dev helper; production
+    sinks are parquet/Kafka with checkpointing)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,103 @@
+"""Streaming correctness anchored to batch: the same transform function
+run over a file-source stream (availableNow) must equal its batch run
+on the same data. Also exercises the custom stateful operator across
+multiple micro-batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project_spark.plans.registry import events_table
+from data_engineering_capstone_project_spark.streaming import (
+    run_available_now_to_memory,
+    session_aggregate,
+    sliding_counts,
+    stream_events_from_dir,
+    tumbling_counts,
+)
+from data_engineering_capstone_project_spark.streaming.stateful import running_user_profiles
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events with a proper timestamp column, split into 3 files so the
+    stream runs several micro-batches."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    events_table(spark, SF_SMALL).repartition(3).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _canon(df):
+    # incremental (per-micro-batch) float sums differ from batch sums in
+    # the last ulps; round to compare semantics, not summation order
+    return sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in df.collect()
+    )
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expected = _canon(tumbling_counts(batch))
+
+    stream = stream_events_from_dir(spark, events_dir, max_files_per_trigger=1)
+    run_available_now_to_memory(tumbling_counts(stream, watermark="90 days"), "t_tumbling")
+    got = _canon(spark.table("t_tumbling"))
+    assert got == expected
+
+
+def test_sliding_stream_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expected = _canon(sliding_counts(batch))
+
+    stream = stream_events_from_dir(spark, events_dir, max_files_per_trigger=1)
+    run_available_now_to_memory(sliding_counts(stream, watermark="90 days"), "t_sliding")
+    assert _canon(spark.table("t_sliding")) == expected
+
+
+def test_session_stream_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expected = _canon(session_aggregate(batch, gap="10 minutes"))
+
+    stream = stream_events_from_dir(spark, events_dir)
+    run_available_now_to_memory(
+        session_aggregate(stream, gap="10 minutes", watermark="90 days"), "t_sessions"
+    )
+    assert _canon(spark.table("t_sessions")) == expected
+
+
+def test_stateful_running_profiles(spark, events_dir):
+    stream = stream_events_from_dir(spark, events_dir, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        running_user_profiles(stream), "t_profiles", output_mode="update"
+    )
+    # "update" emits one row per user per micro-batch it appears in;
+    # the LAST emission per user must equal the batch totals.
+    final = (
+        spark.table("t_profiles")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("value_sum").alias("value_sum"))
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+    )
+    got = {r.user_id: (r.n_events, round(r.value_sum, 6)) for r in final.collect()}
+    exp = {r.user_id: (r.n_events, round(r.value_sum, 6)) for r in batch.collect()}
+    assert got == exp
+
+
+def test_watermark_drops_late_rows(spark, events_dir):
+    """With a watermark narrower than the data span and one file per
+    micro-batch, rows arriving far behind the max seen event time are
+    dropped -- state-bounding is observable behavior."""
+    stream = stream_events_from_dir(spark, events_dir, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        tumbling_counts(stream, watermark="1 hour"), "t_late"
+    )
+    total_windows = spark.table("t_late").count()
+    batch_windows = tumbling_counts(spark.read.parquet(events_dir)).count()
+    assert total_windows <= batch_windows
