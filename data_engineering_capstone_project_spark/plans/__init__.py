@@ -7,3 +7,5 @@ from data_engineering_capstone_project_spark.plans import relational  # noqa: E4
 from data_engineering_capstone_project_spark.plans import text_analysis  # noqa: E402,F401
 from data_engineering_capstone_project_spark.plans import events_windows  # noqa: E402,F401
 from data_engineering_capstone_project_spark.plans import similarity_search  # noqa: E402,F401
+from data_engineering_capstone_project_spark.plans import temporal_joins  # noqa: E402,F401
+from data_engineering_capstone_project_spark.plans import media  # noqa: E402,F401

@@ -452,3 +452,147 @@ def quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_quantity"),
         F.sum(F.col("l_shipdate").isNull().cast("long")).alias("null_shipdate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended relational surface beyond the reference (SURVEY.md §2.4 "not
+# present" row and §2.5/§2.7 notes): semi/anti joins, INTERSECT/EXCEPT,
+# CUBE grouping sets, approximate distinct.
+
+
+@query(
+    "customers_no_orders",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS customers,
+           sum(floor(c_acctbal * 10000)) / 10000.0 AS acctbal_sum
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never ordered, by segment. Plans as a
+    broadcast/shuffled hash anti join — no NOT IN subquery rescans."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("customers"),
+            _fixed_sum(F.col("c_acctbal"), "acctbal_sum"),
+        )
+    )
+
+
+@query(
+    "nations_with_suppliers",
+    oracle="""
+    SELECT n.n_name
+    FROM nation n
+    WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+    """,
+)
+def nations_with_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: nations having at least one supplier. Semi stops at
+    first match — no row multiplication, unlike join+distinct."""
+    nation = table(spark, sf_dir, "nation")
+    supplier = table(spark, sf_dir, "supplier")
+    return nation.join(
+        supplier, nation["n_nationkey"] == supplier["s_nationkey"], "left_semi"
+    ).select("n_name")
+
+
+@query(
+    "repeat_buyers_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+    """,
+)
+def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who ordered in both 1996 and 1998."""
+    orders = table(spark, sf_dir, "orders")
+    y = lambda yr: (  # noqa: E731
+        orders.filter(F.year("o_orderdate") == yr)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return y(1996).intersect(y(1998))
+
+
+@query(
+    "lapsed_buyers_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+    """,
+)
+def lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who ordered in 1996 but not in 1998."""
+    orders = table(spark, sf_dir, "orders")
+    y = lambda yr: (  # noqa: E731
+        orders.filter(F.year("o_orderdate") == yr)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return y(1996).subtract(y(1998))
+
+
+@query(
+    "order_priority_cube",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+           count(*) AS n_orders,
+           sum(floor(o_totalprice * 10000)) / 10000.0 AS price_sum
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in ONE pass —
+    Spark expands the sets map-side, so the fact is scanned once, not
+    4×. gid disambiguates rolled-up NULLs from data NULLs."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            _fixed_sum(F.col("o_totalprice"), "price_sum"),
+        )
+    )
+
+
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS parts_exact,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct (rsd=1%) validated against the exact
+    count. At 100 TB the approx path is the default: fixed-size sketch
+    per group, merge instead of a distinct shuffle. The oracle pins the
+    exact count and asserts the sketch landed within 5%."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("parts_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.01)
+                - F.count_distinct("l_partkey")
+            )
+            / F.count_distinct("l_partkey")
+            <= 0.05
+        ).alias("approx_within_5pct"),
+    )

@@ -108,3 +108,47 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("vectors"),
         F.count_distinct("label").alias("labels"),
     )
+
+
+@query(
+    "embedding_near_dups",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_BKT.format(v='embedding')} AS bkt
+               FROM embeddings),
+         a AS (SELECT vec_id AS id_a, embedding AS qv, bkt FROM e),
+         b AS (SELECT vec_id AS id_b, embedding AS cv, bkt FROM e)
+    SELECT id_a, id_b, cos
+    FROM (
+        SELECT a.id_a, b.id_b,
+               {_COS.replace('q.qv', 'a.qv').replace('c.cv', 'b.cv')} AS cos
+        FROM a JOIN b USING (bkt)
+        WHERE a.id_a < b.id_b
+    )
+    WHERE cos >= 0.35
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: candidate pairs from
+    the sign-LSH bucket equi-join, exact cosine as the residual filter.
+    The dedup twin of ann_lsh_topk — at 100 TB the all-pairs compare is
+    impossible; the bucket join bounds it to O(n x bucket_size)."""
+    emb = table(spark, sf_dir, "embeddings")
+    withb = emb.select(
+        "vec_id", "embedding", S.sign_lsh_bucket(F.col("embedding")).alias("bkt")
+    )
+    a = withb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"), "bkt"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("cv"), "bkt"
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(S.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
