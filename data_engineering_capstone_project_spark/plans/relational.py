@@ -149,7 +149,12 @@ def top5_nations_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_nations_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 2000)
+    # Range form of year(o_orderdate)=2000: pushes to the parquet scan
+    # (row-group min/max pruning), which year() never can.
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     dim = customer.join(
@@ -517,9 +522,12 @@ def nations_with_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT: customers who ordered in both 1996 and 1998."""
     orders = table(spark, sf_dir, "orders")
+    # Range predicate (not year()) so the filter pushes into the scan.
     y = lambda yr: (  # noqa: E731
-        orders.filter(F.year("o_orderdate") == yr)
-        .select(F.col("o_custkey").alias("custkey"))
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{yr}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{yr + 1}-01-01").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("custkey"))
     )
     return y(1996).intersect(y(1998))
 
@@ -535,9 +543,12 @@ def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT: customers who ordered in 1996 but not in 1998."""
     orders = table(spark, sf_dir, "orders")
+    # Range predicate (not year()) so the filter pushes into the scan.
     y = lambda yr: (  # noqa: E731
-        orders.filter(F.year("o_orderdate") == yr)
-        .select(F.col("o_custkey").alias("custkey"))
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{yr}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{yr + 1}-01-01").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("custkey"))
     )
     return y(1996).subtract(y(1998))
 
@@ -595,4 +606,55 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count_distinct("l_partkey")
             <= 0.05
         ).alias("approx_within_5pct"),
+    )
+
+
+@query(
+    "event_props_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k')::INTEGER // 10 AS INTEGER) AS k_decile,
+           count(*) AS events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column parsed with from_json (JVM-side
+    Jackson; no Python round-trip) — the schema-on-read path for a
+    100 TB event log whose payloads evolve. Decile histogram of $.k."""
+    events = events_table(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        events.select(F.floor(k / 10).cast("int").alias("k_decile"))
+        .groupBy("k_decile")
+        .agg(F.count("*").alias("events"))
+    )
+
+
+@query(
+    "order_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): one pass, map-side partial aggs per pivot
+    value. The value list is given explicitly — at scale, never let
+    pivot() run its implicit distinct-collect job to discover values."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
     )

@@ -230,3 +230,31 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+@query(
+    "top_tokens",
+    oracle="""
+    SELECT tok, count(*) AS occurrences
+    FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY occurrences DESC, tok
+    LIMIT 20
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency via explode (the flatMap shape).
+    The explode is map-side; the only shuffle is the partial+final agg
+    on the token — explode never materializes the full token list."""
+    docs = table(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    return (
+        docs.select(tok)
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("tok"))
+        .limit(20)
+    )

@@ -49,3 +49,28 @@ def write_table(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.saveAsTable(name)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows are hash-clustered into ``n_buckets``
+    files per partition by ``bucket_cols``.
+
+    This is the shuffle-elimination tool for repeated big joins: two
+    tables bucketed on the join key with the same bucket count join
+    with ZERO Exchange on either side (and zero Sort if ``sort_cols``
+    match the key). At 100 TB, bucket the fact tables on their dominant
+    join key once at ingest and every downstream join/agg on that key
+    becomes a local zip of corresponding buckets. Size n_buckets so one
+    bucket (~table_size / n_buckets) fits an executor core's memory.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
