@@ -152,3 +152,20 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.35)
     )
+
+
+# IVF is the k-means-quantizer ANN path; the quantizer is spark.ml
+# KMeans (deterministic per seed but not reproducible in DuckDB) ->
+# rows-only driver check. Exactness of the underlying cosine/top-k
+# machinery is covered by cosine_topk/ann_lsh_topk's full oracles, and
+# tests/test_vector_grouped.py pins IVF recall against brute force.
+@query("ann_ivf_topk")
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_capstone_project_spark.operators.vector_index import (
+        ann_ivf_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=3, n_cells=8, n_probe=2
+    )

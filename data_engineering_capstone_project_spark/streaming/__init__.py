@@ -1,6 +1,7 @@
 from data_engineering_capstone_project_spark.streaming.events import (
     EVENT_SCHEMA,
     run_available_now_to_memory,
+    run_available_now_to_parquet,
     session_aggregate,
     sliding_counts,
     stream_events_from_dir,
@@ -14,4 +15,5 @@ __all__ = [
     "sliding_counts",
     "session_aggregate",
     "run_available_now_to_memory",
+    "run_available_now_to_parquet",
 ]

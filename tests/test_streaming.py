@@ -101,3 +101,44 @@ def test_watermark_drops_late_rows(spark, events_dir):
     total_windows = spark.table("t_late").count()
     batch_windows = tumbling_counts(spark.read.parquet(events_dir)).count()
     assert total_windows <= batch_windows
+
+
+def test_checkpointed_parquet_sink_is_exactly_once(spark, tmp_path):
+    """Re-running an availableNow stream against the same checkpoint
+    must process only files added since the last run — no reprocessing,
+    no duplicate rows."""
+    from data_engineering_capstone_project_spark.streaming import (
+        run_available_now_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    all_events = events_table(spark, SF_SMALL).limit(300).cache()
+    first, second = (
+        all_events.filter(F.col("event_id") % 2 == 0),
+        all_events.filter(F.col("event_id") % 2 == 1),
+    )
+    first.write.mode("overwrite").parquet(src)
+
+    transform = lambda df: df.filter(F.col("value") >= 0).select(  # noqa: E731
+        "event_id", "ts", "user_id", "value"
+    )
+    stream = lambda: transform(stream_events_from_dir(spark, src))  # noqa: E731
+
+    run_available_now_to_parquet(stream(), sink, ckpt)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == transform(first).count()
+
+    # Run again with NO new input: checkpoint says everything committed.
+    run_available_now_to_parquet(stream(), sink, ckpt)
+    assert spark.read.parquet(sink).count() == n1
+
+    # Append a second batch of source files; only the delta lands.
+    second.write.mode("append").parquet(src)
+    run_available_now_to_parquet(stream(), sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == transform(all_events).count()
+    assert out.select("event_id").distinct().count() == out.count()
+    all_events.unpersist()

@@ -1,0 +1,81 @@
+"""Tests for the IVF ANN index and grouped-map operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project_spark.operators.grouped import (
+    group_zscore,
+    group_zscore_window,
+)
+from data_engineering_capstone_project_spark.operators.similarity import (
+    brute_force_topk,
+)
+from data_engineering_capstone_project_spark.operators.vector_index import (
+    ann_ivf_topk,
+    assign_cells,
+    train_centroids,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_centroids_shape_and_determinism(emb):
+    c1 = train_centroids(emb, n_cells=4).collect()
+    c2 = train_centroids(emb, n_cells=4).collect()
+    assert len(c1) == 4
+    assert sorted(r.cell_id for r in c1) == [0, 1, 2, 3]
+    assert {r.cell_id: r.centroid for r in c1} == {
+        r.cell_id: r.centroid for r in c2
+    }
+
+
+def test_assign_cells_partitions_corpus(emb):
+    cents = train_centroids(emb, n_cells=4)
+    assigned = assign_cells(emb, cents, id_col="vec_id")
+    # exactly one cell per vector, all cells non-empty at this size
+    assert assigned.count() == emb.count()
+    assert assigned.select("cell_id").distinct().count() == 4
+
+
+def test_ivf_recall_against_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(queries, emb, k=5)
+    approx = ann_ivf_topk(queries, emb, k=5, n_cells=4, n_probe=2)
+    pairs = lambda df: {  # noqa: E731
+        (r.query_id, r.neighbor_id) for r in df.collect()
+    }
+    got, want = pairs(approx), pairs(exact)
+    assert len(want) == 20 * 5
+    recall = len(got & want) / len(want)
+    # 2 of 4 cells probed; uniform synthetic vectors are a worst case
+    # for IVF, so the bound is deliberately loose — the point is the
+    # index returns mostly-right neighbors, not exactness.
+    assert recall >= 0.5, f"recall {recall}"
+    # every query returns exactly k ranked rows
+    per_q = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
+
+
+def test_group_zscore_matches_window_twin(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4)]
+        + [("b", 10.0)]          # single-row group -> zscore 0
+        + [("c", 7.0), ("c", 7.0)],  # zero variance -> zscore 0
+        "k string, v double",
+    )
+    got = {
+        (r.k, r.v): r.zscore
+        for r in group_zscore(df, ["k"], "v").collect()
+    }
+    want = {
+        (r.k, r.v): r.zscore
+        for r in group_zscore_window(df, ["k"], "v").collect()
+    }
+    assert got.keys() == want.keys()
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-9, key
