@@ -51,6 +51,25 @@ def write_table(
     writer.saveAsTable(name)
 
 
+def upsert_partitions(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Incremental upsert via DYNAMIC partition overwrite: only the
+    hive partitions present in ``df`` are replaced; all others are
+    untouched. This is the Spark-native MERGE for append-mostly facts
+    (the reference's "daily batch" scaling answer, README.md:116-117,
+    made incremental): recomputing one day touches one partition, the
+    write is idempotent on retry, and a 100 TB history is never
+    rewritten. Rows for a partition must be complete — this replaces
+    whole partitions, it does not merge within one."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

@@ -1,0 +1,68 @@
+"""Dynamic partition overwrite: the incremental-load contract."""
+
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project_spark.sources.writers import (
+    upsert_partitions,
+    write_parquet_partitioned,
+)
+
+
+def test_upsert_replaces_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(1, 2024, 1, 10.0), (2, 2024, 1, 20.0),
+         (3, 2024, 2, 30.0), (4, 2024, 3, 40.0)],
+        "id long, year int, month int, v double",
+    )
+    write_parquet_partitioned(base, path, ["year", "month"])
+
+    # Rerun month 2 with corrected data (fewer rows, new values).
+    fix = spark.createDataFrame(
+        [(30, 2024, 2, 99.0)], "id long, year int, month int, v double"
+    )
+    upsert_partitions(fix, path, ["year", "month"])
+
+    got = {
+        (r.year, r.month, r.id): r.v
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (2024, 1, 1): 10.0,   # untouched
+        (2024, 1, 2): 20.0,   # untouched
+        (2024, 2, 30): 99.0,  # replaced wholesale
+        (2024, 3, 4): 40.0,   # untouched
+    }
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [(1, 2024, 1, 1.0)], "id long, year int, month int, v double"
+    )
+    write_parquet_partitioned(df, path, ["year", "month"])
+    upsert_partitions(df, path, ["year", "month"])
+    upsert_partitions(df, path, ["year", "month"])
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_upsert_adds_new_partition(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    write_parquet_partitioned(
+        spark.createDataFrame(
+            [(1, 2024, 1, 1.0)], "id long, year int, month int, v double"
+        ),
+        path,
+        ["year", "month"],
+    )
+    upsert_partitions(
+        spark.createDataFrame(
+            [(2, 2024, 4, 2.0)], "id long, year int, month int, v double"
+        ),
+        path,
+        ["year", "month"],
+    )
+    months = {
+        r.month for r in spark.read.parquet(path).select("month").collect()
+    }
+    assert months == {1, 4}

@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the properties that make queries
+scale are asserted directly on the executed/optimized plans, so a
+refactor that silently drops a pushdown or broadcasts the wrong side
+fails CI rather than a production run.
+
+These inspect plans only (no data correctness — the oracle suite owns
+that), so they run at the smallest SF.
+"""
+
+import pytest
+
+from data_engineering_capstone_project_spark.plans import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pricing_summary", "top5_nations_ytd", "top_nations_by_month",
+     "repeat_buyers_intersect"],
+)
+def test_date_filters_reach_parquet_scan(spark, name):
+    """Range-form date predicates must appear as PushedFilters on the
+    scan (row-group pruning at 100 TB), not only as post-scan Filters."""
+    plan = _plan(QUERIES[name](spark, SF_SMALL))
+    assert "PushedFilters: [" in plan
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any(
+        ("GreaterThan" in line or "LessThan" in line) for line in pushed
+    ), f"no range filter pushed in {name}: {pushed}"
+
+
+@pytest.mark.parametrize(
+    "name", ["visits_by_region", "top5_nations_ytd", "top_nations_by_month"]
+)
+def test_dim_joins_broadcast(spark, name):
+    """Fact-dim joins must be broadcast-hash: the fact side never
+    shuffles on the join key."""
+    plan = _plan(QUERIES[name](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_scan_prunes_columns(spark):
+    """The 16-column lineitem scan must read only the 7 referenced
+    columns (column pruning at the parquet reader)."""
+    plan = _plan(QUERIES["pricing_summary"](spark, SF_SMALL))
+    scan_lines = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert scan_lines, "no ReadSchema in plan"
+    assert "l_quantity" in scan_lines[0]
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_shipmode"):
+        assert unused not in scan_lines[0]
+
+
+def test_aggregations_are_partial_then_final(spark):
+    """Group-bys must combine map-side: two HashAggregates around one
+    Exchange, so the shuffle carries partial states, not raw rows."""
+    plan = _plan(QUERIES["visits_by_year"](spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Per-group top-k must push the limit below the shuffle
+    (WindowGroupLimit), never rank the full group set."""
+    plan = _plan(QUERIES["top_nations_by_month"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+
+
+def test_lsh_self_join_is_single_signature_subtree(spark):
+    """The LSH banding must be one explode projection self-joined, not
+    a union re-deriving signatures per band: exactly 2 parquet scans of
+    documents (one per join side), not 2*bands."""
+    plan = _plan(QUERIES["minhash_lsh_pairs"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
