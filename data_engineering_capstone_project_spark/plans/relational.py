@@ -658,3 +658,41 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("status_p"),
         )
     )
+
+
+@query(
+    "customer_order_progression",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS custkey,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS INTEGER) AS order_day,
+           CAST(row_number() OVER w AS INTEGER) AS order_seq,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INTEGER) AS prev_gap_days,
+           sum(CAST(floor(o_totalprice * 10000) AS BIGINT)) OVER w / 10000.0 AS run_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential window functions per customer: order sequence number,
+    days since previous order (lag), and running spend. The running sum
+    is fixed-point int64 inside the frame so cumulative doubles are
+    order-independent. One shuffle on custkey serves all three
+    functions (same window spec). The unique o_orderkey in the ordering
+    makes ROWS and RANGE frames equivalent (no peer rows), so Spark's
+    rows-frame matches DuckDB's default range-frame."""
+    orders = table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        day.alias("order_day"),
+        F.row_number().over(w).alias("order_seq"),
+        (day - F.lag(day).over(w)).alias("prev_gap_days"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 10000).cast("bigint")).over(wf)
+            / 10000.0
+        ).alias("run_spend"),
+    )
