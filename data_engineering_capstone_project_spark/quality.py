@@ -10,10 +10,16 @@ the reference's per-column scan loop would re-read the table N times.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Identifiers in generated SQL are config-owned, but allowlist anyway
+# (the reference f-strings them raw, data_quality.py:27,34 — see
+# SURVEY.md §7 hazards).
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 class DataQualityError(ValueError):
@@ -46,6 +52,37 @@ def expect_nonempty(df: DataFrame, table: str = "?") -> int:
     if n < 1:
         raise DataQualityError(f"Data quality check failed. {table} is empty")
     return n
+
+
+def run_sql_quality_checks(
+    spark: SparkSession, pairs: Sequence[tuple[str, str]]
+) -> dict[str, int]:
+    """E3-style serving-side gate: GENERATED SQL strings over catalog
+    tables/views, exactly the reference's DataQualityOperator shape
+    (data_quality.py:21-38 via PostgresHook -> here spark.sql). Returns
+    {table: row_count}; raises DataQualityError on the first failure.
+
+    This is the template for the whole ad-hoc serving layer: SQL that
+    previously hit Redshift now hits Spark SQL over the same relations
+    the DataFrame API built (the E2 dual-surface invariant).
+    """
+    counts: dict[str, int] = {}
+    for tbl, col in pairs:
+        for ident in (tbl, col):
+            if not _IDENT.match(ident):
+                raise ValueError(f"unsafe identifier: {ident!r}")
+        nulls = spark.sql(
+            f"SELECT COUNT(*) AS n FROM {tbl} WHERE {col} IS NULL"
+        ).collect()[0]["n"]
+        if nulls > 0:
+            raise DataQualityError(
+                f"Data quality check failed. {tbl}.{col} has {nulls} NULLs"
+            )
+        total = spark.sql(f"SELECT COUNT(*) AS n FROM {tbl}").collect()[0]["n"]
+        if total < 1:
+            raise DataQualityError(f"Data quality check failed. {tbl} is empty")
+        counts[tbl] = int(total)
+    return counts
 
 
 def expect_unique(df: DataFrame, columns: Sequence[str], table: str = "?") -> None:

@@ -1,0 +1,113 @@
+"""Property-based tests (Hypothesis): the custom distributed operators
+must agree with direct single-machine reference implementations on
+arbitrary small inputs — especially edge cases a hand-picked fixture
+misses (ties, empty sides, singleton groups, boundary buckets)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project_spark.operators.dedup import (
+    jaccard_pairs_size_blocked,
+)
+from data_engineering_capstone_project_spark.operators.joins import (
+    asof_join,
+    range_join_bucketed,
+)
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+keys = st.integers(min_value=0, max_value=3)
+times = st.integers(min_value=0, max_value=50)
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=12),
+    right=st.lists(st.tuples(keys, times), min_size=0, max_size=12),
+)
+def test_asof_join_matches_reference(spark, left, right):
+    # de-dup right per (key, time) as the operator contract requires
+    right = sorted({(k, t): (k, t, k * 100 + t) for k, t in right}.values())
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k int, lt int"
+    )
+    rdf = spark.createDataFrame(right, "k int, rt int, rv int") if right else (
+        spark.createDataFrame([], "k int, rt int, rv int")
+    )
+    got = {
+        r.lid: (r.rt, r.rv)
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="lt", right_time="rt",
+            value_cols=["rt", "rv"],
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, rv) for (rk, rt, rv) in right if rk == k and rt <= t]
+        want = max(cands) if cands else (None, None)
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=10),
+    right=st.lists(st.tuples(keys, times), min_size=0, max_size=10),
+    lower=st.integers(min_value=-5, max_value=5),
+    width=st.integers(min_value=1, max_value=20),
+)
+def test_range_join_matches_reference(spark, left, right, lower, width):
+    upper = lower + width
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k int, lt int"
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, t) for j, (k, t) in enumerate(right)], "rid int, k int, rt int"
+    ) if right else spark.createDataFrame([], "rid int, k int, rt int")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in range_join_bucketed(
+            ldf, rdf, on="k", left_time="lt", right_time="rt",
+            lower=lower, upper=upper,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lk, lt) in enumerate(left)
+        for j, (rk, rt) in enumerate(right)
+        if lk == rk and lt + lower < rt <= lt + upper
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_size_blocked_jaccard_is_exact(spark, docs):
+    """The size-bucket blocking must lose NO pair with jac >= 0.5 —
+    exactness is the operator's claim, so fuzz it."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs_size_blocked(
+            df,
+            id_col="id",
+            set_col=F.array_distinct(F.split(F.col("text"), " ")),
+            block_col=F.lit("all"),
+            threshold=0.5,
+        ).collect()
+    )
+    sets = [set(toks) for toks in docs]
+    want = sorted(
+        (i, j)
+        for i in range(len(sets))
+        for j in range(i + 1, len(sets))
+        if round(len(sets[i] & sets[j]) / len(sets[i] | sets[j]), 4) >= 0.5
+    )
+    assert got == want
