@@ -24,6 +24,7 @@ sys.path.insert(0, str(_REPO))
 # binary mapInPandas, and explode aggregation.
 HEADLINE = [
     "pricing_summary",
+    "revenue_by_priority",
     "visits_by_region",
     "top_nations_by_month",
     "distinct_dates",

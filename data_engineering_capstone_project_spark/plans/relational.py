@@ -696,3 +696,38 @@ def customer_order_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("run_spend"),
     )
+
+
+@query(
+    "revenue_by_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           count(*) AS line_count,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-heavy fact-to-fact join (lineitem x orders on
+    orderkey) — too big to broadcast on either side at real scale, so
+    it exercises the sort-merge/shuffled-hash path with AQE. At 100 TB
+    this is THE join to co-bucket (write_bucketed_table on l_orderkey /
+    o_orderkey removes both Exchanges); unbucketed it shuffles both
+    facts once on the join key, with partial aggregation after."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "o_orderpriority", F.year("o_orderdate").alias("order_year")
+        )
+        .agg(
+            F.count("*").alias("line_count"),
+            _fixed_sum(revenue, "revenue"),
+        )
+    )
