@@ -731,3 +731,46 @@ def revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fixed_sum(revenue, "revenue"),
         )
     )
+
+
+@query(
+    "big_orders_having",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS big_orders,
+           sum(CAST(floor(t.qty_sum * 10000) AS BIGINT)) / 10000.0 AS qty_total
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS qty_sum
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    ) t
+    JOIN orders o ON t.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate -> HAVING filter -> join upward.
+    The HAVING collapses lineitem to order grain BEFORE the joins, so
+    the expensive fact join runs on the reduced set — the ordering a
+    100 TB plan must have (per-row qty_sum is integral-valued doubles,
+    so the inner sum needs no fixed-point guard; the outer re-sum keeps
+    one for cross-engine hash stability)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_sum"))
+        .filter(F.col("qty_sum") > 150)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("big_orders"),
+            _fixed_sum(F.col("qty_sum"), "qty_total"),
+        )
+    )
