@@ -179,11 +179,15 @@ def lsh_candidate_pairs(
     candidate pairs sharing at least one band hash.
 
     Bands are produced by ONE explode projection (not a union of
-    per-band frames): both sides of the self-join are then the same
-    subtree, so Spark computes the signature aggregation once and
-    reuses its shuffle (ReusedExchange) for the probe side — a
-    union-per-band formulation recomputes the signatures 2×bands
-    times. Distinct at the end removes pairs caught by multiple bands.
+    per-band frames) self-joined on the band hash: the signature
+    subtree is computed twice (once per join side — measured: Catalyst
+    does not ReusedExchange across the join) versus 2×bands times for
+    a union-per-band plan. A group-and-pair alternative (collect_list
+    per bucket + array pair expansion) computes signatures once but
+    builds each bucket's pair set inside ONE row — measured no faster
+    here and an OOM hazard on adversarial buckets, so the self-join's
+    distributed pair generation wins. Distinct at the end removes
+    pairs caught by multiple bands.
     """
     # Band index is part of the hash so equal minhash values in
     # *different* band positions can never collide into a pair.
