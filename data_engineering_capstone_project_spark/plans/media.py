@@ -99,3 +99,24 @@ def audio_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy path must agree bit-for-bit with DuckDB's integer sum."""
     media = _fake_media(spark, sf_dir, M.KIND_AUDIO)
     return M.audio_features(media)
+
+
+@query(
+    "image_resize_plan",
+    oracle=f"""
+    WITH m AS (SELECT vec_id AS media_id, {_W} AS w, {_HT} AS h FROM embeddings)
+    SELECT media_id,
+           CAST(greatest(1, floor(w * least(1.0, 256.0 / greatest(w, h)))) AS INTEGER) AS width,
+           CAST(greatest(1, floor(h * least(1.0, 256.0 / greatest(w, h)))) AS INTEGER) AS height
+    FROM m
+    """,
+)
+def image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize to max side 256 through the binary
+    header round-trip; the oracle recomputes the scaled dimensions in
+    closed form (int() truncation == floor for positive scales, and the
+    double products are bit-identical across engines)."""
+    media = _fake_media(spark, sf_dir, M.KIND_IMAGE)
+    return M.resize_images(media, max_side=256).select(
+        "media_id", "width", "height"
+    )

@@ -271,3 +271,31 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("occurrences"), F.asc("tok"))
         .limit(20)
     )
+
+
+@query(
+    "doc_split_counts",
+    oracle="""
+    SELECT lang,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (80/20): assignment is
+    a pure projection of md5(doc_id), so it is identical on re-read, on
+    retry, and in the DuckDB oracle — the property RNG sampling lacks.
+    Grouped per language to show split balance within strata."""
+    from data_engineering_capstone_project_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id", train_pct=80)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("docs"))
+    )

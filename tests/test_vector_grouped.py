@@ -79,3 +79,34 @@ def test_group_zscore_matches_window_twin(spark):
     assert got.keys() == want.keys()
     for key in want:
         assert abs(got[key] - want[key]) < 1e-9, key
+
+
+def test_deterministic_split_is_stable_and_balanced(spark, emb):
+    from data_engineering_capstone_project_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    s1 = deterministic_split(emb, "vec_id", train_pct=80)
+    s2 = deterministic_split(emb, "vec_id", train_pct=80)
+    a = {r.vec_id: r.split for r in s1.collect()}
+    b = {r.vec_id: r.split for r in s2.collect()}
+    assert a == b  # identical across runs, no RNG
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9
+
+
+def test_stratified_sample_respects_fractions(spark, emb):
+    from data_engineering_capstone_project_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    labels = [r.label for r in emb.select("label").distinct().collect()]
+    fractions = {lbl: (0.5 if lbl % 2 == 0 else 0.1) for lbl in labels}
+    sampled = stratified_sample(emb, "label", fractions, seed=7)
+    totals = {r.label: r.n for r in emb.groupBy("label").agg(
+        F.count("*").alias("n")).collect()}
+    got = {r.label: r.n for r in sampled.groupBy("label").agg(
+        F.count("*").alias("n")).collect()}
+    for lbl, n in totals.items():
+        frac = got.get(lbl, 0) / n
+        assert abs(frac - fractions[lbl]) < 0.25, (lbl, frac)
