@@ -774,3 +774,27 @@ def big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fixed_sum(F.col("qty_sum"), "qty_total"),
         )
     )
+
+
+@query(
+    "price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    percentile == DuckDB quantile_cont, verified digit-for-digit). At
+    100 TB switch to approx_percentile: fixed-size sketch, mergeable,
+    no per-group sort — same call shape, bounded error."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )

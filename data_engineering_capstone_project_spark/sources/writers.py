@@ -93,3 +93,33 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+
+
+def dir_size_bytes(spark, path: str) -> int:
+    """Total bytes under a path via the Hadoop FileSystem API (works
+    for file://, hdfs://, s3a:// alike)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_parquet(
+    spark, src: str, dst: str, target_file_mb: int = 128
+) -> int:
+    """Rewrite a parquet directory into ~target_file_mb files; returns
+    the file count written.
+
+    The small-files problem is the silent killer of a long-lived
+    100 TB lake: every streaming micro-batch and every incremental
+    upsert leaves small files, and scan cost becomes dominated by
+    open/seek overhead and task-scheduling latency rather than bytes.
+    Run this as a periodic maintenance pass per partition. Writes to a
+    NEW directory (atomic swap is the caller's move-then-delete) so a
+    failed compaction never corrupts the live table.
+    """
+    import math
+
+    n = max(1, math.ceil(dir_size_bytes(spark, src) / (target_file_mb << 20)))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n

@@ -66,3 +66,23 @@ def test_upsert_adds_new_partition(spark, tmp_path):
         r.month for r in spark.read.parquet(path).select("month").collect()
     }
     assert months == {1, 4}
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from data_engineering_capstone_project_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    df = spark.range(0, 10_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.mode("overwrite").parquet(src)
+    n_small = len([p for p in (tmp_path / "small").glob("part-*")])
+    assert n_small == 40
+
+    n_files = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n_files == 1
+    assert len([p for p in (tmp_path / "compact").glob("part-*")]) == 1
+    # content preserved exactly
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(dst).collect()
+    ) == sorted(tuple(r) for r in df.collect())
