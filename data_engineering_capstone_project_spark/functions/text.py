@@ -106,6 +106,29 @@ def lang_id(col: Column) -> Column:
     )
 
 
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Marker-word count per language over a MATERIALIZED token array
+    (see word_shingles' docstring for why: every reference to a
+    non-attribute expression re-evaluates it, so callers should stage
+    these counts in their own projection before combining them)."""
+    return {k: _marker_count(toks, v) for k, v in LANG_MARKERS.items()}
+
+
+def lang_decision(
+    s_en: Column, s_de: Column, s_fr: Column, s_es: Column, has_cjk: Column
+) -> Column:
+    """The lang_id decision ladder over pre-computed score columns."""
+    no_markers = (s_en + s_de + s_fr + s_es) == 0
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when(no_markers, F.lit("und"))
+        .when((s_de >= s_fr) & (s_de >= s_es) & (s_de > s_en), "de")
+        .when((s_fr >= s_es) & (s_fr > s_en), "fr")
+        .when(s_es > s_en, "es")
+        .otherwise(F.lit("en"))
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized lowercase text. Engine-portable (md5 is

@@ -798,3 +798,37 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
     )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH lim AS (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_lim
+        FROM lineitem GROUP BY 1
+    )
+    SELECT count(*) AS small_lines,
+           sum(CAST(floor(l.l_extendedprice * 10000) AS BIGINT)) / 10000.0 AS small_revenue
+    FROM lineitem l JOIN lim ON l.l_partkey = lim.l_partkey
+    WHERE l.l_quantity < lim.qty_lim
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: filter a fact by a per-group aggregate of
+    itself (decorrelated into agg + self-join — Spark never executes a
+    per-row correlated rescan). The threshold is deterministic across
+    engines because l_quantity is integral-valued: the sum is exact in
+    float64 in any order, and avg is a single division of exact
+    operands."""
+    li = table(spark, sf_dir, "lineitem")
+    lim = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        li.join(lim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.count("*").alias("small_lines"),
+            _fixed_sum(F.col("l_extendedprice"), "small_revenue"),
+        )
+    )

@@ -61,15 +61,36 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stage the regex/tokenize primitives once as attributes, then
+    # derive every ratio from them — the single-select form re-runs
+    # each regexp_replace ~3x (own ratio + quality references).
     docs = table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        T.char_count(t).alias("chars"),
-        F.round(T.punct_ratio(t), 4).alias("punct_ratio"),
-        F.round(T.alpha_ratio(t), 4).alias("alpha_ratio"),
-        F.round(T.stopword_ratio(t), 4).alias("stop_ratio"),
-        T.quality_score(t).alias("quality"),
+        F.length(t).alias("chars"),
+        (F.length(t) - F.length(F.regexp_replace(t, T.PUNCT_CLASS, ""))).alias(
+            "n_punct"
+        ),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("n_alpha"),
+        T.words(F.lower(t)).alias("toks"),
+    )
+    punct_r = F.col("n_punct") / F.col("chars")
+    alpha_r = F.col("n_alpha") / F.col("chars")
+    n_toks = F.size("toks")
+    stop_r = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(F.col("toks"), lambda x: x.isin(*T.EN_STOPWORDS))) / n_toks
+    )
+    length_term = F.least(F.col("chars") / F.lit(500.0), F.lit(1.0))
+    return base.select(
+        "doc_id",
+        F.col("chars").cast("int").alias("chars"),
+        F.round(punct_r, 4).alias("punct_ratio"),
+        F.round(alpha_r, 4).alias("alpha_ratio"),
+        F.round(stop_r, 4).alias("stop_ratio"),
+        F.round(
+            0.5 * alpha_r + 0.3 * length_term + 0.2 * (1 - punct_r), 4
+        ).alias("quality"),
     )
 
 
@@ -99,11 +120,29 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Staged projections: tokenize once, score once per language, then
+    # combine — each stage's outputs become attributes, so the decision
+    # ladder's many references don't re-run the splits/filters
+    # (CollapseProject keeps non-cheap multi-referenced aliases staged).
     docs = table(spark, sf_dir, "documents")
+    toked = docs.select(
+        F.col("lang").alias("true_lang"),
+        F.col("text").rlike(T.CJK_PATTERN).alias("has_cjk"),
+        T.words(F.lower(F.col("text"))).alias("toks"),
+    )
+    scores = T.lang_scores(F.col("toks"))
+    scored = toked.select(
+        "true_lang",
+        "has_cjk",
+        *[scores[k].alias(f"s_{k}") for k in ("en", "de", "fr", "es")],
+    )
     return (
-        docs.select(
-            F.col("lang").alias("true_lang"),
-            T.lang_id(F.col("text")).alias("pred_lang"),
+        scored.select(
+            "true_lang",
+            T.lang_decision(
+                F.col("s_en"), F.col("s_de"), F.col("s_fr"), F.col("s_es"),
+                F.col("has_cjk"),
+            ).alias("pred_lang"),
         )
         .groupBy("true_lang", "pred_lang")
         .agg(F.count("*").alias("docs"))

@@ -2,6 +2,7 @@ from data_engineering_capstone_project_spark.streaming.events import (
     EVENT_SCHEMA,
     run_available_now_to_memory,
     run_available_now_to_parquet,
+    run_foreach_batch,
     session_aggregate,
     sliding_counts,
     stream_events_from_dir,
@@ -16,4 +17,5 @@ __all__ = [
     "session_aggregate",
     "run_available_now_to_memory",
     "run_available_now_to_parquet",
+    "run_foreach_batch",
 ]

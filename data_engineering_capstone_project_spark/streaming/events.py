@@ -113,6 +113,25 @@ def run_available_now_to_parquet(
     q.awaitTermination()
 
 
+def run_foreach_batch(
+    stream_df: DataFrame, fn, checkpoint: str
+) -> None:
+    """Drain available input through ``fn(batch_df, batch_id)`` — the
+    escape hatch for sinks Structured Streaming lacks (multi-sink
+    fan-out, JDBC upserts, partition-aligned overwrite). The checkpoint
+    tracks committed batch ids, so a restart never re-invokes ``fn``
+    for data already processed; ``fn`` itself must be idempotent per
+    batch_id to make the pipeline exactly-once end to end (batch_id is
+    stable across retries of the same epoch)."""
+    q = (
+        stream_df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

@@ -142,3 +142,37 @@ def test_checkpointed_parquet_sink_is_exactly_once(spark, tmp_path):
     assert out.count() == transform(all_events).count()
     assert out.select("event_id").distinct().count() == out.count()
     all_events.unpersist()
+
+
+def test_foreach_batch_dual_sink_and_restart(spark, tmp_path):
+    """foreachBatch fans one stream out to two sinks; the checkpoint
+    guarantees a restart with no new input never re-invokes the batch
+    function (exactly-once orchestration)."""
+    from data_engineering_capstone_project_spark.streaming import (
+        run_foreach_batch,
+    )
+
+    src = str(tmp_path / "src")
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    ckpt = str(tmp_path / "ckpt")
+    events = events_table(spark, SF_SMALL).limit(200)
+    events.write.mode("overwrite").parquet(src)
+    n_src = spark.read.parquet(src).count()
+
+    calls = []
+
+    def dual_sink(batch_df, batch_id):
+        calls.append(batch_id)
+        batch_df.write.mode("append").parquet(a_dir)
+        batch_df.groupBy("event_type").count().write.mode("append").parquet(b_dir)
+
+    stream = lambda: stream_events_from_dir(spark, src)  # noqa: E731
+    run_foreach_batch(stream(), dual_sink, ckpt)
+    assert len(calls) >= 1
+    assert spark.read.parquet(a_dir).count() == n_src
+    assert spark.read.parquet(b_dir).count() > 0
+
+    n_calls = len(calls)
+    run_foreach_batch(stream(), dual_sink, ckpt)  # restart, no new data
+    assert len(calls) == n_calls  # fn never re-invoked
+    assert spark.read.parquet(a_dir).count() == n_src
