@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -123,3 +124,42 @@ def compact_parquet(
     n = max(1, math.ceil(dir_size_bytes(spark, src) / (target_file_mb << 20)))
     spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
     return n
+
+
+def merge_upsert_partitioned(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str],
+) -> None:
+    """Row-level MERGE (upsert-by-key) on a hive-partitioned parquet
+    table, without a transaction log: rows in ``updates`` replace
+    existing rows with the same key; other rows survive untouched.
+
+    Mechanics: restrict the existing table to the partitions the
+    updates touch (broadcast IN-filter on partition values -> partition
+    pruning, so a 100 TB history reads only the affected slice),
+    anti-join out the updated keys, union the new rows, and rewrite
+    just those partitions with dynamic overwrite. Updates must carry
+    complete rows and must not move a key across partitions (enforce
+    partition columns as part of the key's derivation)."""
+    touched = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
+    existing = spark.read.parquet(path)
+    in_touched = F.lit(False)
+    for vals in touched:
+        clause = F.lit(True)
+        for c, v in zip(partition_cols, vals):
+            clause = clause & (F.col(c) == F.lit(v))
+        in_touched = in_touched | clause
+    survivors = (
+        existing.filter(in_touched)
+        .join(updates.select(*key_cols), list(key_cols), "left_anti")
+    )
+    merged = survivors.unionByName(updates)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -86,3 +86,57 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert sorted(
         tuple(r) for r in spark.read.parquet(dst).collect()
     ) == sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_upsert_replaces_rows_by_key(spark, tmp_path):
+    from data_engineering_capstone_project_spark.sources.writers import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(1, 2024, 1, 10.0), (2, 2024, 1, 20.0),
+         (3, 2024, 2, 30.0), (4, 2024, 3, 40.0)],
+        "id long, year int, month int, v double",
+    )
+    write_parquet_partitioned(base, path, ["year", "month"])
+
+    updates = spark.createDataFrame(
+        [(2, 2024, 1, 99.0),   # update existing row (same partition)
+         (5, 2024, 1, 50.0)],  # brand-new key
+        "id long, year int, month int, v double",
+    )
+    merge_upsert_partitioned(
+        spark, path, updates, key_cols=["id"], partition_cols=["year", "month"]
+    )
+    got = {
+        (r.id): (r.year, r.month, r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: (2024, 1, 10.0),   # untouched row in touched partition
+        2: (2024, 1, 99.0),   # replaced
+        3: (2024, 2, 30.0),   # untouched partition
+        4: (2024, 3, 40.0),   # untouched partition
+        5: (2024, 1, 50.0),   # inserted
+    }
+
+
+def test_merge_upsert_is_idempotent(spark, tmp_path):
+    from data_engineering_capstone_project_spark.sources.writers import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(1, 2024, 1, 1.0), (2, 2024, 2, 2.0)],
+        "id long, year int, month int, v double",
+    )
+    write_parquet_partitioned(base, path, ["year", "month"])
+    up = spark.createDataFrame(
+        [(1, 2024, 1, 7.0)], "id long, year int, month int, v double"
+    )
+    merge_upsert_partitioned(spark, path, up, ["id"], ["year", "month"])
+    merge_upsert_partitioned(spark, path, up, ["id"], ["year", "month"])
+    got = {r.id: (r.year, r.month, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (2024, 1, 7.0), 2: (2024, 2, 2.0)}
