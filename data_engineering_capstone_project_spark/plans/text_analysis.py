@@ -231,10 +231,14 @@ _SHINGLES = r"""
     ),
     sig AS (
         SELECT doc,
-               min(md5('0:' || sh)) AS mh_0, min(md5('1:' || sh)) AS mh_1,
-               min(md5('2:' || sh)) AS mh_2, min(md5('3:' || sh)) AS mh_3,
-               min(md5('4:' || sh)) AS mh_4, min(md5('5:' || sh)) AS mh_5,
-               min(md5('6:' || sh)) AS mh_6, min(md5('7:' || sh)) AS mh_7
+               min(substr(md5('0:' || sh),  1, 8)) AS mh_0,
+               min(substr(md5('0:' || sh),  9, 8)) AS mh_1,
+               min(substr(md5('0:' || sh), 17, 8)) AS mh_2,
+               min(substr(md5('0:' || sh), 25, 8)) AS mh_3,
+               min(substr(md5('1:' || sh),  1, 8)) AS mh_4,
+               min(substr(md5('1:' || sh),  9, 8)) AS mh_5,
+               min(substr(md5('1:' || sh), 17, 8)) AS mh_6,
+               min(substr(md5('1:' || sh), 25, 8)) AS mh_7
         FROM sh GROUP BY doc
     ),
     bands AS (
