@@ -832,3 +832,28 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fixed_sum(F.col("l_extendedprice"), "small_revenue"),
         )
     )
+
+
+@query(
+    "customer_order_keys",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           count(*) AS n_orders,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def customer_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-customer sorted order-key list, exchanged
+    as a CSV string (engines render arrays differently; strings hash
+    identically). collect_list is fine when per-group cardinality is
+    bounded (orders per customer); for unbounded groups prefer top-N
+    via window or an explicit cap."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+            "order_keys"
+        ),
+    )
