@@ -75,15 +75,19 @@ def visits_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
-    # customer is small relative to the fact at every sf; broadcast the
-    # whole dim chain so the fact never shuffles.
+    # nation/region are bounded dims -> always broadcast explicitly.
+    # The customer chain is NOT force-broadcast: explicit broadcast()
+    # ignores size thresholds and OOMs once customer outgrows the
+    # driver (seen at the 20x scale probe); under the session's 64MB
+    # threshold + AQE, Spark broadcasts it while it fits and falls
+    # back to a shuffled join when it doesn't.
     dim = (
         customer.join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "r_name")
     )
     return (
-        orders.join(broadcast(dim), orders.o_custkey == dim.c_custkey)
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
         .groupBy("r_name")
         .agg(F.count("*").alias("visits"))
     )
@@ -115,7 +119,7 @@ def top5_nations_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).select("c_custkey", "n_name")
     return (
-        orders.join(broadcast(dim), orders.o_custkey == dim.c_custkey)
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
         .groupBy("n_name")
         .agg(F.count("*").alias("visits"))
         # n_name is unique per group -> deterministic tiebreak, so LIMIT
@@ -161,7 +165,7 @@ def top_nations_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).select("c_custkey", "n_name")
     counts = (
-        orders.join(broadcast(dim), orders.o_custkey == dim.c_custkey)
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
         .groupBy(F.month("o_orderdate").alias("order_month"), F.col("n_name"))
         .agg(F.count("*").alias("visits"))
     )

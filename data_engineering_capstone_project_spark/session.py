@@ -36,9 +36,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # In local mode the driver IS the cluster; the 1g default is the
+        # first OOM at any scale. Only effective when this builder
+        # launches the JVM (ignored if a session already exists).
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         # AQE: runtime partition coalescing + skew-join handling. At 100 TB
