@@ -228,26 +228,38 @@ def simhash_signatures(
     df: DataFrame, id_col: str, text: Column, bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash per document: each distinct token votes +/-1 per
-    bit position according to its xxhash64; the signature is the sign
-    vector, folded into one signed long.
+    bit position according to a 64-bit hash of the token; the signature
+    is the sign vector, folded into one signed long.
 
-    Implemented as explode -> single partial+final hash agg with one
-    plain SUM per bit (no higher-order lambdas: a 64-wide nested-lambda
-    per-row variant exceeds Catalyst's analyzer iteration budget). The
-    explode shuffles once on the doc id; at 100 TB that shuffle carries
-    only (id, 64 small ints) after partial aggregation.
+    The token hash is two 32-bit halves of md5 (engine-portable, so a
+    SQL oracle can reproduce the signature bit-for-bit), materialized
+    as attributes BEFORE the vote aggregation so md5 runs once per
+    token, not once per bit. Implemented as explode -> single
+    partial+final hash agg with one plain SUM per bit (no higher-order
+    lambdas: a 64-wide nested-lambda per-row variant exceeds Catalyst's
+    analyzer iteration budget). The explode shuffles once on the doc
+    id; at 100 TB that shuffle carries only (id, 64 small ints) after
+    partial aggregation.
     """
     toks = F.explode(
         F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
     ).alias("tok")
-    h = F.xxhash64(F.col("tok"))
+    md5h = F.md5(F.col("tok"))
+    hashed = df.select(F.col(id_col).alias("doc"), toks).select(
+        "doc",
+        F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    half = lambda i: F.col("lo") if i < 32 else F.col("hi")  # noqa: E731
     votes = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(half(i), i % 32).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(bits)
     ]
-    per_bit = df.select(F.col(id_col).alias("doc"), toks).groupBy("doc").agg(*votes)
+    per_bit = hashed.groupBy("doc").agg(*votes)
     # Fold sign bits into one long. A 64-deep arithmetic chain exceeds
     # the analyzer's iteration budget, and ANSI mode rejects the `*2`
     # once the sign bit lands -- so fold a flat array with aggregate()

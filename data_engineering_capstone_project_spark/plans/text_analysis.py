@@ -267,9 +267,50 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
 
-# SimHash uses xxhash64 (JVM-only, no portable SQL twin) -> rows-only
-# check; the jaccard/minhash oracles above cover near-dup correctness.
-@query("simhash_near_dups")
+# SimHash oracle: reproduce the md5-derived bit votes, the sign
+# signature, and the positionwise Hamming distance in pure SQL
+# (generated: 64 vote sums + a 64-char sign string per doc).
+_SH_VOTES = ",\n               ".join(
+    f"sum(CASE WHEN (({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) = 1 "
+    f"THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(64)
+)
+_SH_SIG = "concat(" + ", ".join(
+    f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+) + ")"
+_SH_HAM = " + ".join(
+    f"(CASE WHEN substr(a.sig,{i + 1},1) <> substr(b.sig,{i + 1},1) "
+    f"THEN 1 ELSE 0 END)"
+    for i in range(64)
+)
+
+
+@query(
+    "simhash_near_dups",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, unnest(list_distinct({_TOKS})) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        FROM t
+    ),
+    v AS (
+        SELECT doc_id, lang,
+               {_SH_VOTES}
+        FROM h GROUP BY 1, 2
+    ),
+    s AS (SELECT doc_id, lang, {_SH_SIG} AS sig FROM v)
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST({_SH_HAM} AS INTEGER) AS hamming
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sigs = D.simhash_signatures(docs, "doc_id", F.col("text")).join(
