@@ -861,3 +861,34 @@ def customer_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_keys"
         ),
     )
+
+
+@query(
+    "order_status_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, 'status_f' AS status, status_f AS n FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'status_o', status_o FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'status_p', status_p FROM wide
+    """,
+)
+def order_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, the inverse of order_status_pivot) via
+    the built-in melt: a zero-shuffle Generate over the wide frame —
+    never a union of N re-scans, which re-reads the source per
+    column at scale."""
+    wide = order_status_pivot(spark, sf_dir)
+    return wide.melt(
+        ids=["o_orderpriority"],
+        values=["status_f", "status_o", "status_p"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )

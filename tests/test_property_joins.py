@@ -111,3 +111,33 @@ def test_size_blocked_jaccard_is_exact(spark, docs):
         if round(len(sets[i] & sets[j]) / len(sets[i] | sets[j]), 4) >= 0.5
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    fact=st.lists(st.tuples(keys, st.integers(0, 99)), min_size=1, max_size=30),
+    dim=st.lists(keys, min_size=0, max_size=4, unique=True),
+    salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_join_equals_plain_join_fuzzed(spark, fact, dim, salts):
+    from data_engineering_capstone_project_spark.operators.skew import salted_join
+
+    fdf = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(fact)], "rid int, k int, v int"
+    )
+    ddf = spark.createDataFrame(
+        [(k, f"d{k}") for k in dim], "k int, name string"
+    ) if dim else spark.createDataFrame([], "k int, name string")
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in salted_join(
+                fdf, ddf, on="k", salt_by=["rid"], salts=salts, how=how
+            ).select("rid", "k", "v", "name").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in fdf.join(ddf, "k", how)
+            .select("rid", "k", "v", "name").collect()
+        )
+        assert got == want, how
