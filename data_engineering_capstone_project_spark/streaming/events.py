@@ -113,6 +113,32 @@ def run_available_now_to_parquet(
     q.awaitTermination()
 
 
+def stream_events_from_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source shape for the events stream: value bytes -> JSON ->
+    typed columns, same schema as the file source so every transform in
+    this package runs unchanged on either. Requires the
+    spark-sql-kafka connector on the classpath (not present in this
+    environment — the plan construction below is the tested seam; the
+    .load() raises without the package)."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+
+
 def run_foreach_batch(
     stream_df: DataFrame, fn, checkpoint: str
 ) -> None:

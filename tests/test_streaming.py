@@ -176,3 +176,16 @@ def test_foreach_batch_dual_sink_and_restart(spark, tmp_path):
     run_foreach_batch(stream(), dual_sink, ckpt)  # restart, no new data
     assert len(calls) == n_calls  # fn never re-invoked
     assert spark.read.parquet(a_dir).count() == n_src
+
+
+def test_kafka_source_requires_connector(spark):
+    """The Kafka seam fails with Spark's standard missing-data-source
+    error here (connector jar not shipped in this environment); the
+    parse pipeline after .load() is shared with the file source, which
+    the parity tests above cover."""
+    from data_engineering_capstone_project_spark.streaming.events import (
+        stream_events_from_kafka,
+    )
+
+    with pytest.raises(Exception, match="(?i)kafka"):
+        stream_events_from_kafka(spark, "localhost:9092", "events")
