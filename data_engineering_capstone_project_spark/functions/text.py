@@ -66,10 +66,10 @@ def quality_score(col: Column) -> Column:
     and mid-range length, penalizes punctuation soup. Deterministic and
     engine-portable (plain arithmetic over the ratios above)."""
     length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
-    return F.round(
-        0.5 * alpha_ratio(col) + 0.3 * length_term + 0.2 * (1 - punct_ratio(col)),
-        4,
-    )
+    q = 0.5 * alpha_ratio(col) + 0.3 * length_term + 0.2 * (1 - punct_ratio(col))
+    # floor-truncation, not round(): portable at decimal ties (see
+    # plans.registry.fixed4)
+    return F.floor(q * 10000) / F.lit(10000.0)
 
 
 def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:

@@ -99,7 +99,7 @@ def jaccard_pairs(
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
     jac = jaccard(F.col("set_a"), F.col("set_b"))
     return (
-        pairs.withColumn("jac", F.round(jac, 4))
+        pairs.withColumn("jac", F.floor(jac * 10000) / F.lit(10000.0))
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
@@ -141,7 +141,7 @@ def jaccard_pairs_size_blocked(
     b = e.select(
         F.col("_id").alias("id_b"), F.col("_set").alias("set_b"), "_blk", "_bkt"
     )
-    jac = F.round(jaccard(F.col("set_a"), F.col("set_b")), 4)
+    jac = F.floor(jaccard(F.col("set_a"), F.col("set_b")) * 10000) / F.lit(10000.0)
     return (
         a.join(b, ["_blk", "_bkt"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -66,7 +66,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10000) / F.lit(10000.0)).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -120,7 +120,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10000) / F.lit(10000.0)).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -99,7 +99,7 @@ def ann_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10000) / F.lit(10000.0)).alias("cos"),
         )
         # A (query, neighbor) pair can meet in several probed cells.
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -34,6 +34,19 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def fixed4(col):
+    """Truncate a double to 4 decimals via floor — the ONLY portable
+    way to emit a rounded double: both engines floor the same IEEE
+    double, so the result is identical. round(x, 4) is NOT portable at
+    ties: Spark rounds the shortest decimal rendering (BigDecimal
+    .valueOf) while DuckDB rounds the binary value, so a true .xxxx5
+    boundary diverges by 1 ulp of the 4th decimal (observed at sf0.1
+    on doc_quality). SQL twin: floor((x) * 10000) / 10000.0"""
+    from pyspark.sql import functions as F
+
+    return F.floor(col * 10000) / F.lit(10000.0)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. Plain parquet scan -> Catalyst sees the file
     relation directly; filters/projections in the query push down into it."""

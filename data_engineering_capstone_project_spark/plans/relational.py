@@ -784,9 +784,9 @@ def big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "price_percentiles",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+           floor(quantile_cont(l_extendedprice, 0.5) * 10000) / 10000.0 AS p50,
+           floor(quantile_cont(l_extendedprice, 0.9) * 10000) / 10000.0 AS p90,
+           floor(quantile_cont(l_extendedprice, 0.99) * 10000) / 10000.0 AS p99
     FROM lineitem
     GROUP BY 1
     """,
@@ -798,9 +798,9 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-group sort — same call shape, bounded error."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        (F.floor(F.expr("percentile(l_extendedprice, 0.5)") * 10000) / F.lit(10000.0)).alias("p50"),
+        (F.floor(F.expr("percentile(l_extendedprice, 0.9)") * 10000) / F.lit(10000.0)).alias("p90"),
+        (F.floor(F.expr("percentile(l_extendedprice, 0.99)") * 10000) / F.lit(10000.0)).alias("p99"),
     )
 
 

@@ -24,7 +24,7 @@ def _dot(a: str, b: str) -> str:
     )
 
 
-_COS = f"round({_dot('q.qv', 'c.cv')} / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('c.cv', 'c.cv')})), 4)"
+_COS = f"floor({_dot('q.qv', 'c.cv')} / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('c.cv', 'c.cv')})) * 10000) / 10000.0"
 
 
 @query(
@@ -148,7 +148,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(S.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+            (F.floor(S.cosine(F.col("qv"), F.col("cv")) * 10000) / F.lit(10000.0)).alias("cos"),
         )
         .filter(F.col("cos") >= 0.35)
     )

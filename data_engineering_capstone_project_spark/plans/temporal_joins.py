@@ -33,7 +33,7 @@ from data_engineering_capstone_project_spark.plans.registry import (
                 FROM events),
          v AS (SELECT event_id, user_id, ms AS view_ms
                FROM ev WHERE event_type = 'view'),
-         p AS (SELECT user_id, ms AS pur_ms, round(max(value), 4) AS purchase_value
+         p AS (SELECT user_id, ms AS pur_ms, floor(max(value) * 10000) / 10000.0 AS purchase_value
                FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
     SELECT v.event_id, v.user_id, v.view_ms, p.pur_ms, p.purchase_value
     FROM v ASOF LEFT JOIN p
@@ -51,7 +51,7 @@ def views_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.unix_millis("ts").alias("pur_ms"))
-        .agg(F.round(F.max("value"), 4).alias("purchase_value"))
+        .agg((F.floor(F.max("value") * 10000) / F.lit(10000.0)).alias("purchase_value"))
     )
     return asof_join(
         views,

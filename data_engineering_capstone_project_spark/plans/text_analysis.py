@@ -46,17 +46,17 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(length(text) AS INTEGER) AS chars,
-           round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                 / length(text), 4) AS punct_ratio,
-           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                 / length(text), 4) AS alpha_ratio,
-           round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           floor((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 / length(text) * 10000) / 10000.0 AS punct_ratio,
+           floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / length(text) * 10000) / 10000.0 AS alpha_ratio,
+           floor(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                      t -> t IN ('the','a','of','and','to','in','is','it')))
-                 / len(string_split_regex(lower(trim(text)), '\\s+')), 4) AS stop_ratio,
-           round(0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
+                 / len(string_split_regex(lower(trim(text)), '\\s+')) * 10000) / 10000.0 AS stop_ratio,
+           floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
                  + 0.3 * least(length(text) / 500.0, 1.0)
                  + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                              / length(text)), 4) AS quality
+                              / length(text))) * 10000) / 10000.0 AS quality
     FROM documents
     """,
 )
@@ -85,11 +85,15 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         F.col("chars").cast("int").alias("chars"),
-        F.round(punct_r, 4).alias("punct_ratio"),
-        F.round(alpha_r, 4).alias("alpha_ratio"),
-        F.round(stop_r, 4).alias("stop_ratio"),
-        F.round(
-            0.5 * alpha_r + 0.3 * length_term + 0.2 * (1 - punct_r), 4
+        (F.floor(punct_r * 10000) / F.lit(10000.0)).alias("punct_ratio"),
+        (F.floor(alpha_r * 10000) / F.lit(10000.0)).alias("alpha_ratio"),
+        (F.floor(stop_r * 10000) / F.lit(10000.0)).alias("stop_ratio"),
+        (
+            F.floor(
+                (0.5 * alpha_r + 0.3 * length_term + 0.2 * (1 - punct_r))
+                * 10000
+            )
+            / F.lit(10000.0)
         ).alias("quality"),
     )
 
@@ -191,12 +195,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d, unnest([0, 1]) t(x)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.ws, b.ws))
-                 / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jac
+           floor(len(list_intersect(a.ws, b.ws))
+                 / len(list_distinct(list_concat(a.ws, b.ws))) * 10000) / 10000.0 AS jac
     FROM e a JOIN e b
       ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.ws, b.ws))
-                / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.5
+    WHERE floor(len(list_intersect(a.ws, b.ws))
+                / len(list_distinct(list_concat(a.ws, b.ws))) * 10000) / 10000.0 >= 0.5
     """,
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,7 +108,7 @@ def test_size_blocked_jaccard_is_exact(spark, docs):
         (i, j)
         for i in range(len(sets))
         for j in range(i + 1, len(sets))
-        if round(len(sets[i] & sets[j]) / len(sets[i] | sets[j]), 4) >= 0.5
+        if (len(sets[i] & sets[j]) / len(sets[i] | sets[j]) * 10000) // 1 / 10000 >= 0.5
     )
     assert got == want
 
