@@ -892,3 +892,27 @@ def order_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status",
         valueColumnName="n",
     )
+
+
+@query(
+    "approx_percentile_check",
+    oracle="""
+    SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.5) * 10000) / 10000.0 AS p50_exact,
+           TRUE AS approx_within_1pct
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for percentiles (KLL-style approx_percentile:
+    fixed-size mergeable state, no per-group sort — the only viable
+    form at 100 TB) validated against the exact interpolated median:
+    the oracle pins exactness and asserts the sketch landed within 1%."""
+    li = table(spark, sf_dir, "lineitem")
+    exact = F.expr("percentile(l_extendedprice, 0.5)")
+    approx = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    return li.groupBy("l_returnflag").agg(
+        (F.floor(exact * 10000) / F.lit(10000.0)).alias("p50_exact"),
+        (F.abs(approx - exact) / exact <= 0.01).alias("approx_within_1pct"),
+    )
