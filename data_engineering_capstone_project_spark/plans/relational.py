@@ -916,3 +916,36 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(exact * 10000) / F.lit(10000.0)).alias("p50_exact"),
         (F.abs(approx - exact) / exact <= 0.01).alias("approx_within_1pct"),
     )
+
+
+@query(
+    "segment_nation_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment,
+           n_name,
+           CAST(GROUPING(c_mktsegment, n_name) AS INTEGER) AS gid,
+           count(*) AS customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+    """,
+)
+def segment_nation_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent one-dimension rollups in
+    ONE scan+expand pass — the alternative is two scans unioned).
+    Unlike cube/rollup, only the requested sets materialize."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    joined = cust.join(
+        broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    )
+    joined.createOrReplaceTempView("_cust_nation")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               n_name,
+               CAST(grouping_id(c_mktsegment, n_name) AS INT) AS gid,
+               count(*) AS customers
+        FROM _cust_nation
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+        """
+    )
