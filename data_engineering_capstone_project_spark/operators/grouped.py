@@ -37,7 +37,12 @@ def group_zscore(
         v = pdf[value_col].astype("float64")
         std = v.std(ddof=0)
         pdf = pdf.copy()
-        pdf["zscore"] = 0.0 if (pd.isna(std) or std == 0) else (v - v.mean()) / std
+        if pd.isna(std) or std == 0:
+            pdf["zscore"] = 0.0
+        else:
+            # fillna(0.0): NULL inputs get 0.0, matching the window
+            # twin's coalesce — the two paths must agree everywhere.
+            pdf["zscore"] = ((v - v.mean()) / std).fillna(0.0)
         return pdf
 
     return df.groupBy(*keys).applyInPandas(z, schema)

@@ -85,12 +85,25 @@ def sign_lsh_bucket(vec: Column, dims: tuple[int, ...] = SIGN_DIMS) -> Column:
     """8-char '1'/'0' bucket key from the signs of fixed coordinates.
 
     Equivalent to random-hyperplane LSH with axis-aligned hyperplanes;
-    deterministic (no RNG) so oracle engines agree. ~2^8 buckets."""
+    deterministic (no RNG) so oracle engines agree. ~2^8 buckets.
+
+    Vectors shorter than max(dims) raise a clear error rather than
+    ANSI INVALID_ARRAY_INDEX (or a silent all-'0' tail in non-ANSI
+    mode)."""
+    max_d = max(dims)
     bits = [
         F.when(F.element_at(vec, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for d in dims
     ]
-    return F.concat(*bits)
+    return F.when(F.size(vec) >= max_d, F.concat(*bits)).otherwise(
+        F.raise_error(
+            F.format_string(
+                "sign_lsh_bucket: vector has %d dims, needs >= "
+                + str(max_d),
+                F.size(vec),
+            )
+        )
+    )
 
 
 def ann_lsh_topk(

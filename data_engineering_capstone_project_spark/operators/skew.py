@@ -47,7 +47,15 @@ def salted_join(
     partitions. ``salt_by`` are skewed-side columns that distinguish
     rows within a hot key (e.g. the fact's line number); ``other`` is
     replicated ``salts`` times. Result equals ``skewed.join(other, on,
-    how)`` exactly, for how in inner/left."""
+    how)`` exactly, for how in inner/left — other join types would see
+    the replicated rows (right/full: unmatched other-side rows appear
+    once per salt; anti: semantics break entirely), so they are
+    rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "replication of the other side breaks right/full/semi/anti"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     s = with_salt(skewed, salts, by=salt_by)
     o = replicate_salts(other, salts)

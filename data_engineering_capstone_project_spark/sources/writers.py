@@ -150,7 +150,10 @@ def merge_upsert_partitioned(
     for vals in touched:
         clause = F.lit(True)
         for c, v in zip(partition_cols, vals):
-            clause = clause & (F.col(c) == F.lit(v))
+            # eqNullSafe: a NULL partition value lands in the
+            # __HIVE_DEFAULT_PARTITION__ slice, which dynamic overwrite
+            # WILL replace — null-unsafe == would drop its survivors.
+            clause = clause & F.col(c).eqNullSafe(F.lit(v))
         in_touched = in_touched | clause
     survivors = (
         existing.filter(in_touched)

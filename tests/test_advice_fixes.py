@@ -1,0 +1,72 @@
+"""Regression tests for the round-1 ADVICE findings (edge-case
+hardening of merge upsert, salted join, sign-LSH, and group z-score)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project_spark.operators.grouped import (
+    group_zscore,
+    group_zscore_window,
+)
+from data_engineering_capstone_project_spark.operators.similarity import (
+    sign_lsh_bucket,
+)
+from data_engineering_capstone_project_spark.operators.skew import salted_join
+from data_engineering_capstone_project_spark.sources.writers import (
+    merge_upsert_partitioned,
+    write_parquet_partitioned,
+)
+
+
+def test_merge_upsert_null_partition_value_keeps_survivors(spark, tmp_path):
+    """Updates carrying a NULL partition value must still select the
+    __HIVE_DEFAULT_PARTITION__ survivors (null-unsafe == would drop
+    them while dynamic overwrite replaces that slice)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "a", 30.0)],
+        "id long, part string, v double",
+    )
+    write_parquet_partitioned(base, path, ["part"])
+    updates = spark.createDataFrame(
+        [(1, None, 99.0)], "id long, part string, v double"
+    )
+    merge_upsert_partitioned(spark, path, updates, ["id"], ["part"])
+    got = {(r.id, r.part): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, None): 99.0,  # replaced by key
+        (2, None): 20.0,  # survivor in the NULL partition
+        (3, "a"): 30.0,   # untouched partition
+    }
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    df = spark.range(2).withColumnRenamed("id", "k")
+    for bad in ("right", "full", "left_anti", "left_semi"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, df, "k", salt_by=["k"], how=bad)
+
+
+def test_sign_lsh_bucket_rejects_short_vectors(spark):
+    short = spark.createDataFrame(
+        [(1, [0.5] * 8)], "id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="sign_lsh_bucket"):
+        short.select(sign_lsh_bucket(F.col("embedding"))).collect()
+
+
+def test_group_zscore_null_inputs_match_window_twin(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", None), ("b", None)],
+        "k string, v double",
+    )
+    pandas_rows = {
+        (r.k, r.v): r.zscore for r in group_zscore(df, ["k"], "v").collect()
+    }
+    window_rows = {
+        (r.k, r.v): r.zscore
+        for r in group_zscore_window(df, ["k"], "v").collect()
+    }
+    assert pandas_rows == window_rows
+    assert pandas_rows[("a", None)] == 0.0
+    assert pandas_rows[("b", None)] == 0.0
