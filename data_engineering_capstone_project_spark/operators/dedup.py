@@ -283,3 +283,69 @@ def simhash_signatures(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_banded_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc",
+    sig_col: str = "sig",
+    block_cols: tuple[str, ...] = (),
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """All pairs with Hamming(sig) <= max_hamming, via banded Hamming
+    blocking — EXACT, with a LINEAR shuffle instead of a quadratic
+    within-block self-join.
+
+    Pigeonhole: splitting the ``bits``-bit signature into ``bands``
+    equal slices, a pair differing in <= max_hamming bits can touch at
+    most max_hamming bands, so whenever bands > max_hamming at least
+    one band is bit-identical. Equi-joining on (band index, band
+    value) therefore meets every qualifying pair; the exact
+    ``hamming64`` residual drops false candidates and ``distinct``
+    drops pairs caught by several bands. Cost: O(n * bands) shuffle on
+    a selective key (2^16 values per band) — the 100 TB path, vs the
+    O(n^2 / |blocks|) compare a language- or length-blocked self-join
+    degrades to. ``block_cols`` (e.g. lang) are ADDITIONAL equality
+    constraints folded into the join key, not the blocking mechanism.
+
+    Requires bands > max_hamming (else recall is lost); validated.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"simhash_banded_pairs needs bands > max_hamming for exact "
+            f"recall (got bands={bands}, max_hamming={max_hamming})"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
+    mask = F.lit((1 << width) - 1)
+    # Arithmetic shiftright sign-extends, but the mask keeps only the
+    # slice's own bits, so the top band of a negative sig is correct.
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col(sig_col), b * width).bitwiseAND(mask)
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        *[F.col(c) for c in block_cols],
+        F.posexplode(band_vals).alias("_band", "_band_v"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    join_keys = ["_band", "_band_v", *block_cols]
+    return (
+        a.join(b, join_keys)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sig"), F.col("b._sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

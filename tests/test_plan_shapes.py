@@ -75,8 +75,30 @@ def test_topk_uses_window_group_limit(spark):
 
 
 def test_lsh_self_join_is_single_signature_subtree(spark):
-    """The LSH banding must be one explode projection self-joined, not
-    a union re-deriving signatures per band: exactly 2 parquet scans of
-    documents (one per join side), not 2*bands."""
+    """The LSH banding must be one explode projection self-joined over
+    STAGED signatures: both join sides read the persisted signature
+    table (InMemoryTableScan), so the shingle+min-agg subtree — and the
+    raw corpus scan behind it — is computed once, not once per side
+    and never 2*bands times."""
     plan = _plan(QUERIES["minhash_lsh_pairs"](spark, SF_SMALL))
-    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    # Each InMemoryTableScan prints the (shared) cached child plan
+    # beneath it, so "Scan parquet" still appears textually — the
+    # InMemoryRelation is computed once at runtime regardless.
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("InMemoryRelation") == 2, plan
+
+
+def test_simhash_pairs_join_on_band_not_lang(spark):
+    """SimHash pair generation must equi-join on the 16-bit band value
+    (banded Hamming blocking — linear shuffle), never on lang alone
+    (quadratic within language). The band columns must be join keys and
+    the signature subtree must be staged like the LSH one."""
+    plan = _plan(QUERIES["simhash_near_dups"](spark, SF_SMALL))
+    join_lines = [
+        line for line in plan.splitlines()
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line
+        or "BroadcastHashJoin" in line
+    ]
+    banded = [line for line in join_lines if "_band_v" in line]
+    assert banded, f"no join keyed on band value:\n{join_lines}"
+    assert plan.count("InMemoryTableScan") == 2, plan

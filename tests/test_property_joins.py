@@ -141,3 +141,49 @@ def test_salted_join_equals_plain_join_fuzzed(spark, fact, dim, salts):
             .select("rid", "k", "v", "name").collect()
         )
         assert got == want, how
+
+
+# --- banded Hamming blocking -------------------------------------------------
+
+sig64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(**_SETTINGS)
+@given(
+    sigs=st.lists(sig64, min_size=2, max_size=14),
+    flips=st.lists(
+        st.tuples(st.integers(0, 13), st.sets(st.integers(0, 63), max_size=3)),
+        max_size=6,
+    ),
+)
+def test_simhash_banded_pairs_is_exact(spark, sigs, flips):
+    """Banded blocking must find EXACTLY the pairs with Hamming <= 3 —
+    the pigeonhole claim, fuzzed with adversarial near-collisions
+    (clones of existing sigs with <=3 bits flipped, so qualifying pairs
+    actually occur)."""
+    from data_engineering_capstone_project_spark.operators.dedup import (
+        simhash_banded_pairs,
+    )
+
+    all_sigs = list(sigs)
+    for src, bits in flips:
+        if src < len(sigs):
+            v = sigs[src]
+            for b in bits:
+                v ^= 1 << b
+            if v >= 2**63:
+                v -= 2**64
+            all_sigs.append(v)
+    rows = [(i, s) for i, s in enumerate(all_sigs)]
+    df = spark.createDataFrame(rows, "doc long, sig long")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_banded_pairs(df, max_hamming=3).collect()
+    )
+    want = sorted(
+        (i, j, bin((all_sigs[i] ^ all_sigs[j]) & (2**64 - 1)).count("1"))
+        for i in range(len(all_sigs))
+        for j in range(i + 1, len(all_sigs))
+        if bin((all_sigs[i] ^ all_sigs[j]) & (2**64 - 1)).count("1") <= 3
+    )
+    assert got == want
