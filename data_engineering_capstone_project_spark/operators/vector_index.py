@@ -1,28 +1,48 @@
 """IVF (inverted-file) approximate nearest neighbor over an embedding
 column — the second scale path next to sign-LSH (operators/similarity).
 
-IVF shape: train a coarse quantizer (k-means, fixed seed) -> assign
-every corpus vector to its nearest centroid (its "cell") -> at query
-time score only the ``n_probe`` cells nearest to the query. Search cost
-drops from O(|corpus|) per query to O(|corpus| * n_probe / n_cells) —
-the standard FAISS IndexIVFFlat layout, here expressed as DataFrames:
-the corpus assignment is a one-off batch job (at 100 TB: write it
+IVF shape: train a coarse quantizer -> assign every corpus vector to
+its nearest centroid (its "cell") -> at query time score only the
+``n_probe`` cells nearest to the query. Search cost drops from
+O(|corpus|) per query to O(|corpus| * n_probe / n_cells) — the
+standard FAISS IndexIVFFlat layout, here expressed as DataFrames: the
+corpus assignment is a one-off batch job (at 100 TB: write it
 partitioned by cell id), and the probe is a broadcast equi-join on the
 cell id, so no shuffle ever touches the full corpus at query time.
 
-Centroid assignment is a broadcast cross-join + rank (n_cells is
-small by construction); everything stays in JVM expressions — the only
-Python is the k-means fit itself (spark.ml, distributed).
+Cell assignment is a PURE PROJECTION: the centroid table is bounded
+(n_cells rows) by construction, so it is collected once and unrolled
+into a literal array of (quantized -similarity, cell_id) structs;
+``array_sort`` picks the argmin per row. No crossJoin, no window, no
+Exchange — the corpus is never shuffled to be assigned, which is the
+difference between a map-only pass and a full re-partition of 100 TB.
+
+Two quantizers:
+
+* ``train_centroids``  -- spark.ml KMeans (distributed fit, fixed
+                          seed). The quality path; not reproducible in
+                          a SQL oracle, so its parity is pinned by the
+                          recall-vs-brute-force test instead.
+* ``sampled_centroids`` -- the n_cells lowest-id corpus vectors as
+                          centroids ("random-sample coarse quantizer").
+                          Deterministic and engine-portable: a DuckDB
+                          oracle can rebuild the identical index, so
+                          the whole IVF query is value-checkable.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from data_engineering_capstone_project_spark.operators.similarity import cosine
+from data_engineering_capstone_project_spark.operators.similarity import (
+    cosine,
+    norm,
+)
 
 
 def train_centroids(
@@ -47,6 +67,30 @@ def train_centroids(
     return spark.createDataFrame(rows, "cell_id int, centroid array<double>")
 
 
+def sampled_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-sample coarse quantizer: the ``n_cells`` lowest-id
+    vectors become the centroids (cell_id = 0..n_cells-1 in id order).
+    Deterministic, no RNG, no iterative fit — and reproducible in any
+    SQL engine, so IVF results built on it are oracle-checkable.
+    Quality is below k-means but adequate when the corpus is not
+    strongly clustered; swap in ``train_centroids`` where recall
+    matters more than portability."""
+    w = Window.orderBy(id_col)
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -56,17 +100,57 @@ def assign_cells(
 ) -> DataFrame:
     """Attach the ``n_probe`` nearest cell_ids to each vector
     (n_probe=1 = corpus-side assignment; >1 = query-side probing).
-    Broadcast cross-join against the tiny centroid table, rank by
-    cosine — O(n_cells) work per vector, no shuffle of ``df``."""
-    scored = df.crossJoin(broadcast(centroids)).withColumn(
-        "_sim", cosine(F.col(vec_col), F.col("centroid"))
+
+    The centroid table is collected (bounded: n_cells rows — the
+    quantizer's contract) and unrolled into literal expressions, so
+    the assignment is a map-only projection: per row, build an array
+    of (-floor(sim*1e4), cell_id) structs and ``array_sort`` it. No
+    join, no window, no shuffle of ``df`` — ``.explain`` shows zero
+    Exchange on the corpus side (asserted in test_plan_shapes).
+
+    Ranking uses the 4-decimal-quantized similarity with cell_id as
+    tiebreak: integer compares that any engine reproduces exactly, so
+    a 1-ulp summation difference can never flip an assignment between
+    this and an oracle reimplementation.
+    """
+    cents = sorted(
+        (r["cell_id"], [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell_id"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_probe)
-        .drop("_sim", "_r", "centroid")
+    v = F.col(vec_col)
+    vnorm = F.col("_vnorm")
+    structs = []
+    for cid, cv in cents:
+        # Python-side sqrt/sum mirror Spark's left-to-right double
+        # aggregate bit-for-bit (same IEEE ops in the same order).
+        cnorm = math.sqrt(sum(x * x for x in cv))
+        carr = F.array(*[F.lit(x) for x in cv])
+        dotc = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sim = dotc / (vnorm * F.lit(cnorm))
+        structs.append(
+            F.struct(
+                (-F.floor(sim * 10000)).cast("long").alias("_negsim"),
+                F.lit(cid).cast("int").alias("cell_id"),
+            )
+        )
+    # _vnorm staged in its own projection: sqrt(aggregate(...)) is
+    # non-cheap, so CollapseProject keeps it one-eval-per-row instead
+    # of inlining it into every struct (see the word_shingles note).
+    staged = df.withColumn("_vnorm", norm(v))
+    ranked = staged.withColumn(
+        "_cells", F.slice(F.array_sort(F.array(*structs)), 1, n_probe)
     )
+    if n_probe == 1:
+        return ranked.withColumn(
+            "cell_id", F.element_at("_cells", 1).getField("cell_id")
+        ).drop("_vnorm", "_cells")
+    return ranked.select(
+        *df.columns, F.explode("_cells").alias("_c")
+    ).select(*df.columns, F.col("_c.cell_id").alias("cell_id"))
 
 
 def ann_ivf_topk(

@@ -154,18 +154,69 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF is the k-means-quantizer ANN path; the quantizer is spark.ml
-# KMeans (deterministic per seed but not reproducible in DuckDB) ->
-# rows-only driver check. Exactness of the underlying cosine/top-k
-# machinery is covered by cosine_topk/ann_lsh_topk's full oracles, and
-# tests/test_vector_grouped.py pins IVF recall against brute force.
-@query("ann_ivf_topk")
+# IVF over the deterministic sampled-centroid quantizer (the 8
+# lowest-id vectors): the whole index — assignment, probing, ranking —
+# is reproduced by the DuckDB oracle, so IVF is value-checked end to
+# end. The k-means quantizer path (train_centroids) is the quality
+# variant; its parity is pinned by the recall-vs-brute-force bound in
+# tests/test_vector_grouped.py instead (iterative fit, not SQL).
+_IVF_FSIM = (
+    f"floor({_dot('e.embedding', 'cent.centroid')} / "
+    f"(sqrt({_dot('e.embedding', 'e.embedding')}) * "
+    f"sqrt({_dot('cent.centroid', 'cent.centroid')})) * 10000)"
+)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH ids AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+    cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id,
+                    embedding AS centroid
+             FROM ids),
+    sc AS (
+        SELECT e.vec_id, cent.cell_id, {_IVF_FSIM} AS fsim
+        FROM embeddings e CROSS JOIN cent
+    ),
+    corpus_assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY fsim DESC, cell_id) AS r
+            FROM sc) WHERE r = 1
+    ),
+    query_assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY fsim DESC, cell_id) AS r
+            FROM sc WHERE vec_id < 10) WHERE r <= 2
+    ),
+    q AS (SELECT qa.vec_id AS query_id, e.embedding AS qv, qa.cell_id
+          FROM query_assign qa JOIN embeddings e ON e.vec_id = qa.vec_id),
+    c AS (SELECT ca.vec_id AS neighbor_id, e.embedding AS cv, ca.cell_id
+          FROM corpus_assign ca JOIN embeddings e ON e.vec_id = ca.vec_id),
+    scored AS (
+        SELECT DISTINCT q.query_id, c.neighbor_id, {_COS} AS cos
+        FROM q JOIN c USING (cell_id)
+        WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT * FROM (
+        SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
 def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_capstone_project_spark.operators.vector_index import (
         ann_ivf_topk,
+        sampled_centroids,
     )
 
     emb = table(spark, sf_dir, "embeddings")
     return ann_ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=3, n_cells=8, n_probe=2
+        emb.filter(F.col("vec_id") < 10), emb, k=3, n_cells=8, n_probe=2,
+        centroids=sampled_centroids(emb, n_cells=8),
     )

@@ -102,3 +102,21 @@ def test_simhash_pairs_join_on_band_not_lang(spark):
     banded = [line for line in join_lines if "_band_v" in line]
     assert banded, f"no join keyed on band value:\n{join_lines}"
     assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_ivf_corpus_assignment_is_map_only(spark):
+    """IVF cell assignment must be a pure projection over literal
+    centroids: zero Exchange and zero Window on the corpus side (the
+    old crossJoin+row_number formulation shuffled the whole corpus
+    by vector id — a full re-partition of 100 TB to compute an argmin
+    over 8 candidates)."""
+    from data_engineering_capstone_project_spark.operators.vector_index import (
+        assign_cells,
+        sampled_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cents = sampled_centroids(emb, 8)
+    plan = _plan(assign_cells(emb, cents, id_col="vec_id"))
+    assert plan.count("Exchange") == 0, plan[:2000]
+    assert plan.count("Window") == 0, plan[:2000]
