@@ -83,6 +83,9 @@ QUALITY_CHECKS = [
 class PipelineResult:
     tables: dict[str, DataFrame] = field(default_factory=dict)
     skipped: list[str] = field(default_factory=list)
+    # Tables whose write was skipped because the resume manifest
+    # already records a committed output (resume=True runs only).
+    resumed: list[str] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -436,17 +439,55 @@ def build_dim_date(fact_immigration: DataFrame) -> DataFrame:
 # calls, not a second system).
 
 
+def _manifest_path(output_path: str) -> str:
+    return os.path.join(output_path, "_pipeline_manifest.json")
+
+
+def _load_manifest(output_path: str) -> dict:
+    """Per-table success manifest ({table: {completed_at}}). Written
+    after EACH table's output lands, so a run that dies at table k
+    leaves k committed entries and a rerun resumes at k+1."""
+    import json
+
+    try:
+        with open(_manifest_path(output_path)) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return {}
+
+
+def _mark_complete(output_path: str, manifest: dict, name: str) -> None:
+    import json
+    import time
+
+    manifest[name] = {"completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    tmp = _manifest_path(output_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(output_path))  # atomic on POSIX
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
     output_path: str | None = None,
     fix_reference_bugs: bool = True,
     run_quality_checks: bool = True,
+    resume: bool = False,
 ) -> PipelineResult:
     """Execute all stages in the reference's dependency order
     (data_preparation.py:488-499); optionally write parquet outputs and
     run the ported quality gates. Missing optional inputs (the
-    temperature blob) skip their stage and are reported, not fatal."""
+    temperature blob) skip their stage and are reported, not fatal.
+
+    ``resume=True`` restores the retry semantics the reference's
+    Airflow DAG had (dag_immigration.py:355-386: each load is its own
+    retryable task): a success manifest in ``output_path`` records
+    each table whose write committed, and a rerun skips those writes —
+    a failure at table 9 of 11 redoes tables 9-11, not everything.
+    Stage *construction* is lazy, so skipped tables cost nothing; the
+    writes are the work. Safe because every write is
+    overwrite-idempotent (K1/K2 contract)."""
     result = PipelineResult()
     t = result.tables
 
@@ -471,13 +512,18 @@ def run_pipeline(
     t["dim_date"] = build_dim_date(t["fact_immigration"])
 
     if output_path:
+        manifest = _load_manifest(output_path) if resume else {}
         for name, df in t.items():
+            if name in manifest:
+                result.resumed.append(name)
+                continue
             if name == "fact_immigration":
                 # K2: partition by the dominant filter axes (reference
                 # :459-460) -> partition pruning for the declared queries.
                 write_parquet_partitioned(df, f"{output_path}/{name}.parquet", ["year", "month"])
             else:
                 write_parquet(df, f"{output_path}/{name}.parquet")
+            _mark_complete(output_path, manifest, name)
 
     if run_quality_checks:
         for name, column in QUALITY_CHECKS:

@@ -226,10 +226,8 @@ _SHINGLES = r"""
 """.replace("{t}", _TOKS)
 
 
-@query(
-    "minhash_lsh_pairs",
-    oracle=f"""
-    WITH sh AS (
+# Shared between minhash_lsh_pairs and lsh_pairs_jaccard_verified.
+_MINHASH_CTES = f"""sh AS (
         SELECT doc_id AS doc, unnest({_SHINGLES}) AS sh
         FROM documents
     ),
@@ -253,9 +251,18 @@ _SHINGLES = r"""
         SELECT doc, md5(concat_ws('|', '2', mh_4, mh_5)) FROM sig
         UNION ALL
         SELECT doc, md5(concat_ws('|', '3', mh_6, mh_7)) FROM sig
-    )
-    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
-    FROM bands a JOIN bands b ON a.band_h = b.band_h AND a.doc < b.doc
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM bands a JOIN bands b ON a.band_h = b.band_h AND a.doc < b.doc
+    )"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
+    SELECT id_a, id_b FROM cand
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,6 +283,51 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table and self-join the materialized files — same structure, and
     # the signature scan of the raw corpus happens exactly once.
     return D.lsh_candidate_pairs(sigs.persist(), bands=4, rows_per_band=2)
+
+
+@query(
+    "lsh_pairs_jaccard_verified",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    d AS (SELECT doc_id, list_distinct({_TOKS}) AS ws FROM documents)
+    SELECT id_a, id_b, jac, jac >= 0.5 AS verified
+    FROM (
+        SELECT c.id_a, c.id_b,
+               floor(len(list_intersect(a.ws, b.ws))
+                     / len(list_distinct(list_concat(a.ws, b.ws))) * 10000)
+                   / 10000.0 AS jac
+        FROM cand c
+        JOIN d a ON a.doc_id = c.id_a
+        JOIN d b ON b.doc_id = c.id_b
+    )
+    """,
+)
+def lsh_pairs_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard verification of the MinHash-LSH candidates — the
+    LINEAR verifier: exact set compares run only on the O(n x bands)
+    candidate pairs, never on all block pairs, so verification scales
+    with the candidate count. ``near_dup_jaccard`` (size-blocked
+    all-pairs) stays as the small-scale exact twin; THIS is the shape
+    to run at 100 TB. The two id-equi-joins back to the token sets are
+    plain linear hash shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sets_df = docs.select(
+        "doc_id", D.word_set(F.col("text")).alias("ws")
+    )
+    jac = F.floor(D.jaccard(F.col("ws_a"), F.col("ws_b")) * 10000) / F.lit(10000.0)
+    return (
+        pairs.join(
+            sets_df.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a")),
+            "id_a",
+        )
+        .join(
+            sets_df.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("ws_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", jac.alias("jac"))
+        .withColumn("verified", F.col("jac") >= 0.5)
+    )
 
 
 # SimHash oracle: reproduce the md5-derived bit votes, the sign

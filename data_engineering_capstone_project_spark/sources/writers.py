@@ -126,6 +126,75 @@ def compact_parquet(
     return n
 
 
+_OLD_SUFFIX = ".__old__"
+_STAGED_SUFFIX = ".__staged__"
+
+
+def publish_swap(spark, staged: str, live: str) -> None:
+    """Crash-consistent publish: move a fully-written ``staged``
+    directory over ``live`` via two directory renames (Hadoop
+    FileSystem API, so file://, hdfs://, s3a://+consistent-listing
+    alike).
+
+    Crash contract (every interruption leaves a full copy on disk):
+
+    * before the first rename — ``live`` untouched; ``staged`` is an
+      orphan a rerun overwrites.
+    * between the renames — ``live`` momentarily absent, but
+      ``live.__old__`` holds the complete previous table;
+      ``recover_publish`` restores it. This window is two metadata
+      ops; a table that must never have it needs a pointer swap in a
+      metastore or a transaction log (Delta/Iceberg) — that is the
+      documented limit of log-free parquet publishing.
+    * after the second rename — ``live`` is the new table;
+      ``live.__old__`` is garbage the next publish clears.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path
+    stagedp, livep, oldp = path(staged), path(live), path(live + _OLD_SUFFIX)
+    fs = stagedp.getFileSystem(conf)
+    if not fs.exists(stagedp):
+        raise FileNotFoundError(f"staged dir missing: {staged}")
+    if fs.exists(oldp):  # leftover from a prior publish's last step
+        fs.delete(oldp, True)
+    had_live = fs.exists(livep)
+    if had_live and not fs.rename(livep, oldp):
+        raise IOError(f"could not retire live dir {live}")
+    if not fs.rename(stagedp, livep):
+        if had_live:
+            fs.rename(oldp, livep)  # roll back; live is intact again
+        raise IOError(f"could not publish {staged} -> {live}")
+    if had_live:
+        fs.delete(oldp, True)
+
+
+def recover_publish(spark, live: str) -> bool:
+    """Restore ``live`` from ``live.__old__`` if a crash between
+    publish_swap's two renames left it absent. Returns True if a
+    restore happened."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path
+    livep, oldp = path(live), path(live + _OLD_SUFFIX)
+    fs = livep.getFileSystem(conf)
+    if not fs.exists(livep) and fs.exists(oldp):
+        return bool(fs.rename(oldp, livep))
+    return False
+
+
+def compact_parquet_atomic(spark, path: str, target_file_mb: int = 128) -> int:
+    """In-place compaction with the publish_swap crash contract: the
+    rewrite lands in ``path.__staged__`` first, so a failure anywhere
+    during the (long) rewrite leaves the live table untouched and
+    readable; only the final two renames touch ``path``. Idempotent on
+    retry — a rerun overwrites any orphaned staging dir."""
+    staged = path + _STAGED_SUFFIX
+    n = compact_parquet(spark, path, staged, target_file_mb)
+    publish_swap(spark, staged, path)
+    return n
+
+
 def merge_upsert_partitioned(
     spark,
     path: str,
@@ -143,7 +212,15 @@ def merge_upsert_partitioned(
     anti-join out the updated keys, union the new rows, and rewrite
     just those partitions with dynamic overwrite. Updates must carry
     complete rows and must not move a key across partitions (enforce
-    partition columns as part of the key's derivation)."""
+    partition columns as part of the key's derivation).
+
+    Concurrency contract: dynamic overwrite commits per partition — a
+    concurrent reader can observe some touched partitions new and
+    others old (no torn files, but no cross-partition snapshot). Where
+    a full-table snapshot swap is required, stage the merged output
+    and ``publish_swap`` it; true multi-writer isolation needs a
+    transaction log (Delta/Iceberg), deliberately out of scope for
+    log-free parquet."""
     touched = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
     existing = spark.read.parquet(path)
     in_touched = F.lit(False)
