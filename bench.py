@@ -55,8 +55,15 @@ def main() -> None:
 
     # Best of 2 runs per query: run 1 pays one-off costs (file-index
     # listing, codegen compile) that a steady-state deployment amortizes;
-    # run 2 measures the plan itself. Data is never cached (no .cache()
-    # anywhere), so run 2 still scans parquet end-to-end.
+    # run 2 measures the plan itself. Data is never cached by the bench
+    # (query-internal persist() of derived signatures is part of the
+    # plan being measured and is re-done each run), so run 2 still
+    # scans parquet end-to-end.
+    #
+    # The noop sink fully evaluates every row on the executors without
+    # materializing results on the driver: the bench measures the
+    # distributed compute, not a single-process collect of whatever the
+    # query's output cardinality happens to be.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
@@ -64,7 +71,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            qs[name](spark, sf_dir).collect()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 

@@ -410,17 +410,25 @@ def customers_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti counts in ONE pass: left join against the distinct
+    buyer keys and count the match flag both ways — one scan of each
+    table, versus separate semi- and anti-join aggregates crossJoined
+    together (two scans of both tables for two numbers)."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
-    with_orders = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .agg(F.count("*").alias("with_orders"))
+    buyers = (
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_has", F.lit(1))
     )
-    without_orders = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .agg(F.count("*").alias("without_orders"))
+    return (
+        cust.select("c_custkey")
+        .join(buyers, "c_custkey", "left")
+        .agg(
+            F.count("_has").alias("with_orders"),
+            F.count(F.when(F.col("_has").isNull(), 1)).alias("without_orders"),
+        )
     )
-    return with_orders.crossJoin(without_orders)
 
 
 # Exact COUNT(DISTINCT) (extended A surface).

@@ -85,6 +85,30 @@ def run_sql_quality_checks(
     return counts
 
 
+def expect_max_length(
+    df: DataFrame, limits: dict[str, int], table: str = "?"
+) -> None:
+    """DDL-length contract (reference create_tables.sql VARCHAR(n)
+    declarations, which Redshift enforces by truncation/error and
+    parquet doesn't at all): fail if any string column exceeds its
+    declared max length. One pass — all columns checked in a single
+    conditional-max aggregation."""
+    aggs = [
+        F.max(F.length(F.col(c))).alias(c) for c in limits
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {
+        c: int(row[c])
+        for c, lim in limits.items()
+        if row[c] is not None and row[c] > lim
+    }
+    if bad:
+        raise DataQualityError(
+            f"Data quality check failed. {table} exceeds declared lengths "
+            f"(observed max): {bad}"
+        )
+
+
 def expect_unique(df: DataFrame, columns: Sequence[str], table: str = "?") -> None:
     """Extension: fail if the given key columns are not unique. The
     reference declares PKs in Redshift DDL (create_tables.sql) but

@@ -59,3 +59,85 @@ def running_user_profiles(events: DataFrame, watermark: str = "1 hour") -> DataF
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start timestamp, last_ts timestamp, n bigint"
+
+
+def closed_sessions(
+    events: DataFrame, gap_seconds: int = 600, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Sessionization with EMIT-ON-TIMEOUT: a session is emitted
+    exactly once, when it CLOSES — either a same-user event arrives
+    past the gap, or the event-time watermark passes last_ts + gap
+    with no new events (``GroupStateTimeout.EventTimeTimeout``, the
+    path ``session_window`` cannot express: it re-emits growing
+    sessions, this emits only finals).
+
+    Semantics match the batch ``session_aggregate`` twin:
+    session_end = last event + gap, so the streaming output equals the
+    batch session windows restricted to sessions that closed before
+    the final watermark (asserted in test_streaming). State per key is
+    one (start, last, n) tuple — O(1), watermark-bounded."""
+
+    def _fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        gap = pd.Timedelta(seconds=gap_seconds)
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((pd.Timestamp(start), pd.Timestamp(last), n))
+            state.remove()
+        else:
+            if state.exists:
+                start, last, n = state.get
+                start, last = pd.Timestamp(start), pd.Timestamp(last)
+            else:
+                start = last = None
+                n = 0
+            ts_sorted = sorted(
+                ts for pdf in pdfs for ts in pdf["ts"].tolist()
+            )
+            for ts in ts_sorted:
+                if last is None:
+                    start, last, n = ts, ts, 1
+                elif ts - last > gap:
+                    closed.append((start, last, n))
+                    start, last, n = ts, ts, 1
+                else:
+                    n += 1
+                    last = max(last, ts)
+            timeout_ms = last.value // 10**6 + gap_seconds * 1000
+            if timeout_ms <= state.getCurrentWatermarkMs():
+                # Already expired relative to the watermark (e.g. a
+                # whole stale session arriving in one batch): close it
+                # now — setTimeoutTimestamp would reject the past.
+                closed.append((start, last, n))
+                state.remove()
+            else:
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] + gap for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -38,3 +38,17 @@ def test_expect_unique(spark):
     expect_unique(df, ["k", "v"], table="t")
     with pytest.raises(DataQualityError, match="duplicate"):
         expect_unique(df, ["k"], table="t")
+
+
+def test_expect_max_length(spark):
+    from data_engineering_capstone_project_spark.quality import (
+        DataQualityError,
+        expect_max_length,
+    )
+
+    df = spark.createDataFrame(
+        [("abc", "x"), ("de", None)], "a string, b string"
+    )
+    expect_max_length(df, {"a": 3, "b": 1}, table="t")  # passes
+    with pytest.raises(DataQualityError, match="exceeds declared lengths"):
+        expect_max_length(df, {"a": 2}, table="t")

@@ -189,3 +189,58 @@ def test_kafka_source_requires_connector(spark):
 
     with pytest.raises(Exception, match="(?i)kafka"):
         stream_events_from_kafka(spark, "localhost:9092", "events")
+
+
+def test_event_time_timeout_closes_sessions(spark, tmp_path):
+    """EventTimeTimeout emit-on-close: sessions closed by a later
+    same-user event AND sessions closed by watermark timeout must both
+    be emitted exactly once, matching the batch session_window twin
+    restricted to sessions that ended before the final watermark."""
+    import time
+
+    from data_engineering_capstone_project_spark.streaming.stateful import (
+        closed_sessions,
+    )
+
+    src = str(tmp_path / "sessions_src")
+    T = "2024-03-01 {}"
+
+    def write_batch(rows, i):
+        spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # file-source batches order by mod time
+
+    # batch 1: user 1 session A (3 events), user 2 session C (2 events)
+    write_batch(
+        [(1, T.format("10:00:00")), (1, T.format("10:01:00")),
+         (1, T.format("10:02:00")), (2, T.format("10:30:00")),
+         (2, T.format("10:31:00"))], 0)
+    # batch 2: user 1 session B — closes A by gap on arrival
+    write_batch([(1, T.format("11:00:00")), (1, T.format("11:01:00"))], 1)
+    # batch 3: sentinel advances the watermark far past B and C
+    write_batch([(99, T.format("23:00:00"))], 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now_to_memory(
+        closed_sessions(stream, gap_seconds=600), "t_closed",
+        output_mode="append",
+    )
+    got = _canon(spark.table("t_closed"))
+
+    batch = spark.read.parquet(src)
+    from data_engineering_capstone_project_spark.streaming import (
+        session_aggregate as batch_sessions,
+    )
+    final_wm = T.format("23:00:00")
+    expected = _canon(
+        batch_sessions(batch, gap="10 minutes").filter(
+            F.col("session_end") <= F.lit(final_wm).cast("timestamp")
+        )
+    )
+    assert len(expected) == 3  # A, B, C — sentinel session still open
+    assert got == expected

@@ -59,6 +59,29 @@ def main():
         {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     )
     replicate(spark, "customer", out, k, {"c_custkey": 1_000_000})
+    # Events: more users over the same time range (how traffic grows).
+    replicate(spark, "events", out, k, {"user_id": 1_000})
+    # Embeddings: k-times corpus; query vectors stay the replica-0 ten.
+    replicate(spark, "embeddings", out, k, {"vec_id": 1_000_000})
+    # Documents: shifted ids AND per-replica token prefixes, so replica
+    # token/shingle sets are DISJOINT — the near-dup structure within a
+    # replica is preserved and replicated, instead of every document
+    # gaining k-1 exact clones (which would measure a k^2 pair
+    # explosion no real corpus growth produces).
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = []
+    for i in range(k):
+        reps.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            .withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}x$1")
+            )
+        )
+    dd = reps[0]
+    for r in reps[1:]:
+        dd = dd.unionByName(r)
+    dd.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
     for small in ("nation", "region"):
         src, dst = f"{SF_DIR}/{small}.parquet", f"{out}/{small}.parquet"
         if Path(src).is_dir():
@@ -75,6 +98,11 @@ def main():
         "visits_by_region",      # broadcast dim chain
         "top_nations_by_month",  # join + window top-k
         "customer_order_progression",  # partitioned sort window
+        "events_sessionization",  # session_window shuffle
+        "views_asof_purchase",   # union+window as-of join
+        "minhash_lsh_pairs",     # staged signatures + banded self-join
+        "simhash_near_dups",     # banded Hamming blocking
+        "ann_lsh_topk",          # LSH bucket equi-join
     ]
     for name in probes:
         times = {}
@@ -82,7 +110,9 @@ def main():
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                qs[name](spark, d).collect()
+                # noop sink: full distributed evaluation, no driver
+                # materialization (pair queries emit many rows at Kx).
+                qs[name](spark, d).write.mode("overwrite").format("noop").save()
                 best = min(best, time.time() - t0)
             times[label] = round(best, 3)
         print(
