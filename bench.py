@@ -36,6 +36,9 @@ HEADLINE = [
     "ann_lsh_topk",
     "media_meta",
     "top_tokens",
+    "shipping_priority_q3",
+    "events_resampled_5min",
+    "label_centroids",
 ]
 
 

@@ -122,3 +122,58 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "events_resampled_5min",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(floor(min(epoch(ts)) / 300) * 300) AS BIGINT) AS lo,
+               CAST(floor(floor(max(epoch(ts)) / 300) * 300) AS BIGINT) AS hi
+        FROM events
+    ),
+    grid AS (SELECT unnest(generate_series(lo, hi, 300)) AS bucket_start FROM b),
+    c AS (
+        SELECT CAST(floor(floor(epoch(ts) / 300) * 300) AS BIGINT) AS bucket_start,
+               count(*) AS events,
+               sum(CAST(floor(value * 10000) AS BIGINT)) / 10000.0 AS value_sum
+        FROM events GROUP BY 1
+    )
+    SELECT g.bucket_start,
+           coalesce(c.events, 0) AS events,
+           coalesce(c.value_sum, 0.0) AS value_sum
+    FROM grid g LEFT JOIN c USING (bucket_start)
+    """,
+)
+def events_resampled_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE with gap fill: a dense 5-minute grid over
+    the observed range, zero-filled where no events landed — the shape
+    every downstream charting/feature pipeline needs and plain GROUP BY
+    can't produce (it emits no row for an empty bucket).
+
+    The grid is one sequence() over epoch-second longs exploded from a
+    single row — O(range/step) rows generated computationally, no data
+    shuffle to build it; the counts side is an ordinary partial+final
+    agg and the gap-fill is a left join the optimizer broadcasts
+    (the grid is small by construction at any corpus size, since it
+    scales with the TIME RANGE, not the data volume)."""
+    ev = events_table(spark, sf_dir)
+    bucket = ((F.col("ts").cast("long") / 300).cast("long") * 300).alias(
+        "bucket_start"
+    )
+    bounds = ev.select(bucket).agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(300))).alias("bucket_start")
+    )
+    counts = (
+        ev.select(bucket, "value")
+        .groupBy("bucket_start")
+        .agg(F.count("*").alias("events"), _fixed_sum(F.col("value"), "value_sum"))
+    )
+    return grid.join(counts, "bucket_start", "left").select(
+        "bucket_start",
+        F.coalesce("events", F.lit(0)).alias("events"),
+        F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+    )

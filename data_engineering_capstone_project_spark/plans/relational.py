@@ -957,3 +957,94 @@ def segment_nation_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
         """
     )
+
+
+# Bounded sliding window frame (ROWS BETWEEN): the per-row moving
+# aggregate shape — distinct from the unbounded running frame of
+# customer_order_progression. One shuffle on custkey serves the frame.
+@query(
+    "orders_moving_avg",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS custkey,
+           (sum(CAST(floor(o_totalprice * 10000) AS BIGINT)) OVER w
+            / (count(*) OVER w)) / 10000.0 AS mov_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-order moving average of spend per customer. The mean is
+    fixed-point: int64 frame sum / int64 frame count, divided once —
+    the same two integers in any engine, so the double result is
+    bit-identical regardless of frame evaluation order."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    fixed = F.sum(
+        F.floor(F.col("o_totalprice") * 10000).cast("bigint")
+    ).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        ((fixed / cnt) / F.lit(10000.0)).alias("mov_avg"),
+    )
+
+
+# TPC-H Q3 shape: 3-table selective join -> grouped revenue -> global
+# top-10. The classic "shipping priority" plan: both date filters
+# push to the scans, customer is broadcast, the orderkey group-by is
+# the only big shuffle, and the top-10 is a TakeOrderedAndProject
+# (never a full sort).
+@query(
+    "shipping_priority_q3",
+    oracle="""
+    SELECT l_orderkey,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               / 10000.0 AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, order_date, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    rev_row = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        broadcast(cust.select("c_custkey"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_row) / F.lit(10000.0)).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("order_date"), F.asc("l_orderkey"))
+        .limit(10)
+    )

@@ -220,3 +220,37 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10), emb, k=3, n_cells=8, n_probe=2,
         centroids=sampled_centroids(emb, n_cells=8),
     )
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(i - 1 AS INTEGER) AS dim,
+           (sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT))
+            / count(*)) / 10000000.0 AS mean_val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (class prototypes — the building
+    block for nearest-class-mean classification, dataset cartography,
+    and IVF retraining). posexplode is map-side; the shuffle carries
+    (label, dim, int64 partial sum, count) — 64 small rows per label
+    after partial agg, regardless of corpus size. The mean is
+    fixed-point: int64 sum / count divided once, engine-identical."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            (
+                (
+                    F.sum(F.floor(F.col("x").cast("double") * 10000000).cast("bigint"))
+                    / F.count("*")
+                )
+                / F.lit(10000000.0)
+            ).alias("mean_val")
+        )
+    )

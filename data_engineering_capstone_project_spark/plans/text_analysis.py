@@ -450,3 +450,73 @@ def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("docs"))
     )
+
+
+# PII scrubbing: the redaction pass every training-data pipeline runs
+# before anything else. Pure regexp projections (JVM-side, no Python);
+# counts via regexp_count, the scrub via chained regexp_replace. The
+# oracle re-runs the identical patterns in RE2 and compares the md5 of
+# the scrubbed text, so the replacement semantics are value-checked,
+# not just the counts.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS INTEGER) AS n_urls,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_URL_RE}', '<URL>', 'g')) AS scrubbed_hash
+    FROM documents
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _URL_RE,
+        "<URL>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_URL_RE)).alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+_BIGRAMS = r"""
+    list_distinct(list_transform(
+        generate_series(1, greatest(len({t}) - 1, 0)),
+        i -> {t}[i] || ' ' || {t}[i+1]))
+""".replace("{t}", _TOKS)
+
+
+@query(
+    "top_bigrams",
+    oracle=f"""
+    SELECT bg, count(*) AS docs
+    FROM (SELECT unnest({_BIGRAMS}) AS bg FROM documents)
+    GROUP BY bg
+    ORDER BY docs DESC, bg
+    LIMIT 20
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document-frequency bigrams (n-gram LM / contamination-check
+    statistics). Same explode->partial-agg shape as top_tokens: the
+    bigram arrays never materialize corpus-wide, and the only shuffle
+    carries (bigram, partial count)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", D.tokenize(F.col("text")).alias("toks")
+    )
+    bg = docs.select(F.explode(D.word_shingles(F.col("toks"), 2)).alias("bg"))
+    return (
+        bg.groupBy("bg")
+        .agg(F.count("*").alias("docs"))
+        .orderBy(F.desc("docs"), F.asc("bg"))
+        .limit(20)
+    )

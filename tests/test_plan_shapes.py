@@ -120,3 +120,15 @@ def test_ivf_corpus_assignment_is_map_only(spark):
     plan = _plan(assign_cells(emb, cents, id_col="vec_id"))
     assert plan.count("Exchange") == 0, plan[:2000]
     assert plan.count("Window") == 0, plan[:2000]
+
+
+def test_q3_shape_broadcasts_and_takes_ordered(spark):
+    """The Q3-shaped 3-table join must broadcast the filtered customer
+    side, push both date filters to the scans, and produce the top-10
+    via TakeOrderedAndProject — never a global sort of all groups."""
+    plan = _plan(QUERIES["shipping_priority_q3"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("LessThan" in l for l in pushed), pushed
+    assert any("GreaterThan" in l for l in pushed), pushed
