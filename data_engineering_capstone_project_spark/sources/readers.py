@@ -65,3 +65,17 @@ def register_view(df: DataFrame, name: str) -> DataFrame:
     """
     df.createOrReplaceTempView(name)
     return df
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet scan across SCHEMA GENERATIONS: a long-lived table whose
+    writers added columns over time reads as the union schema, with
+    absent columns NULL in older files (mergeSchema).
+
+    Off by default in plain reads because the footer merge touches
+    every file's metadata at planning time — at 100 TB, prefer
+    declaring the current schema explicitly (``spark.read.schema(...)
+    .parquet(...)``), which gets the same NULL-fill semantics with
+    zero extra planning I/O; this helper is for the exploratory case
+    where the union schema is not known."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

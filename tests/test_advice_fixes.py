@@ -70,3 +70,20 @@ def test_group_zscore_null_inputs_match_window_twin(spark):
     assert pandas_rows == window_rows
     assert pandas_rows[("a", None)] == 0.0
     assert pandas_rows[("b", None)] == 0.0
+
+
+def test_read_parquet_evolving_merges_schema_generations(spark, tmp_path):
+    from data_engineering_capstone_project_spark.sources.readers import (
+        read_parquet_evolving,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    df = read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    got = {(r.id): (r.name, r.score) for r in df.collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
