@@ -243,3 +243,30 @@ def merge_upsert_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition AND sort by ``cluster_cols`` before writing, so
+    each output file covers a narrow, non-overlapping slice of the
+    cluster key and every row group's min/max statistics are tight.
+
+    This is the single-axis data-layout tool (Z-order-lite): hive
+    partitioning prunes on LOW-cardinality columns via directories;
+    range clustering prunes on HIGH-cardinality ones (timestamps, ids)
+    via parquet row-group stats the scan already consults. At 100 TB,
+    clustering the fact table on its dominant range-filter axis turns
+    "scan everything, filter later" into "read the 2% of row groups
+    whose min/max overlap the predicate". The repartitionByRange
+    sampling pass is the (one-off, write-time) cost."""
+    parted = (
+        df.repartitionByRange(n_files, *cluster_cols)
+        if n_files
+        else df.repartitionByRange(*cluster_cols)
+    )
+    parted.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)

@@ -172,3 +172,50 @@ def run_available_now_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def views_purchase_interval_join(
+    events: DataFrame, within: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-STREAM inner join with an event-time interval predicate:
+    each view matched to same-user purchases within ``within`` after
+    it ("did the view convert?"). The same transform runs in batch
+    (withWatermark is a no-op there) — the parity pattern the window
+    transforms use.
+
+    In streaming mode both sides carry watermarks AND the join
+    condition bounds purchase_ts relative to view_ts in both
+    directions, which is what lets Spark evict join state: a buffered
+    view can stop waiting once the purchase watermark passes
+    view_ts + within, so state is O(rate x (watermark + within)),
+    never unbounded."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr(f"INTERVAL {within}")
+            ),
+        )
+        .drop("p_user")
+    )

@@ -140,3 +140,37 @@ def test_merge_upsert_is_idempotent(spark, tmp_path):
     merge_upsert_partitioned(spark, path, up, ["id"], ["year", "month"])
     got = {r.id: (r.year, r.month, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {1: (2024, 1, 7.0), 2: (2024, 2, 2.0)}
+
+
+def test_range_clustered_files_have_disjoint_stats(spark, tmp_path):
+    """write_range_clustered must produce files whose cluster-key
+    ranges do not overlap — the property that makes parquet min/max
+    row-group pruning selective (an unsorted write gives every file
+    the full key range, so nothing ever prunes)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_engineering_capstone_project_spark.sources.writers import (
+        write_range_clustered,
+    )
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(100_000).select(
+        (F.xxhash64("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+    )
+    write_range_clustered(df, path, ["k"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {ranges}"

@@ -244,3 +244,20 @@ def test_event_time_timeout_closes_sessions(spark, tmp_path):
     )
     assert len(expected) == 3  # A, B, C — sentinel session still open
     assert got == expected
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    from data_engineering_capstone_project_spark.streaming.events import (
+        views_purchase_interval_join,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    expected = _canon(views_purchase_interval_join(batch))
+    assert expected, "fixture has no view->purchase conversions"
+
+    stream = stream_events_from_dir(spark, events_dir, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        views_purchase_interval_join(stream, watermark="90 days"),
+        "t_ssjoin", output_mode="append",
+    )
+    assert _canon(spark.table("t_ssjoin")) == expected
