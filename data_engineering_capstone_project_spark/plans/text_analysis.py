@@ -520,3 +520,50 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("docs"), F.asc("bg"))
         .limit(20)
     )
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION
+        SELECT id_b, id_a FROM cand
+    ),
+    reach AS (
+        WITH RECURSIVE r(node, label) AS (
+            SELECT a AS node, a AS label FROM sym
+            UNION
+            SELECT sym.a, r.label FROM sym JOIN r ON sym.b = r.node
+        )
+        SELECT node, label FROM r
+    )
+    SELECT node AS doc_id,
+           min(label) AS component_id,
+           min(label) = node AS keep
+    FROM reach
+    GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the MinHash-LSH candidate pairs:
+    connected components with the min doc id as the canonical keeper —
+    the decision layer of the dedup pipeline (pairs chain, so per-pair
+    deletion over-deletes; per-component keep-one is the correct
+    policy). Spark runs iterative min-label propagation (O(diameter)
+    rounds, linear shuffles); the oracle reaches the identical
+    fixpoint through a recursive-CTE transitive closure — different
+    algorithm, same unique answer, which is exactly what makes this
+    value-checkable."""
+    from data_engineering_capstone_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        (F.col("component") == F.col("node")).alias("keep"),
+    )

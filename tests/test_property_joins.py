@@ -187,3 +187,48 @@ def test_simhash_banded_pairs_is_exact(spark, sigs, flips):
         if bin((all_sigs[i] ^ all_sigs[j]) & (2**64 - 1)).count("1") <= 3
     )
     assert got == want
+
+
+# --- connected components ----------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation must agree with a reference union-find on
+    arbitrary small graphs (chains, cliques, self-loops, disjoint
+    clumps)."""
+    from data_engineering_capstone_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r.node, r.component) for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {(n, comp_min[find(n)]) for n in parent}
+    assert got == want
