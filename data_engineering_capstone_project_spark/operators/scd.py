@@ -59,13 +59,20 @@ def scd2_apply(
     keys = list(key_cols)
     out_cols = [*keys, *attr_cols, valid_from, valid_to, is_current]
 
-    open_cur = current.filter(F.col(is_current)).alias("cur")
+    # Explicit existence markers: detecting side-presence via a data
+    # column's NULLness silently misclassifies rows whose valid_from /
+    # effective date is legitimately NULL.
+    open_cur = (
+        current.filter(F.col(is_current))
+        .withColumn("_cur_exists", F.lit(True))
+        .alias("cur")
+    )
     closed_hist = current.filter(~F.col(is_current)).select(*out_cols)
-    upd = updates.alias("upd")
+    upd = updates.withColumn("_upd_exists", F.lit(True)).alias("upd")
 
     joined = open_cur.join(upd, keys, "full_outer")
-    has_upd = F.col(f"upd.{effective_col}").isNotNull()
-    has_cur = F.col(f"cur.{valid_from}").isNotNull()
+    has_upd = F.col("upd._upd_exists").isNotNull()
+    has_cur = F.col("cur._cur_exists").isNotNull()
     differs = _any_attr_differs(attr_cols)
 
     # Open versions that survive as-is: no update, or update equal.

@@ -117,6 +117,12 @@ def assign_cells(
         (r["cell_id"], [float(x) for x in r["centroid"]])
         for r in centroids.collect()
     )
+    if len(cents) > 4096:
+        raise ValueError(
+            f"assign_cells: {len(cents)} centroids exceeds the literal-"
+            "projection bound (4096); a quantizer that large needs the "
+            "join-based assignment, not expression unrolling"
+        )
     v = F.col(vec_col)
     vnorm = F.col("_vnorm")
     structs = []

@@ -110,6 +110,10 @@ def closed_sessions(
                 else:
                     n += 1
                     last = max(last, ts)
+            if last is None:
+                # No usable timestamps in this batch and no prior
+                # state: nothing to track, nothing to emit.
+                return
             timeout_ms = last.value // 10**6 + gap_seconds * 1000
             if timeout_ms <= state.getCurrentWatermarkMs():
                 # Already expired relative to the watermark (e.g. a

@@ -87,3 +87,18 @@ def test_scd2_null_attr_transitions(spark):
     assert got[(1, d1)] == (None, "A", d2, False)
     assert got[(1, d2)] == ("Oslo", "A", None, True)
     assert got[(2, d1)] == (None, "B", None, True)  # NULL==NULL: no-op
+
+
+def test_scd2_null_effective_date_still_processed(spark):
+    """Side-presence detection must not key off data-column NULLness:
+    an update row with a NULL effective date is still an update."""
+    from datetime import date
+
+    d1 = date(2024, 1, 1)
+    dim = scd2_init(_snapshot(spark, [(1, "Oslo", "A", d1)]), KEYS, ATTRS)
+    dim = scd2_apply(
+        dim, _snapshot(spark, [(1, "Bergen", "A", None)]), KEYS, ATTRS
+    )
+    got = _by_version(dim)
+    assert got[(1, d1)] == ("Oslo", "A", None, False)   # closed (to NULL)
+    assert got[(1, None)] == ("Bergen", "A", None, True)  # new open version
