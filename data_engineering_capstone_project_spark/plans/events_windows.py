@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_engineering_capstone_project_spark.plans.registry import events_table, query
 
@@ -176,4 +177,160 @@ def events_resampled_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_start",
         F.coalesce("events", F.lit(0)).alias("events"),
         F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+    )
+
+
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_type,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   OVER w AS first_view_us,
+               min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER w AS first_click_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS r_view,
+               max(CASE WHEN event_type = 'click'
+                         AND first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS r_click,
+               max(CASE WHEN event_type = 'purchase'
+                         AND first_view_us IS NOT NULL
+                         AND first_click_us IS NOT NULL
+                         AND first_click_us >= first_view_us
+                        THEN 1 ELSE 0 END) AS r_purchase
+        FROM flagged
+        GROUP BY user_id
+    )
+    SELECT count(*) AS users_total,
+           sum(r_view) AS users_view,
+           sum(CASE WHEN r_view = 1 THEN r_click ELSE 0 END) AS users_view_click,
+           sum(CASE WHEN r_view = 1 AND r_click = 1 THEN r_purchase ELSE 0 END)
+               AS users_full_funnel,
+           floor(sum(CASE WHEN r_view = 1 THEN r_click ELSE 0 END)
+                 / nullif(sum(r_view), 0) * 10000) / 10000.0 AS click_rate,
+           floor(sum(CASE WHEN r_view = 1 AND r_click = 1 THEN r_purchase ELSE 0 END)
+                 / nullif(sum(CASE WHEN r_view = 1 THEN r_click ELSE 0 END), 0)
+                 * 10000) / 10000.0 AS purchase_rate
+    FROM per_user
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel. ONE shuffle: events are
+    hash-partitioned by user_id once; the "first view so far" / "first
+    qualified click so far" prefix minima are in-partition window
+    passes over the same sort, and the per-user collapse reuses the
+    partitioning. A purchase counts only if a view-preceded click
+    happened earlier in that user's timeline — the sequential
+    semantics joins can't express without re-scanning events per
+    stage. The final 1-row rollup moves one partial aggregate per
+    task."""
+    ev = events_table(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        F.min(F.when(is_type("view"), us)).over(w).alias("first_view_us"),
+        F.min(F.when(is_type("click"), us)).over(w).alias("first_click_us"),
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.max(F.when(is_type("view"), 1).otherwise(0)).alias("r_view"),
+        F.max(
+            F.when(
+                is_type("click") & F.col("first_view_us").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("r_click"),
+        F.max(
+            F.when(
+                is_type("purchase")
+                & F.col("first_view_us").isNotNull()
+                & F.col("first_click_us").isNotNull()
+                & (F.col("first_click_us") >= F.col("first_view_us")),
+                1,
+            ).otherwise(0)
+        ).alias("r_purchase"),
+    )
+    clicked = F.sum(F.when(F.col("r_view") == 1, F.col("r_click")).otherwise(0))
+    purchased = F.sum(
+        F.when(
+            (F.col("r_view") == 1) & (F.col("r_click") == 1), F.col("r_purchase")
+        ).otherwise(0)
+    )
+    viewed = F.sum("r_view")
+    floor4 = lambda c: F.floor(c * 10000) / F.lit(10000.0)  # noqa: E731
+    return per_user.agg(
+        F.count("*").alias("users_total"),
+        viewed.alias("users_view"),
+        clicked.alias("users_view_click"),
+        purchased.alias("users_full_funnel"),
+        floor4(clicked / F.nullif(viewed, F.lit(0))).alias("click_rate"),
+        floor4(purchased / F.nullif(clicked, F.lit(0))).alias("purchase_rate"),
+    )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+        SELECT user_id,
+               CAST(floor(value * 10000) AS BIGINT) AS value_fp,
+               (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                - epoch_us(ts)) // 1000000 AS w_sec
+        FROM events
+    )
+    SELECT user_id,
+           sum(value_fp * w_sec) / (sum(w_sec) * 10000.0) AS twa_value,
+           count(*) AS n_intervals
+    FROM stepped
+    WHERE w_sec IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(w_sec) > 0
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-weighted average of ``value`` per user:
+    last-observation-carried-forward, each reading weighted by how long
+    it stayed current (lead(ts) - ts, second resolution). All
+    arithmetic is exact int64 (fixed-point value x integer seconds;
+    bounded ~1.5e14 << 2^53, so the final single division is the same
+    double in any engine). ONE shuffle on user_id shared by the window
+    and the aggregate; the last reading per user (unknown duration) is
+    excluded by definition."""
+    ev = events_table(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("value_fp"),
+        ((F.lead(us, 1).over(w) - us) / F.lit(1000000))
+        .cast("bigint")
+        .alias("w_sec"),
+    )
+    return (
+        stepped.filter(F.col("w_sec").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value_fp") * F.col("w_sec")).alias("sum_vw"),
+            F.sum("w_sec").alias("sum_w"),
+            F.count("*").alias("n_intervals"),
+        )
+        .filter(F.col("sum_w") > 0)
+        .select(
+            "user_id",
+            (F.col("sum_vw") / (F.col("sum_w") * F.lit(10000.0))).alias(
+                "twa_value"
+            ),
+            "n_intervals",
+        )
     )

@@ -1048,3 +1048,110 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("order_date"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# TPC-H Q5 shape: the 6-table star-plus-constraint join ("local
+# supplier volume"). Exercises multi-join planning: region/nation are
+# broadcast (bounded dims), customer/orders/lineitem/supplier are
+# shuffle hash joins on their keys, and the extra c_nationkey =
+# s_nationkey predicate is applied as a join-time filter, never as a
+# post-join cross product. The only big shuffles are the fact joins on
+# orderkey/suppkey; the final group-by has 25 keys.
+@query(
+    "local_supplier_volume_q5",
+    oracle="""
+    SELECT n_name,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               / 10000.0 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 re-expression (reference has no Q5, but this is the
+    canonical multi-join the ad-hoc SQL surface must plan well;
+    SURVEY.md §2.10). Asia nations only: nation ⋈ region collapses to
+    a 5-row broadcast list BEFORE touching any fact table, so supplier
+    and customer are pre-filtered map-side to 1/5 of their rows."""
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nations = (
+        table(spark, sf_dir, "nation")
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_row = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev_row) / F.lit(10000.0)).alias("revenue"))
+        .select("n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "customer_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               sum(CAST(floor(o_totalprice * 10000) AS BIGINT)) AS spend_fp
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT custkey,
+           spend_fp / 10000.0 AS total_spend,
+           CAST(ntile(4) OVER (ORDER BY spend_fp DESC, custkey) AS INTEGER)
+               AS quartile
+    FROM spend
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count spend quartiles per customer (ntile over a total
+    order — the deterministic tiebreak on custkey makes the assignment
+    unique, hence hash-checkable). Scale posture: ntile needs a global
+    sort (range partition + local sort, O(n log n)); at 100 TB prefer
+    approx_percentile cutoffs + a broadcast bucket lookup when
+    equal-count exactness isn't required — this exact-rank form is the
+    oracle-verifiable tier assignment."""
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("bigint")).alias(
+            "spend_fp"
+        )
+    )
+    w = Window.orderBy(F.desc("spend_fp"), F.asc("custkey"))
+    return spend.select(
+        "custkey",
+        (F.col("spend_fp") / F.lit(10000.0)).alias("total_spend"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

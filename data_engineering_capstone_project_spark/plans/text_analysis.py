@@ -567,3 +567,135 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("component_id"),
         (F.col("component") == F.col("node")).alias("keep"),
     )
+
+
+# Quality expression shared with doc_quality's oracle (kept textually in
+# sync so canonical selection sorts by the exact same floored double).
+_QUALITY = """
+    floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
+          + 0.3 * least(length(text) / 500.0, 1.0)
+          + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                       / length(text))) * 10000) / 10000.0
+"""
+
+
+@query(
+    "dedup_canonical",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION
+        SELECT id_b, id_a FROM cand
+    ),
+    reach AS (
+        WITH RECURSIVE r(node, label) AS (
+            SELECT a AS node, a AS label FROM sym
+            UNION
+            SELECT sym.a, r.label FROM sym JOIN r ON sym.b = r.node
+        )
+        SELECT node, min(label) AS component_id FROM r GROUP BY node
+    ),
+    q AS (
+        SELECT doc_id, {_QUALITY} AS quality FROM documents
+    )
+    SELECT reach.node AS doc_id,
+           reach.component_id,
+           q.quality,
+           row_number() OVER (PARTITION BY reach.component_id
+                              ORDER BY q.quality DESC, reach.node) = 1
+               AS canonical
+    FROM reach JOIN q ON q.doc_id = reach.node
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's decision stage, quality-aware: within each
+    duplicate cluster keep the HIGHEST-QUALITY member (tiebreak: lowest
+    doc id), not the arbitrary min-id ``dedup_components`` keeps. The
+    join back to per-doc quality is a linear id-equi-join; canonical
+    selection is one row_number window partitioned by component —
+    components are tiny (duplicate clusters), so no skew concern."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_capstone_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+    quality = doc_quality(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("canonical", F.row_number().over(w) == 1)
+        .select("doc_id", "component_id", "quality", "canonical")
+    )
+
+
+@query(
+    "char_ngram_jaccard",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(norm) - 4, 0)),
+                   i -> substr(norm, i, 5))) AS grams
+        FROM (SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+              FROM documents)
+    )
+    SELECT c.id_a, c.id_b,
+           floor(len(list_intersect(a.grams, b.grams))
+                 / len(list_distinct(list_concat(a.grams, b.grams))) * 10000)
+               / 10000.0 AS jac
+    FROM cand c
+    JOIN g a ON a.doc_id = c.id_a
+    JOIN g b ON b.doc_id = c.id_b
+    """,
+)
+def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram Jaccard over the MinHash-LSH candidate pairs —
+    the n-gram-level near-dup metric (robust to tokenization and word
+    reordering where word-set Jaccard is not). Linear like the other
+    verifier: gram sets are built only for docs that appear in a
+    candidate pair (semi-join pruning via the two id-equi-joins), and
+    no all-pairs compare exists anywhere. ``norm`` is materialized as
+    an attribute before the transform() builds grams from it -- the
+    lambda references it once per gram and codegen does not CSE inside
+    higher-order functions."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    normed = docs.select(
+        "doc_id",
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias(
+            "norm"
+        ),
+    )
+    grams = normed.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN char_length(norm) < 5 THEN array()"
+            " ELSE array_distinct(transform("
+            "   sequence(1, char_length(norm) - 4),"
+            "   i -> substring(norm, i, 5))) END"
+        ).alias("grams"),
+    )
+    jac = F.floor(
+        D.jaccard(F.col("grams_a"), F.col("grams_b")) * 10000
+    ) / F.lit(10000.0)
+    return (
+        pairs.join(
+            grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")),
+            "id_a",
+        )
+        .join(
+            grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", jac.alias("jac"))
+    )

@@ -1,5 +1,6 @@
 from data_engineering_capstone_project_spark.streaming.events import (
     EVENT_SCHEMA,
+    dedup_events,
     run_available_now_to_memory,
     run_available_now_to_parquet,
     run_foreach_batch,
@@ -12,6 +13,7 @@ from data_engineering_capstone_project_spark.streaming.events import (
 __all__ = [
     "EVENT_SCHEMA",
     "stream_events_from_dir",
+    "dedup_events",
     "tumbling_counts",
     "sliding_counts",
     "session_aggregate",

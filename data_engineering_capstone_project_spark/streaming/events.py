@@ -219,3 +219,20 @@ def views_purchase_interval_join(
         )
         .drop("p_user")
     )
+
+
+def dedup_events(events: DataFrame, watermark: str = "90 days") -> DataFrame:
+    """Exactly-once ingest dedup on event_id (at-least-once upstreams
+    re-deliver; this is the first stage of any streaming ingest
+    pipeline). Streaming mode uses dropDuplicatesWithinWatermark: the
+    per-key state is EVICTED once event time passes the watermark
+    horizon, so state is O(rate x watermark window), not O(stream
+    lifetime) — the property that makes streaming dedup viable at
+    100 TB/day (plain dropDuplicates on a stream retains every key
+    forever). Batch twin: dropDuplicates on the same key, same output
+    on replay of a bounded input."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])

@@ -261,3 +261,31 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
         "t_ssjoin", output_mode="append",
     )
     assert _canon(spark.table("t_ssjoin")) == expected
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path_factory):
+    """An at-least-once source (every file delivered twice) must come
+    out exactly-once: dropDuplicatesWithinWatermark collapses re-
+    deliveries across micro-batches while keeping only watermark-
+    bounded state. Output must equal the batch twin (dropDuplicates)
+    on the same doubled input, which equals the original events."""
+    from data_engineering_capstone_project_spark.streaming import dedup_events
+
+    out = str(tmp_path_factory.mktemp("events_dup"))
+    ev = events_table(spark, SF_SMALL)
+    # Two identical deliveries of the same 2-file batch -> 4 files.
+    ev.repartition(2).write.mode("overwrite").parquet(out)
+    ev.repartition(2).write.mode("append").parquet(out)
+
+    batch_dedup = dedup_events(spark.read.parquet(out))
+    assert batch_dedup.count() == ev.count()
+    expected = sorted(r.event_id for r in batch_dedup.select("event_id").collect())
+
+    stream = stream_events_from_dir(spark, out, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        dedup_events(stream), "t_dedup_stream", output_mode="append"
+    )
+    got = sorted(
+        r.event_id for r in spark.table("t_dedup_stream").select("event_id").collect()
+    )
+    assert got == expected
