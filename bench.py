@@ -39,6 +39,9 @@ HEADLINE = [
     "shipping_priority_q3",
     "events_resampled_5min",
     "label_centroids",
+    "local_supplier_volume_q5",
+    "conversion_funnel",
+    "time_weighted_avg",
 ]
 
 

@@ -132,3 +132,31 @@ def test_q3_shape_broadcasts_and_takes_ordered(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("LessThan" in l for l in pushed), pushed
     assert any("GreaterThan" in l for l in pushed), pushed
+
+
+def test_q5_multijoin_shape(spark):
+    """TPC-H Q5: the region filter and the order-date range must push
+    to their scans; the extra c_nationkey = s_nationkey constraint must
+    be a join key (never a post-join cross product): a
+    BroadcastNestedLoopJoin/CartesianProduct here means the planner
+    lost the equi-condition and the query is quadratic at scale."""
+    plan = _plan(QUERIES["local_supplier_volume_q5"](spark, SF_SMALL))
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the supplier-side constraint joins on both keys together
+    assert "s_suppkey" in plan and "s_nationkey" in plan
+
+
+def test_funnel_single_shuffle(spark):
+    """conversion_funnel: the window and the per-user aggregate must
+    share ONE hash partitioning on user_id — exactly one exchange over
+    the events relation (plus the 1-row final rollup)."""
+    plan = _plan(QUERIES["conversion_funnel"](spark, SF_SMALL))
+    ex = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in line
+    ]
+    assert len(ex) == 1, f"expected 1 user_id exchange, got {len(ex)}"
