@@ -334,3 +334,30 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_intervals",
         )
     )
+
+
+@query(
+    "events_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(*) AS events,
+           count(DISTINCT user_id) AS users,
+           count(DISTINCT CAST(ts AS DATE)) AS active_days
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact COUNT(DISTINCT) in one aggregate: Catalyst
+    rewrites this to an Expand (one row replica per distinct column)
+    + two-phase aggregate — a single pass over events, no join of
+    separate per-distinct subqueries, and partial aggregation still
+    applies to the plain count. The cardinality-heavy alternative at
+    100 TB is approx_count_distinct (see approx_distinct_parts); this
+    is the exact tier."""
+    ev = events_table(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("events"),
+        F.count_distinct(F.col("user_id")).alias("users"),
+        F.count_distinct(F.col("ts").cast("date")).alias("active_days"),
+    )

@@ -1155,3 +1155,40 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("spend_fp") / F.lit(10000.0)).alias("total_spend"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@query(
+    "rolling_revenue_7d",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS custkey,
+           CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+           sum(CAST(floor(o_totalprice * 10000) AS BIGINT))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+               / 10000.0 AS rolling_rev
+    FROM orders
+    """,
+)
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 7-day rolling spend — a time-RANGE frame, not a
+    ROWS frame: the frame is defined by the ORDER BY *value* (epoch
+    day), so same-day orders always share a frame and the result is
+    tie-order independent (what makes a value-range frame
+    hash-checkable where an unkeyed ROWS frame is not). One shuffle on
+    o_custkey; the frame sum is a running in-partition pass."""
+    orders = table(spark, sf_dir, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.alias("day"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    fixed = F.sum(F.floor(F.col("o_totalprice") * 10000).cast("bigint")).over(w)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        day.alias("day"),
+        (fixed / F.lit(10000.0)).alias("rolling_rev"),
+    )

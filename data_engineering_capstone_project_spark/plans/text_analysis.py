@@ -699,3 +699,49 @@ def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", jac.alias("jac"))
     )
+
+
+@query(
+    "top_tokens_per_lang",
+    oracle="""
+    SELECT lang, tok, occurrences, rank
+    FROM (
+        SELECT lang, tok, occurrences,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY occurrences DESC, tok)
+                    AS INTEGER) AS rank
+        FROM (
+            SELECT lang, tok, count(*) AS occurrences
+            FROM (SELECT lang,
+                         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY lang, tok
+        )
+    )
+    WHERE rank <= 5
+    """,
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per language: explode -> partial+final agg on
+    (lang, token) -> per-group rank. The rank window runs over the
+    already-aggregated (lang, token) counts — tiny compared to the
+    corpus — and Spark plans the rank<=5 filter as WindowGroupLimit,
+    so each partition keeps only its running top-5 rather than sorting
+    every token group fully."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    counts = (
+        docs.select("lang", tok)
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("occurrences"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("occurrences"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "tok", "occurrences", "rank")
+    )

@@ -82,7 +82,10 @@ def main():
         dd = dd.unionByName(r)
     dd.write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
-    for small in ("nation", "region"):
+    # Dimension tables are copied UNshifted: suppliers/nations/regions
+    # grow far slower than facts, so "Kx facts at fixed dims" is the
+    # realistic growth axis for the multi-join probes.
+    for small in ("nation", "region", "supplier"):
         src, dst = f"{SF_DIR}/{small}.parquet", f"{out}/{small}.parquet"
         if Path(src).is_dir():
             shutil.copytree(src, dst)
@@ -103,6 +106,11 @@ def main():
         "minhash_lsh_pairs",     # staged signatures + banded self-join
         "simhash_near_dups",     # banded Hamming blocking
         "ann_lsh_topk",          # LSH bucket equi-join
+        "local_supplier_volume_q5",  # 6-table multi-join, fixed dims
+        "conversion_funnel",     # single-shuffle sequential window
+        "time_weighted_avg",     # lead() interval weighting
+        "customer_spend_quartiles",  # global-order ntile (single-partition sort)
+        "dedup_components",      # iterative min-label propagation
     ]
     for name in probes:
         times = {}
