@@ -183,13 +183,21 @@ def events_resampled_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "conversion_funnel",
     oracle="""
-    WITH flagged AS (
-        SELECT user_id, event_type,
+    WITH viewed AS (
+        SELECT user_id, event_type, ts, event_id,
                min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
-                   OVER w AS first_view_us,
-               min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
-                   OVER w AS first_click_us
+                   OVER w AS first_view_us
         FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    flagged AS (
+        SELECT user_id, event_type, first_view_us,
+               min(CASE WHEN event_type = 'click'
+                         AND first_view_us IS NOT NULL
+                        THEN epoch_us(ts) END)
+                   OVER w AS first_qclick_us
+        FROM viewed
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ),
@@ -199,9 +207,7 @@ def events_resampled_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(CASE WHEN event_type = 'click'
                          AND first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS r_click,
                max(CASE WHEN event_type = 'purchase'
-                         AND first_view_us IS NOT NULL
-                         AND first_click_us IS NOT NULL
-                         AND first_click_us >= first_view_us
+                         AND first_qclick_us IS NOT NULL
                         THEN 1 ELSE 0 END) AS r_purchase
         FROM flagged
         GROUP BY user_id
@@ -220,16 +226,20 @@ def events_resampled_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view -> click -> purchase funnel. ONE shuffle: events are
-    hash-partitioned by user_id once; the "first view so far" / "first
-    qualified click so far" prefix minima are in-partition window
-    passes over the same sort, and the per-user collapse reuses the
-    partitioning. A purchase counts only if a view-preceded click
-    happened earlier in that user's timeline — the sequential
-    semantics joins can't express without re-scanning events per
-    stage. The final 1-row rollup moves one partial aggregate per
-    task."""
-    ev = events_table(spark, sf_dir)
+    return funnel_over(events_table(spark, sf_dir))
+
+
+def funnel_over(ev: DataFrame) -> DataFrame:
+    """Ordered view -> click -> purchase funnel — the sequential state
+    machine: a click counts only after a view, a purchase only after a
+    view-preceded click. ONE shuffle: events are hash-partitioned by
+    user_id once; the "first view so far" and "first QUALIFIED click
+    so far" prefix minima are two in-partition window passes over the
+    same sort (the second reads the first's output, so no min-click-
+    vs-first-view comparison is needed and out-of-order clicks before
+    the first view never disqualify a later real sequence), and the
+    per-user collapse reuses the partitioning. The final 1-row rollup
+    moves one partial aggregate per task."""
     us = F.unix_micros(F.col("ts"))
     w = (
         Window.partitionBy("user_id")
@@ -237,11 +247,24 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_type = lambda t: F.col("event_type") == t  # noqa: E731
-    flagged = ev.select(
+    viewed = ev.select(
         "user_id",
         "event_type",
+        "ts",
+        "event_id",
         F.min(F.when(is_type("view"), us)).over(w).alias("first_view_us"),
-        F.min(F.when(is_type("click"), us)).over(w).alias("first_click_us"),
+    )
+    flagged = viewed.select(
+        "user_id",
+        "event_type",
+        "first_view_us",
+        F.min(
+            F.when(
+                is_type("click") & F.col("first_view_us").isNotNull(), us
+            )
+        )
+        .over(w)
+        .alias("first_qclick_us"),
     )
     per_user = flagged.groupBy("user_id").agg(
         F.max(F.when(is_type("view"), 1).otherwise(0)).alias("r_view"),
@@ -252,11 +275,7 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r_click"),
         F.max(
             F.when(
-                is_type("purchase")
-                & F.col("first_view_us").isNotNull()
-                & F.col("first_click_us").isNotNull()
-                & (F.col("first_click_us") >= F.col("first_view_us")),
-                1,
+                is_type("purchase") & F.col("first_qclick_us").isNotNull(), 1
             ).otherwise(0)
         ).alias("r_purchase"),
     )
@@ -299,6 +318,10 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return twa_over(events_table(spark, sf_dir))
+
+
+def twa_over(ev: DataFrame) -> DataFrame:
     """Hypertable-style time-weighted average of ``value`` per user:
     last-observation-carried-forward, each reading weighted by how long
     it stayed current (lead(ts) - ts, second resolution). All
@@ -307,7 +330,6 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     double in any engine). ONE shuffle on user_id shared by the window
     and the aggregate; the last reading per user (unknown duration) is
     excluded by definition."""
-    ev = events_table(spark, sf_dir)
     us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     stepped = ev.select(
