@@ -183,7 +183,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature (bands x rows_per_band columns) and emit
     candidate pairs sharing at least one band hash.
@@ -198,7 +201,16 @@ def lsh_candidate_pairs(
     here and an OOM hazard on adversarial buckets, so the self-join's
     distributed pair generation wins. Distinct at the end removes
     pairs caught by multiple bands.
-    """
+
+    ``max_bucket`` is the production guard for 100 TB corpora: a band
+    bucket with m members emits m(m-1)/2 pairs, so ONE degenerate
+    bucket (boilerplate, empty docs, templated spam sharing a band)
+    turns the linear plan quadratic. Buckets larger than ``max_bucket``
+    are dropped BEFORE the self-join (a count-groupBy semi-filter —
+    linear), trading recall on exactly the near-duplicate-everything
+    mass that per-pair dedup handles badly anyway (cluster it via
+    exact fingerprints instead). None = no cap (small-SF exactness;
+    the oracle-checked default)."""
     # Band index is part of the hash so equal minhash values in
     # *different* band positions can never collide into a pair.
     band_hashes = [
@@ -214,6 +226,14 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc", F.explode(F.array(*band_hashes)).alias("band_h")
     )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_h")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_h")
+        )
+        banded = banded.join(ok, "band_h")
     a = banded.alias("a")
     bb = banded.alias("b")
     return (
