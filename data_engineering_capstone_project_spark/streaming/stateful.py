@@ -145,3 +145,66 @@ def closed_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id bigint, seen_view boolean, seen_click boolean, "
+    "seen_purchase boolean"
+)
+FUNNEL_STATE_SCHEMA = "seen_view boolean, seen_click boolean, seen_purchase boolean"
+
+
+def funnel_progress(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming view -> click -> purchase funnel: per-user stage flags
+    that only ever advance, emitted each micro-batch the user appears
+    in (update mode — the live funnel dashboard feed).
+
+    Within a batch, a user's events are processed in (ts, event_id)
+    order, matching the batch twin ``plans.events_windows.funnel_over``
+    exactly. Across batches the flags are MONOTONE: qualification
+    happens in arrival order, so the streaming result equals the batch
+    result whenever micro-batches arrive in non-decreasing event-time
+    order (a watermark-sorted upstream guarantees this; an arbitrarily
+    shuffled replay can only under-qualify, never over-qualify). State
+    per user is three booleans — O(1), the smallest possible streaming
+    funnel state."""
+
+    def _fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            seen_view, seen_click, seen_buy = state.get
+        else:
+            seen_view = seen_click = seen_buy = False
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf["ts"].tolist(), pdf["event_id"].tolist(),
+                    pdf["event_type"].tolist())
+            )
+        for _ts, _eid, etype in sorted(rows, key=lambda r: (r[0], r[1])):
+            if etype == "view":
+                seen_view = True
+            elif etype == "click" and seen_view:
+                seen_click = True
+            elif etype == "purchase" and seen_click:
+                seen_buy = True
+        state.update((seen_view, seen_click, seen_buy))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "seen_view": [seen_view],
+                "seen_click": [seen_click],
+                "seen_purchase": [seen_buy],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

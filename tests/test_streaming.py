@@ -289,3 +289,54 @@ def test_stream_dedup_within_watermark(spark, tmp_path_factory):
         r.event_id for r in spark.table("t_dedup_stream").select("event_id").collect()
     )
     assert got == expected
+
+
+def test_stream_funnel_equals_batch(spark, tmp_path_factory):
+    """Streaming funnel state (time-ordered micro-batches) must equal
+    the batch funnel's per-user flags."""
+    from data_engineering_capstone_project_spark.plans.events_windows import funnel_over
+    from data_engineering_capstone_project_spark.streaming.stateful import funnel_progress
+
+    # Time-range files so lexicographic listing = event-time order
+    # (the operator's cross-batch ordering contract).
+    out = str(tmp_path_factory.mktemp("events_funnel"))
+    ev = events_table(spark, SF_SMALL)
+    ev.repartitionByRange(3, "ts").write.mode("overwrite").parquet(out)
+
+    stream = stream_events_from_dir(spark, out, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        funnel_progress(stream), "t_funnel_stream", output_mode="update"
+    )
+    # update-mode memory sink: flags are monotone, so the final state
+    # per user is the max of each flag across emitted rows.
+    got = {
+        r.user_id: (r.seen_view, r.seen_click, r.seen_purchase)
+        for r in spark.sql(
+            "SELECT user_id, max(seen_view) seen_view,"
+            " max(seen_click) seen_click, max(seen_purchase) seen_purchase"
+            " FROM t_funnel_stream GROUP BY user_id"
+        ).collect()
+    }
+
+    # Batch ground truth: re-derive per-user flags with the same state
+    # machine over collected events (small at SF_SMALL).
+    rows = sorted(
+        ev.select("user_id", "ts", "event_id", "event_type").collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    want: dict[int, list[bool]] = {}
+    for r in rows:
+        s = want.setdefault(r.user_id, [False, False, False])
+        if r.event_type == "view":
+            s[0] = True
+        elif r.event_type == "click" and s[0]:
+            s[1] = True
+        elif r.event_type == "purchase" and s[1]:
+            s[2] = True
+    assert got == {u: tuple(s) for u, s in want.items()}
+
+    # And the batch funnel's aggregate counts agree with the state flags.
+    agg = funnel_over(ev).collect()[0]
+    assert agg.users_view == sum(s[0] for s in want.values())
+    assert agg.users_view_click == sum(s[1] for s in want.values())
+    assert agg.users_full_funnel == sum(s[2] for s in want.values())
