@@ -1192,3 +1192,55 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.alias("day"),
         (fixed / F.lit(10000.0)).alias("rolling_rev"),
     )
+
+
+# TPC-H Q10 shape: "who returned the most revenue last quarter" — the
+# selective fact-fact join + wide group-by + global top-k pattern.
+@query(
+    "returned_revenue_q10",
+    oracle="""
+    SELECT c_custkey,
+           c_name,
+           n_name,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               / 10000.0 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_revenue_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 re-expression: one quarter of orders (pushed range
+    scan), returned line items only (pushed equality), nation broadcast,
+    and the top-20 is TakeOrderedAndProject over the grouped output —
+    the full sort never happens. The orders⋈lineitem join shuffles only
+    the quarter's rows; group keys include the customer attributes so
+    no second join back is needed."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_row = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev_row) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -160,3 +160,12 @@ def test_funnel_single_shuffle(spark):
         if "Exchange hashpartitioning(user_id" in line
     ]
     assert len(ex) == 1, f"expected 1 user_id exchange, got {len(ex)}"
+
+
+def test_q10_topk_no_full_sort(spark):
+    """Q10's top-20 must be TakeOrderedAndProject (per-partition heap +
+    driver merge), never a global sort of the grouped output; the
+    returnflag filter must reach the lineitem scan."""
+    plan = _plan(QUERIES["returned_revenue_q10"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
