@@ -1244,3 +1244,93 @@ def returned_revenue_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "orders_price_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bucket,
+           count(*) AS orders,
+           sum(CAST(floor(o_totalprice * 10000) AS BIGINT)) / 10000.0
+               AS bucket_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram (10 x 50k buckets, top bucket
+    clamped): binning is a pure projection so the whole query is one
+    partial+final agg over <= 10 groups — the cheapest possible
+    full-scan profile. (width_bucket is not portable to every engine;
+    the floor/least form is the same arithmetic everywhere.)"""
+    orders = table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast(
+        "int"
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("orders"),
+            _fixed_sum(F.col("o_totalprice"), "bucket_revenue"),
+        )
+    )
+
+
+@query(
+    "quantity_discount_corr",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(q) AS sq, sum(d) AS sd,
+               sum(q * d) AS sqd, sum(q * q) AS sq2, sum(d * d) AS sd2
+        FROM t GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           floor((CAST(n AS DOUBLE) * sqd - CAST(sq AS DOUBLE) * sd)
+                 / (sqrt(CAST(n AS DOUBLE) * sq2 - CAST(sq AS DOUBLE) * sq)
+                    * sqrt(CAST(n AS DOUBLE) * sd2 - CAST(sd AS DOUBLE) * sd))
+                 * 10000) / 10000.0 AS corr_qd
+    FROM s
+    """,
+)
+def quantity_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs discount per return flag,
+    computed from five EXACT int64 moment sums (both inputs are small
+    integers after fixed-point mapping) and assembled in one double
+    expression — unlike corr(), whose per-partition double accumulation
+    is summation-order dependent, this is bit-identical in any engine
+    and any partitioning. One scan, one partial+final agg on 3 keys."""
+    li = table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("d"),
+    )
+    s = t.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+        F.sum(F.col("d") * F.col("d")).alias("sd2"),
+    )
+    n = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sd = F.col("sd").cast("double")
+    cov = n * F.col("sqd") - sq * F.col("sd")
+    var_q = F.sqrt(n * F.col("sq2") - sq * F.col("sq"))
+    var_d = F.sqrt(n * F.col("sd2") - sd * F.col("sd"))
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.floor(cov / (var_q * var_d) * 10000) / F.lit(10000.0)).alias(
+            "corr_qd"
+        ),
+    )
