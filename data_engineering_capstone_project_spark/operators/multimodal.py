@@ -202,3 +202,37 @@ def audio_features(
             )
 
     return df.select(id_col, content_col).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id bigint, phash string"
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content",
+    backend: str = "fake",
+) -> DataFrame:
+    """Perceptual hash per image — the content-level fingerprint that
+    makes binary columns deduplicable (byte-identical files are caught
+    by md5 of the blob; pHash also catches re-encodes/resizes when a
+    real backend computes it from decoded pixels). Fake backend: a
+    64-bit hex digest of the payload BODY (not the header), so two
+    payloads with the same pixels-stand-in body collide exactly — the
+    property the dedup step needs — and an external engine can verify
+    the full decode round-trip arithmetically. Real backend: DCT-based
+    pHash over the decoded image at the marked seam."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if backend != "fake":
+                _require_real_backend("image_phash")  # decode seam
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "phash": [
+                        hashlib.md5(bytes(p)[_HEADER_SIZE:]).hexdigest()[:16]
+                        for p in pdf[content_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(gen, PHASH_SCHEMA)

@@ -120,3 +120,41 @@ def image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.resize_images(media, max_side=256).select(
         "media_id", "width", "height"
     )
+
+
+@query(
+    "image_phash_dedup",
+    oracle="""
+    SELECT phash, min(media_id) AS keep_id, count(*) AS dups
+    FROM (
+        SELECT vec_id AS media_id,
+               substr(md5(substr(repeat(md5(CAST(vec_id % 300 AS VARCHAR)), 3),
+                                 1, 64)), 1, 16) AS phash
+        FROM embeddings
+    )
+    GROUP BY phash
+    """,
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup through the BINARY path: synthesize payloads where
+    distinct media ids share pixel bodies (seed = vec_id % 300 — the
+    re-uploaded-image case), decode via the Arrow mapInPandas pHash
+    operator, then the standard keep-min-id dedup groupBy on the hash.
+    The oracle reconstructs the pHash arithmetically from the fake
+    codec's definition, so the binary encode -> Arrow -> Python decode
+    -> hash chain is value-checked end to end. Scale posture: identical
+    to dedup_exact — a linear scan (Arrow-batched Python for the
+    decode) and one hash-shuffle on the fingerprint."""
+    emb = table(spark, sf_dir, "embeddings")
+    media = emb.select(
+        F.col("vec_id").alias("media_id"),
+        M.make_fake_media(F.col("vec_id") % 300, M.KIND_IMAGE).alias("content"),
+    )
+    return (
+        M.image_phash(media)
+        .groupBy("phash")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count("*").alias("dups"),
+        )
+    )
