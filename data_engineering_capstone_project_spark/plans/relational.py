@@ -1294,8 +1294,9 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            floor((CAST(n AS DOUBLE) * sqd - CAST(sq AS DOUBLE) * sd)
-                 / (sqrt(CAST(n AS DOUBLE) * sq2 - CAST(sq AS DOUBLE) * sq)
-                    * sqrt(CAST(n AS DOUBLE) * sd2 - CAST(sd AS DOUBLE) * sd))
+                 / nullif(sqrt(CAST(n AS DOUBLE) * sq2 - CAST(sq AS DOUBLE) * sq)
+                          * sqrt(CAST(n AS DOUBLE) * sd2 - CAST(sd AS DOUBLE) * sd),
+                          0)
                  * 10000) / 10000.0 AS corr_qd
     FROM s
     """,
@@ -1327,10 +1328,13 @@ def quantity_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = n * F.col("sqd") - sq * F.col("sd")
     var_q = F.sqrt(n * F.col("sq2") - sq * F.col("sq"))
     var_d = F.sqrt(n * F.col("sd2") - sd * F.col("sd"))
+    # nullif guard: a degenerate group (constant quantity or discount)
+    # has zero variance; under ANSI mode a bare /0 would throw.
     return s.select(
         "l_returnflag",
         "n",
-        (F.floor(cov / (var_q * var_d) * 10000) / F.lit(10000.0)).alias(
-            "corr_qd"
-        ),
+        (
+            F.floor(cov / F.nullif(var_q * var_d, F.lit(0.0)) * 10000)
+            / F.lit(10000.0)
+        ).alias("corr_qd"),
     )

@@ -177,8 +177,10 @@ def funnel_progress(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         rows = []
         for pdf in pdfs:
             rows.extend(
-                zip(pdf["ts"].tolist(), pdf["event_id"].tolist(),
-                    pdf["event_type"].tolist())
+                r
+                for r in zip(pdf["ts"].tolist(), pdf["event_id"].tolist(),
+                             pdf["event_type"].tolist())
+                if r[0] == r[0]  # drop NaT (NaT != NaT), unsortable
             )
         for _ts, _eid, etype in sorted(rows, key=lambda r: (r[0], r[1])):
             if etype == "view":
