@@ -1338,3 +1338,59 @@ def quantity_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("corr_qd"),
     )
+
+
+# TPC-H Q19 shape: a DISJUNCTION of conjunctive ranges that spans both
+# join sides — the optimizer-stress pattern: the per-side parts of the
+# OR must still push down (brand/size to the part scan, the overall
+# quantity envelope to lineitem), while the cross-side residual is
+# evaluated at the join.
+@query(
+    "disjunctive_revenue_q19",
+    oracle="""
+    SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               / 10000.0 AS revenue,
+           count(*) AS line_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 re-expression over the available columns. Catalyst
+    derives the pushable envelope of the OR per side (brand IN (...)
+    AND size <= 30 on part; quantity BETWEEN 1 AND 30 on lineitem) and
+    keeps the exact disjunction as the join filter — asserted in
+    test_plan_shapes: without the derived envelopes this is a full
+    scan of both tables at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev_row = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            (F.sum(rev_row) / F.lit(10000.0)).alias("revenue"),
+            F.count("*").alias("line_items"),
+        )
+    )

@@ -169,3 +169,13 @@ def test_q10_topk_no_full_sort(spark):
     plan = _plan(QUERIES["returned_revenue_q10"](spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """Q19's OR-of-conjunctions must push per-side envelopes into BOTH
+    parquet scans (an unpushed disjunction means full scans of lineitem
+    and part at 100 TB)."""
+    plan = _plan(QUERIES["disjunctive_revenue_q19"](spark, SF_SMALL))
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert len(pushed) >= 2
+    assert all("Or(" in line for line in pushed), pushed
