@@ -1394,3 +1394,57 @@ def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("line_items"),
         )
     )
+
+
+# TPC-H Q22 shape: scalar aggregate subquery feeding a filter +
+# anti-join — "rich customers who never ordered".
+@query(
+    "waiting_customers_q22",
+    oracle="""
+    SELECT substr(c_name, 10, 2) AS cntrycode,
+           count(*) AS numcust,
+           sum(CAST(floor(c_acctbal * 10000) AS BIGINT)) / 10000.0 AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT sum(CAST(floor(c_acctbal * 10000) AS BIGINT))
+               / (10000.0 * count(*))
+        FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    """,
+)
+def waiting_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 re-expression: the positive-balance average is a
+    1-row aggregate broadcast into the filter (never a per-row
+    recomputation), the 'no orders' test is a LEFT ANTI join on
+    o_custkey (the only shuffle that scales with orders — and only its
+    o_custkey column is read), and the final group-by runs on the tiny
+    survivor set. The average is assembled from exact int64 sums so
+    the threshold double is engine-identical."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_row = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 10000).cast("bigint"))
+                / (F.lit(10000.0) * F.count("*"))
+            ).alias("avg_bal")
+        )
+    )
+    rich = cust.join(
+        broadcast(avg_row), F.col("c_acctbal") > F.col("avg_bal")
+    ).select("c_custkey", "c_name", "c_acctbal")
+    waiting = rich.join(
+        orders.select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        waiting.groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _fixed_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
