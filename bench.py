@@ -42,6 +42,9 @@ HEADLINE = [
     "local_supplier_volume_q5",
     "conversion_funnel",
     "time_weighted_avg",
+    "returned_revenue_q10",
+    "disjunctive_revenue_q19",
+    "quantity_discount_corr",
 ]
 
 

@@ -254,3 +254,49 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_val")
         )
     )
+
+
+@query(
+    "embedding_stats",
+    oracle="""
+    SELECT vec_id,
+           label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           list_sum(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+               / 10000.0 AS comp_sum,
+           list_max(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+               / 10000.0 AS comp_max,
+           list_min(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+               / 10000.0 AS comp_min
+    FROM embeddings
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector component statistics via higher-order functions —
+    the array-column profiling pass (dead/NaN dimension detection,
+    normalization QA) a vector pipeline runs before indexing. All
+    JVM-side (transform/aggregate/array_max inside codegen, no
+    Python); elements are fixed-pointed BEFORE the fold so the sum is
+    exact int64 and order-independent — float32 widening to double is
+    value-preserving in every engine, which makes the whole row
+    hash-checkable."""
+    emb = table(spark, sf_dir, "embeddings")
+    fp = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 10000).cast("long"),
+    )
+    staged = emb.select("vec_id", "label", fp.alias("fp"))
+    return staged.select(
+        "vec_id",
+        "label",
+        F.size("fp").alias("dim"),
+        (
+            F.aggregate(F.col("fp"), F.lit(0).cast("long"), lambda a, x: a + x)
+            / F.lit(10000.0)
+        ).alias("comp_sum"),
+        (F.array_max("fp") / F.lit(10000.0)).alias("comp_max"),
+        (F.array_min("fp") / F.lit(10000.0)).alias("comp_min"),
+    )
