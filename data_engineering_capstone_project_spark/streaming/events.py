@@ -236,3 +236,15 @@ def dedup_events(events: DataFrame, watermark: str = "90 days") -> DataFrame:
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+def enrich_events(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-STATIC enrichment join: each event picks up its user's
+    dimension attributes (the serving-pipeline lookup stage). The
+    static side is a batch DataFrame; Spark re-plans it per micro-batch
+    and broadcasts it under the join threshold, so the stream is never
+    shuffled and no watermark/state is needed (unlike stream-stream
+    joins) — the right shape for slowly-changing enrichment at any
+    stream rate. Left join: an event with no dimension row passes
+    through with NULL attributes rather than silently dropping."""
+    return events.join(user_dim, "user_id", "left")

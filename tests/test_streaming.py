@@ -340,3 +340,37 @@ def test_stream_funnel_equals_batch(spark, tmp_path_factory):
     assert agg.users_view == sum(s[0] for s in want.values())
     assert agg.users_view_click == sum(s[1] for s in want.values())
     assert agg.users_full_funnel == sum(s[2] for s in want.values())
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_dir):
+    """Stream-static left join must equal the batch join on the same
+    inputs, and must not drop dimension-less events."""
+    from data_engineering_capstone_project_spark.plans.registry import table
+    from data_engineering_capstone_project_spark.streaming.events import enrich_events
+
+    # user_id 0..149 ⊂ c_custkey; drop half the dim rows to exercise
+    # the NULL-passthrough path.
+    dim = (
+        table(spark, SF_SMALL, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    batch = spark.read.parquet(events_dir)
+    expected = sorted(
+        (r.event_id, r.segment)
+        for r in enrich_events(batch, dim).select("event_id", "segment").collect()
+    )
+    assert any(seg is None for _, seg in expected)  # passthrough exercised
+
+    stream = stream_events_from_dir(spark, events_dir, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        enrich_events(stream, dim), "t_enriched", output_mode="append"
+    )
+    got = sorted(
+        (r.event_id, r.segment)
+        for r in spark.table("t_enriched").select("event_id", "segment").collect()
+    )
+    assert got == expected
