@@ -374,3 +374,55 @@ def test_stream_static_enrichment_equals_batch(spark, events_dir):
         for r in spark.table("t_enriched").select("event_id", "segment").collect()
     )
     assert got == expected
+
+
+def test_incremental_serving_table_maintenance(spark, tmp_path):
+    """foreachBatch-maintained per-user serving table: final state
+    equals the batch aggregate; a checkpointed restart with no new data
+    changes nothing; a manually replayed batch id is a no-op."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        apply_user_counts_batch,
+        maintain_user_counts,
+    )
+
+    src = str(tmp_path / "src")
+    serving = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    ev = events_table(spark, SF_SMALL).limit(400).cache()
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    maintain_user_counts(stream_events_from_dir(spark, src, max_files_per_trigger=1),
+                         serving, ckpt)
+
+    got = {
+        r.user_id: (r.n_events, r.value_fp)
+        for r in spark.read.parquet(serving).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.value_fp)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint")).alias("value_fp"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # Restart with no new input: checkpoint makes it a no-op.
+    maintain_user_counts(stream_events_from_dir(spark, src), serving, ckpt)
+    assert {
+        r.user_id: (r.n_events, r.value_fp)
+        for r in spark.read.parquet(serving).collect()
+    } == want
+
+    # A re-delivered (already applied) batch id must not double-count.
+    max_applied = (
+        spark.read.parquet(serving).agg(F.max("applied_batch_id")).collect()[0][0]
+    )
+    assert not apply_user_counts_batch(spark, ev, max_applied, serving)
+    assert {
+        r.user_id: (r.n_events, r.value_fp)
+        for r in spark.read.parquet(serving).collect()
+    } == want
+    ev.unpersist()
