@@ -120,3 +120,48 @@ def expect_unique(df: DataFrame, columns: Sequence[str], table: str = "?") -> No
         raise DataQualityError(
             f"Data quality check failed. {table} has duplicate keys on {list(columns)}"
         )
+
+
+def observed_write_parquet(
+    df: DataFrame,
+    path: str,
+    require_nonempty_cols: Sequence[str] = (),
+    table: str = "?",
+) -> dict[str, int]:
+    """Write + quality gate in ONE scan via ``df.observe``: the row
+    count and per-column null counts are accumulated by the SAME job
+    that writes the parquet, then asserted afterwards — where
+    ``expect_no_nulls`` + ``expect_nonempty`` + write would scan the
+    input three times (the difference between one pass and three over
+    a 100 TB stage output). Raises DataQualityError AFTER the write if
+    a gate fails (the caller owns cleanup/quarantine of the written
+    path — observation can't veto rows already streamed to the sink).
+    Returns the observed metrics."""
+    from pyspark.sql import Observation
+
+    for c in require_nonempty_cols:
+        if not _IDENT.match(c):
+            raise ValueError(f"bad column identifier: {c}")
+    obs = Observation(f"quality:{table}")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in require_nonempty_cols
+        ],
+    )
+    observed.write.mode("overwrite").parquet(path)
+    metrics = {k: int(v or 0) for k, v in obs.get.items()}
+    if metrics["rows"] < 1:
+        raise DataQualityError(f"Data quality check failed. {table} is empty")
+    bad = {
+        c: metrics[f"nulls_{c}"]
+        for c in require_nonempty_cols
+        if metrics[f"nulls_{c}"] > 0
+    }
+    if bad:
+        raise DataQualityError(
+            f"Data quality check failed. {table} contains NULLs: {bad}"
+        )
+    return metrics

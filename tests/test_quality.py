@@ -52,3 +52,26 @@ def test_expect_max_length(spark):
     expect_max_length(df, {"a": 3, "b": 1}, table="t")  # passes
     with pytest.raises(DataQualityError, match="exceeds declared lengths"):
         expect_max_length(df, {"a": 2}, table="t")
+
+
+def test_observed_write_single_pass(spark, tmp_path):
+    """observe()-based gate: metrics come from the write job itself;
+    clean data passes, a NULL column fails AFTER the write."""
+    from data_engineering_capstone_project_spark.quality import (
+        DataQualityError,
+        observed_write_parquet,
+    )
+
+    good = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    )
+    out = str(tmp_path / "good")
+    m = observed_write_parquet(good, out, ["id", "name"], table="good")
+    assert m["rows"] == 2 and m["nulls_id"] == 0
+    assert spark.read.parquet(out).count() == 2
+
+    bad = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "id bigint, name string"
+    )
+    with pytest.raises(DataQualityError, match="NULL"):
+        observed_write_parquet(bad, str(tmp_path / "bad"), ["id"], table="bad")
