@@ -248,3 +248,24 @@ def enrich_events(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     stream rate. Left join: an event with no dimension row passes
     through with NULL attributes rather than silently dropping."""
     return events.join(user_dim, "user_id", "left")
+
+
+def tumbling_unique_users(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Distinct users per event-time window via approx_count_distinct —
+    the ONLY distinct-count that works in streaming aggregation (exact
+    COUNT(DISTINCT) needs the full value set per group; HLL sketches
+    are O(1) state and merge associatively across micro-batches, so
+    the incremental result equals the batch result exactly, not just
+    approximately — asserted in test_streaming)."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window).alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "approx_users",
+        )
+    )

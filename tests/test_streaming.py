@@ -426,3 +426,20 @@ def test_incremental_serving_table_maintenance(spark, tmp_path):
         for r in spark.read.parquet(serving).collect()
     } == want
     ev.unpersist()
+
+
+def test_stream_approx_distinct_equals_batch(spark, events_dir):
+    """HLL sketches merge associatively: the micro-batch incremental
+    approx_count_distinct must equal the batch run bit-for-bit."""
+    from data_engineering_capstone_project_spark.streaming.events import (
+        tumbling_unique_users,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    expected = _canon(tumbling_unique_users(batch))
+
+    stream = stream_events_from_dir(spark, events_dir, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        tumbling_unique_users(stream, watermark="90 days"), "t_uniq"
+    )
+    assert _canon(spark.table("t_uniq")) == expected
