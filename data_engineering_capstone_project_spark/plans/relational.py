@@ -1448,3 +1448,58 @@ def waiting_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fixed_sum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+@query(
+    "customer_spend_tiers",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               sum(CAST(floor(o_totalprice * 10000) AS BIGINT)) AS spend_fp
+        FROM orders
+        GROUP BY 1
+    ),
+    cuts AS (
+        SELECT quantile_cont(spend_fp, 0.25) AS c1,
+               quantile_cont(spend_fp, 0.50) AS c2,
+               quantile_cont(spend_fp, 0.75) AS c3
+        FROM spend
+    )
+    SELECT custkey,
+           spend_fp / 10000.0 AS total_spend,
+           CAST(1 + (spend_fp > c1)::INT + (spend_fp > c2)::INT
+                  + (spend_fp > c3)::INT AS INTEGER) AS tier
+    FROM spend, cuts
+    """,
+)
+def customer_spend_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``customer_spend_quartiles``: value-cutoff
+    tiers instead of equal-count ranks. The quartile cutoffs come from
+    ONE distributed percentile aggregate (partial+final, no global
+    sort — ntile's single-partition sort is this plan's whole cost at
+    scale), broadcast as a 1-row frame; tier assignment is then a pure
+    projection. Spark ``percentile`` and DuckDB ``quantile_cont`` are
+    the same linear interpolation over exact int64 spends, so even the
+    cutoffs hash-match."""
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("bigint")).alias(
+            "spend_fp"
+        )
+    )
+    cuts = spend.agg(
+        F.expr("percentile(spend_fp, 0.25)").alias("c1"),
+        F.expr("percentile(spend_fp, 0.50)").alias("c2"),
+        F.expr("percentile(spend_fp, 0.75)").alias("c3"),
+    )
+    tier = (
+        F.lit(1)
+        + (F.col("spend_fp") > F.col("c1")).cast("int")
+        + (F.col("spend_fp") > F.col("c2")).cast("int")
+        + (F.col("spend_fp") > F.col("c3")).cast("int")
+    )
+    return spend.join(broadcast(cuts)).select(
+        "custkey",
+        (F.col("spend_fp") / F.lit(10000.0)).alias("total_spend"),
+        tier.cast("int").alias("tier"),
+    )
