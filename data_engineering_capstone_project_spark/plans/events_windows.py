@@ -383,3 +383,45 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("user_id")).alias("users"),
         F.count_distinct(F.col("ts").cast("date")).alias("active_days"),
     )
+
+
+@query(
+    "views_converted_10min",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           epoch_us(a.ts) AS view_us,
+           epoch_us(b.ts) AS purchase_us,
+           floor(b.value * 10000) / 10000.0 AS purchase_value
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def views_converted_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (``streaming.events.views_purchase_interval_join`` — the SAME
+    transform, watermarks no-op in batch): views matched to same-user
+    purchases within 10 minutes after. This registry entry gives the
+    interval-join operator a DuckDB value oracle on top of its
+    streaming parity test. The equi-key (user_id) makes it a hash
+    join with the interval as a join-time residual — never a
+    BroadcastNestedLoop."""
+    from data_engineering_capstone_project_spark.streaming.events import (
+        views_purchase_interval_join,
+    )
+
+    ev = events_table(spark, sf_dir)
+    joined = views_purchase_interval_join(ev, within="10 minutes")
+    return joined.select(
+        "user_id",
+        "view_id",
+        F.unix_micros(F.col("view_ts")).alias("view_us"),
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+        (F.floor(F.col("purchase_value") * 10000) / F.lit(10000.0)).alias(
+            "purchase_value"
+        ),
+    )
