@@ -1503,3 +1503,52 @@ def customer_spend_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("spend_fp") / F.lit(10000.0)).alias("total_spend"),
         tier.cast("int").alias("tier"),
     )
+
+
+@query(
+    "customer_order_reconciliation",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, sum(CAST(floor(o_totalprice * 10000) AS BIGINT)) AS spend_fp
+        FROM orders GROUP BY 1
+    )
+    SELECT coalesce(c_custkey, o_custkey) AS custkey,
+           CASE WHEN c_custkey IS NULL THEN 'orphan_orders'
+                WHEN o_custkey IS NULL THEN 'no_orders'
+                ELSE 'matched' END AS status,
+           coalesce(spend_fp, 0) / 10000.0 AS total_spend,
+           c_acctbal IS NOT NULL AS has_account
+    FROM customer FULL OUTER JOIN spend ON c_custkey = o_custkey
+    """,
+)
+def customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided integrity reconciliation via FULL OUTER join — the
+    referential-audit shape (orders with no customer AND customers with
+    no orders surface in one pass, where separate anti-joins scan each
+    side twice). A full outer cannot broadcast (both sides must
+    survive), so it is planned as the shuffle join it has to be —
+    the point is one shuffle instead of two anti-join passes."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 10000).cast("bigint")).alias(
+                "spend_fp"
+            )
+        )
+    )
+    joined = cust.join(
+        spend, cust.c_custkey == spend.o_custkey, "full_outer"
+    )
+    status = (
+        F.when(F.col("c_custkey").isNull(), "orphan_orders")
+        .when(F.col("o_custkey").isNull(), "no_orders")
+        .otherwise("matched")
+    )
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        status.alias("status"),
+        (F.coalesce("spend_fp", F.lit(0)) / F.lit(10000.0)).alias("total_spend"),
+        F.col("c_acctbal").isNotNull().alias("has_account"),
+    )
