@@ -168,12 +168,13 @@ def test_simhash_banded_pairs_is_exact(spark, sigs, flips):
     all_sigs = list(sigs)
     for src, bits in flips:
         if src < len(sigs):
-            v = sigs[src]
+            # Flip in unsigned-64 space, then wrap to signed: Python's
+            # unbounded-int XOR on a NEGATIVE value escapes int64 (e.g.
+            # -1 ^ 2**63 = -2**63 - 1) and createDataFrame rejects it.
+            u = sigs[src] & (2**64 - 1)
             for b in bits:
-                v ^= 1 << b
-            if v >= 2**63:
-                v -= 2**64
-            all_sigs.append(v)
+                u ^= 1 << b
+            all_sigs.append(u - 2**64 if u >= 2**63 else u)
     rows = [(i, s) for i, s in enumerate(all_sigs)]
     df = spark.createDataFrame(rows, "doc long, sig long")
     got = sorted(
