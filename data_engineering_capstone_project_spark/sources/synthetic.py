@@ -23,7 +23,12 @@ import hashlib
 from collections.abc import Iterator, Sequence
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _EPOCH = datetime(2024, 1, 1)
 _TYPES = ("view", "click", "purchase", "signup", "error")
@@ -61,8 +66,35 @@ class SyntheticEventsReader(DataSourceReader):
             yield _row(i)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: offsets are row counters, each micro-batch
+    serves the next ``rows_per_batch`` ids (capped at ``rows``) — the
+    working proof of the NON-FILE streaming-source path that the Kafka
+    seam cannot exercise in this sandbox (no connector jar). Offset
+    bookkeeping is Spark's: ``read(start)`` returns (rows, nextOffset)
+    and a replay between committed offsets regenerates identical rows
+    because content is a pure function of event_id — which is exactly
+    the replayability contract exactly-once sinks need from a source.
+    """
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.per_batch, self.rows)
+        return iter([_row(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(start["next"], end["next"])])
+
+
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("synthetic_events").option("rows", N)``."""
+    """``spark.read[Stream].format("synthetic_events").option("rows", N)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -76,6 +108,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:
