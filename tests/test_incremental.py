@@ -174,3 +174,50 @@ def test_range_clustered_files_have_disjoint_stats(spark, tmp_path):
     assert len(ranges) == 4
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: {ranges}"
+
+
+def test_zorder_layout_tightens_both_axes(spark, tmp_path):
+    """Z-order vs single-axis range clustering: per-file min/max spans
+    must be tight on BOTH cluster columns under Z-order, while
+    single-axis clustering leaves the second column unpruned (full
+    span per file)."""
+    import glob
+
+    from data_engineering_capstone_project_spark.plans.registry import events_table
+    from data_engineering_capstone_project_spark.sources.writers import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = events_table(spark, SF_SMALL).select("user_id", "value").cache()
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder_clustered(ev, zdir, ["user_id", "value"], n_files=8)
+    write_range_clustered(ev, rdir, ["user_id"], n_files=8)
+
+    def avg_span(d, col):
+        spans = []
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            row = (
+                spark.read.parquet(f)
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .collect()[0]
+            )
+            spans.append(float(row.hi) - float(row.lo))
+        assert len(spans) == 8
+        return sum(spans) / len(spans)
+
+    g = ev.agg(
+        (F.max("value") - F.min("value")).alias("v"),
+        (F.max("user_id") - F.min("user_id")).alias("u"),
+    ).collect()[0]
+
+    # Z-order must be substantially tighter than single-axis clustering
+    # on the SECOND column (the one single-axis ignores)...
+    assert avg_span(zdir, "value") < 0.5 * avg_span(rdir, "value")
+    assert avg_span(zdir, "value") < 0.5 * g.v
+    # ...while still localizing the first column below its full span
+    # (single-axis wins its own axis outright — that's the trade).
+    assert avg_span(zdir, "user_id") < 0.7 * g.u
+    assert avg_span(rdir, "user_id") < avg_span(zdir, "user_id")
+    ev.unpersist()
