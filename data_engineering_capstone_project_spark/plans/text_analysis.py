@@ -745,3 +745,115 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("lang", "tok", "occurrences", "rank")
     )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest({_SHINGLES}) AS sh
+        FROM documents WHERE source = 'src0'
+    ),
+    cand AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS sh
+        FROM documents WHERE source <> 'src0'
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_shingles
+        FROM cand GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_contaminated
+        FROM cand c JOIN bench b ON c.sh = b.sh
+        GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           t.n_shingles,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           floor(coalesce(h.n_contaminated, 0) / t.n_shingles * 10000)
+               / 10000.0 AS contamination
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan — the pretraining-hygiene op: for
+    every candidate doc, how many of its distinct 3-word shingles also
+    appear in the held-out set (source 'src0' stands in for the eval
+    benchmark)? LINEAR: both sides explode to (shingle, doc) rows and
+    meet in ONE equi-join on the shingle hash — never a doc-x-doc
+    compare; the benchmark side deduplicates to a distinct-shingle set
+    first, which at real scale is a broadcastable few million rows.
+    Docs with zero overlap are kept (left join) — silence is a result."""
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", D.tokenize(F.col("text")).alias("toks")
+    )
+    sh = toked.select(
+        "doc_id",
+        "source",
+        F.explode(D.word_shingles(F.col("toks"), 3)).alias("sh"),
+    )
+    bench = (
+        sh.filter(F.col("source") == "src0").select("sh").distinct()
+    )
+    cand = sh.filter(F.col("source") != "src0").select("doc_id", "sh")
+    totals = cand.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        cand.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (
+            F.floor(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_shingles")
+                * 10000
+            )
+            / F.lit(10000.0)
+        ).alias("contamination"),
+    )
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(greatest(len({_TOKS}) - 2, 0) AS BIGINT) AS total_shingles,
+           CAST(len({_SHINGLES}) AS BIGINT) AS distinct_shingles,
+           CASE WHEN greatest(len({_TOKS}) - 2, 0) = 0 THEN 0.0
+                ELSE floor((1 - len({_SHINGLES})
+                            / CAST(greatest(len({_TOKS}) - 2, 0) AS DOUBLE))
+                           * 10000) / 10000.0
+           END AS repetition
+    FROM documents
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the boilerplate/looping-generation
+    signal): 1 - distinct/total 3-word shingles. Pure projection —
+    both counts come from the one materialized token array, no
+    shuffle, no join; the repeated-content docs this flags are the
+    ones MinHash then over-pairs, so it runs FIRST in the pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", D.tokenize(F.col("text")).alias("toks"))
+    total = F.greatest(F.size("toks") - 2, F.lit(0)).cast("long")
+    staged = toked.select(
+        "doc_id",
+        total.alias("total_shingles"),
+        F.size(D.word_shingles(F.col("toks"), 3)).cast("long").alias(
+            "distinct_shingles"
+        ),
+    )
+    rep = F.when(F.col("total_shingles") == 0, F.lit(0.0)).otherwise(
+        F.floor(
+            (1 - F.col("distinct_shingles") / F.col("total_shingles")) * 10000
+        )
+        / F.lit(10000.0)
+    )
+    return staged.select(
+        "doc_id", "total_shingles", "distinct_shingles", rep.alias("repetition")
+    )
