@@ -1552,3 +1552,44 @@ def customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.coalesce("spend_fp", F.lit(0)) / F.lit(10000.0)).alias("total_spend"),
         F.col("c_acctbal").isNotNull().alias("has_account"),
     )
+
+
+# TPC-H Q4 shape: EXISTS semi-join whose condition spans both tables —
+# count orders having at least one line item shipped after the order
+# date, by priority.
+@query(
+    "late_shipment_orders_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def late_shipment_orders_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 re-expression. LEFT SEMI join on the order key with the
+    cross-table date comparison as a join residual: each order is
+    emitted at most once no matter how many qualifying line items
+    exist (the property EXISTS has and an inner join + distinct pays a
+    dedup shuffle for). Only the quarter's orders shuffle; lineitem
+    contributes just (l_orderkey, l_shipdate) after pruning."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
