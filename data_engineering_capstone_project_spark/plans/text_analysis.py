@@ -857,3 +857,66 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id", "total_shingles", "distinct_shingles", rep.alias("repetition")
     )
+
+
+@query(
+    "doc_rarity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+        FROM documents
+    ),
+    df AS (
+        SELECT tok, count(DISTINCT doc_id) AS doc_freq
+        FROM toks GROUP BY tok
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t.doc_id,
+           count(*) AS n_distinct_toks,
+           sum(d.doc_freq) AS df_sum,
+           floor((1 - sum(d.doc_freq)
+                      / (count(*) * CAST(n.n_docs AS DOUBLE))) * 10000)
+               / 10000.0 AS rarity
+    FROM toks t JOIN df d ON t.tok = d.tok CROSS JOIN n
+    GROUP BY t.doc_id, n.n_docs
+    """,
+)
+def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-rarity score without a model: 1 - mean document
+    frequency of the doc's distinct tokens (boilerplate vocabulary
+    scores ~0, rare-vocabulary docs score high) — the cheap
+    perplexity proxy for quality filtering. Two linear shuffles: token
+    document-frequencies (distinct-doc count per token), then a join
+    back from each doc's tokens to those frequencies. All-integer
+    sums with ONE final division keep it engine-exact — a log-prob
+    variant would hash-diverge on libm differences."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(D.word_set(F.col("text"))).alias("tok")
+    )
+    df_tbl = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    per_doc = (
+        toks.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_toks"),
+            F.sum("doc_freq").alias("df_sum"),
+        )
+    )
+    rarity = (
+        F.floor(
+            (
+                1
+                - F.col("df_sum")
+                / (F.col("n_distinct_toks") * F.lit(float(n_docs)))
+            )
+            * 10000
+        )
+        / F.lit(10000.0)
+    )
+    return per_doc.select(
+        "doc_id", "n_distinct_toks", "df_sum", rarity.alias("rarity")
+    )
