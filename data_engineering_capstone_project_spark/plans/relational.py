@@ -1593,3 +1593,79 @@ def late_shipment_orders_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+# TPC-H Q6 shape: the minimal scan benchmark — three pushable
+# predicates, no join, one global sum.
+@query(
+    "forecast_revenue_q6",
+    oracle="""
+    SELECT sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT))
+               / 10000.0 AS revenue,
+           count(*) AS line_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: every predicate reaches the parquet scan (range on
+    shipdate prunes row groups; discount/quantity filter what's left),
+    then a single partial+final sum — the query whose whole cost IS
+    the scan, which makes it the canonical pushdown regression."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast(
+        "bigint"
+    )
+    return li.agg(
+        (F.sum(rev) / F.lit(10000.0)).alias("revenue"),
+        F.count("*").alias("line_items"),
+    )
+
+
+# TPC-H Q12 shape: conditional aggregation after a fact-fact join —
+# "how many critical orders shipped in each line status".
+@query(
+    "priority_shipping_q12",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def priority_shipping_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 re-expression over the available columns: the date
+    range prunes lineitem at the scan, the join shuffles only the
+    year's rows, and both priority classes come out of ONE pass as
+    conditional sums (a per-class GROUP BY + pivot would shuffle the
+    classification; CASE inside the aggregate does not)."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
