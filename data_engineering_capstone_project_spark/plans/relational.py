@@ -1669,3 +1669,105 @@ def priority_shipping_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# TPC-H Q15 shape: aggregate-of-aggregate — suppliers whose quarterly
+# revenue equals the maximum quarterly revenue.
+@query(
+    "top_supplier_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                   AS total_fp
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_fp / 10000.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_fp = (SELECT max(total_fp) FROM revenue)
+    """,
+)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 re-expression: the per-supplier revenue aggregate is
+    computed ONCE and reused for both the max (a 1-row aggregate
+    broadcast into the filter) and the detail rows — persist() makes
+    the reuse explicit since Catalyst will not share the subtree
+    across the two consumers. Exact int64 revenue means the max
+    comparison is an integer equality — no double-tie ambiguity."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev_row = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev_row).alias("total_fp"))
+        .persist()
+    )
+    max_rev = revenue.agg(F.max("total_fp").alias("max_fp"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(broadcast(max_rev), F.col("total_fp") == F.col("max_fp"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_fp") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+# TPC-H Q18 shape: join against a grouped-HAVING subquery — customers
+# placing very large orders.
+@query(
+    "large_order_customers_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS order_day,
+           floor(o_totalprice * 10000) / 10000.0 AS total_price
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN big ON o_orderkey = big.l_orderkey
+    """,
+)
+def large_order_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 re-expression: the HAVING subquery reduces lineitem
+    to qualifying order keys FIRST (partial-agg + filter — tiny
+    output), then drives semi-style joins back to orders/customer, so
+    the expensive tables only ever join against the filtered key set.
+    Exact integer quantity sum keeps the >150 cut engine-identical."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("order_day"),
+            (F.floor(F.col("o_totalprice") * 10000) / F.lit(10000.0)).alias(
+                "total_price"
+            ),
+        )
+    )
