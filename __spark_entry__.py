@@ -30,9 +30,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Queries the driver's 50-query correctness sample has never covered
+# (diff of queries() vs CORRECTNESS_r01 ∪ r02). The driver samples the
+# FIRST 50 entries in dict order, so these are listed first to close
+# the builder-tested vs driver-verified gap; the remaining slots fill
+# with already-verified queries in registry order.
+_DRIVER_SAMPLE_FIRST = [
+    "revenue_by_priority_bucketed",
+    "lsh_pairs_jaccard_verified",
+    "doc_pii_scrub",
+    "top_bigrams",
+    "dedup_components",
+    "dedup_canonical",
+    "char_ngram_jaccard",
+    "top_tokens_per_lang",
+    "contamination_check",
+    "doc_repetition",
+    "doc_rarity",
+    "events_resampled_5min",
+    "conversion_funnel",
+    "time_weighted_avg",
+    "events_distinct_users",
+    "views_converted_10min",
+    "ann_ivf_topk",
+    "label_centroids",
+    "embedding_stats",
+    "views_asof_purchase",
+    "orders_within_90d",
+    "media_meta",
+    "video_frame_plan",
+    "audio_levels",
+    "image_resize_plan",
+    "image_phash_dedup",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    ordered = {n: QUERIES[n] for n in _DRIVER_SAMPLE_FIRST if n in QUERIES}
+    ordered.update(QUERIES)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -54,12 +54,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table with ``ts`` as a proper TimestampType.
+    """The events table with ``ts`` normalized to TimestampType (tz-aware).
 
-    The parquet stores TIMESTAMP(NANOS), which Spark reads as int64 only
-    (``nanosAsLong``); convert with integer division (ns are ~1.7e18 --
-    beyond double's 53-bit mantissa, so ``/`` would corrupt them) to the
-    same microsecond truncation DuckDB applies to nanos timestamps.
+    The testdata's ``ts`` encoding has shipped two ways, and downstream
+    plans (``unix_micros``, ``CAST(ts AS LONG)``, window()) require the
+    tz-aware TimestampType, so normalize both here:
+
+    * ``timestamp[us]`` with no UTC flag -> Spark 4 infers TIMESTAMP_NTZ.
+      The session timezone is pinned UTC (session.py), so casting NTZ ->
+      timestamp is a pure re-tag of the same instant.
+    * TIMESTAMP(NANOS) -> Spark has no nanos type and reads int64 only
+      (``nanosAsLong``); convert with integer division (ns are ~1.7e18,
+      beyond double's 53-bit mantissa, so ``/`` would corrupt them) to
+      the same microsecond truncation DuckDB applies.
     """
     from pyspark.sql import functions as F
 
@@ -67,6 +74,9 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session, not just ones built by our get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = table(spark, sf_dir, "events")
-    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df

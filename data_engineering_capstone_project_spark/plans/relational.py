@@ -745,6 +745,88 @@ def revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int = 16):
+    """Co-bucketed (lineitem, orders) managed tables keyed on orderkey —
+    the ingest-time layout that turns the repo's worst-scaling join
+    (fact-to-fact on orderkey, 40x probe ratio 5.87 unbucketed) into a
+    ZERO-Exchange local zip of corresponding buckets.
+
+    Written once per sf_dir (idempotent reuse via tableExists): in
+    production this is the one-time bucketing at ingest, and every
+    downstream orderkey join/agg inherits the layout for free. Bucket
+    count is the knob to size one bucket to an executor core's memory
+    (16 here for local[32]/sf0.1; a 100 TB lineitem wants ~2^13-2^15).
+
+    A fresh metastore can meet a leftover warehouse directory from an
+    earlier session (saveAsTable then fails LOCATION_ALREADY_EXISTS),
+    so a stale unregistered location is cleared before writing.
+    """
+    import re as _re
+    import shutil
+    from pathlib import Path
+
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
+    warehouse = Path(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+            "file:", ""
+        )
+    )
+    out = []
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        name = f"bkt_{tbl}_{tag}"
+        if not spark.catalog.tableExists(name):
+            loc = warehouse / name
+            if loc.exists():
+                shutil.rmtree(loc)
+            from data_engineering_capstone_project_spark.sources.writers import (
+                write_bucketed_table,
+            )
+
+            write_bucketed_table(
+                table(spark, sf_dir, tbl), name, [key], n_buckets, sort_cols=[key]
+            )
+        out.append(spark.table(name))
+    return tuple(out)
+
+
+@query(
+    "revenue_by_priority_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           count(*) AS line_count,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def revenue_by_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed twin of ``revenue_by_priority``: identical semantics (and
+    identical oracle — bucketing is pure layout), but both facts are read
+    from co-bucketed tables so the orderkey join runs with no Exchange on
+    either side (asserted in test_plan_shapes). The only shuffle left is
+    the tiny partial->final agg on (priority, year) — ~35 grouped rows per
+    partition regardless of fact size. This is the registered proof of the
+    100 TB answer for fact-to-fact joins: pay the shuffle once at ingest,
+    never again per query."""
+    li, orders = bucketed_orderkey_tables(spark, sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("line_count"),
+            _fixed_sum(revenue, "revenue"),
+        )
+    )
+
+
 @query(
     "big_orders_having",
     oracle="""
@@ -1636,10 +1718,10 @@ def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_shipping_q12",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -63,9 +63,10 @@ def get_spark(
         # Keep parquet scans vectorized + pushdown-friendly.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # The driver's events table stores TIMESTAMP(NANOS); Spark has no
-        # nanos timestamp type, so read as int64 nanos and convert at the
-        # source wrapper (plans.registry.events_table).
+        # The driver's events table has shipped as both timestamp[us]
+        # (no UTC flag -> TIMESTAMP_NTZ) and TIMESTAMP(NANOS); the source
+        # wrapper (plans.registry.events_table) normalizes both. nanosAsLong
+        # makes the nanos encoding readable at all (Spark has no nanos type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for key, value in (extra_conf or {}).items():

@@ -179,3 +179,33 @@ def test_q19_disjunction_pushes_to_both_scans(spark):
     pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
     assert len(pushed) >= 2
     assert all("Or(" in line for line in pushed), pushed
+
+
+def test_bucketed_fact_join_no_exchange(spark):
+    """revenue_by_priority_bucketed: with both facts co-bucketed on the
+    orderkey, the join must run with ZERO Exchange below it — the only
+    exchange in the whole plan is the tiny partial->final agg on
+    (priority, year). Broadcast is disabled so the test exercises the
+    shuffle path the bucketing removes (at 100 TB neither fact
+    broadcasts)."""
+    from data_engineering_capstone_project_spark.plans.relational import (
+        bucketed_orderkey_tables,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, orders = bucketed_orderkey_tables(spark, SF_SMALL)
+        joined = li.select("l_orderkey", "l_extendedprice").join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+
+        # The full registered query: the ONLY exchange is the final agg.
+        full = _plan(QUERIES["revenue_by_priority_bucketed"](spark, SF_SMALL))
+        n_ex = full.count("Exchange ")
+        assert n_ex <= 1, f"expected <=1 Exchange, got {n_ex}:\n{full}"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
