@@ -1853,3 +1853,451 @@ def large_order_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7/Q8/Q9/Q11/Q14/Q16/Q20/Q21 re-expressions (SURVEY.md §2.10 ad-hoc
+# surface; the reference has none of these, but a warehouse "flexible enough
+# to answer questions that have not yet been defined" — reference
+# README.md:65 — must plan them well). Adapted to the driver schema: no
+# partsupp table (Q9/Q11/Q16/Q20 pivot to lineitem-derived equivalents), no
+# commit/receipt dates (Q21 defines late as shipped >60 days after order).
+@query(
+    "volume_shipping_q7",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bidirectional trade volume between two nations by ship
+    year. Scale shape: the 2-of-25-nations filter lands on supplier and
+    customer BEFORE either fact is touched (nation is a broadcast few-row
+    dim), so both fact joins see 2/25 of the key space; the only
+    unavoidable big shuffle is lineitem⋈orders on orderkey. The date
+    range is a plain pushdown predicate on the lineitem scan."""
+    nations = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(_fixed_sum(revenue, "revenue"))
+    )
+
+
+@query(
+    "market_share_q8",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           sum(CAST(floor(CASE WHEN sn.n_name = 'NATION_5'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END * 10000) AS BIGINT)) / 10000.0
+               AS nation_revenue,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) / 10000.0 AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's promo-part revenue per
+    year, returned as (nation_revenue, total_revenue) exact fixed-point
+    pairs (the caller divides; shipping both sums keeps the oracle
+    hash-exact where a double division ratio would still be fine but a
+    single CASE'd sum is clearer to verify). Scale shape: the selective
+    p_type filter reduces lineitem via the partkey join first; region⋈
+    nation collapses to a broadcast before customer; supplier-nation
+    lookup is a broadcast; the fact-fact orderkey shuffle happens on
+    promo lines only (1/6 of lineitem)."""
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nations = (
+        table(spark, sf_dir, "nation")
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    promo_parts = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_5", revenue).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            _fixed_sum(nation_rev, "nation_revenue"),
+            _fixed_sum(revenue, "total_revenue"),
+        )
+    )
+
+
+@query(
+    "product_profit_q9",
+    oracle="""
+    SELECT n.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                           - p.p_retailprice * l.l_quantity * 0.01) * 10000)
+                    AS BIGINT)) / 10000.0 AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_type = 'STANDARD'
+    GROUP BY 1, 2
+    """,
+)
+def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp: supply cost modeled as 1% of
+    retail price per unit): profit by supplier nation and order year over
+    one part type. Scale shape: part filter joins first (prunes
+    lineitem on the partkey shuffle), supplier→nation is a broadcast
+    chain, then one orderkey fact-fact shuffle, then an agg whose group
+    count (25 nations × years) is tiny."""
+    parts = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey", "p_retailprice")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01)
+    )
+    return (
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("supp_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(_fixed_sum(profit, "profit"))
+    )
+
+
+@query(
+    "top_revenue_parts_q11",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS rev_fp
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, rev_fp / 10000.0 AS part_revenue
+    FROM per_part
+    WHERE rev_fp > (SELECT 0.0008 * sum(rev_fp) FROM per_part)
+    """,
+)
+def top_revenue_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp: "important stock" becomes parts
+    whose revenue exceeds a fixed fraction of GLOBAL revenue). The
+    scalar-subquery shape: one partkey agg over the fact, a 1-row global
+    total derived from the SAME aggregate (no second fact scan), cross
+    joined (broadcast of one row) as the HAVING threshold. The fraction
+    makes the predicate scale-invariant — at any SF it selects the same
+    share of parts, unlike an absolute cutoff."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev_fp).alias("rev_fp"))
+    total = per_part.agg(
+        (F.sum("rev_fp") * F.lit(0.0008)).alias("threshold_fp")
+    )
+    return (
+        per_part.join(broadcast(total))
+        .filter(F.col("rev_fp") > F.col("threshold_fp"))
+        .select(
+            "l_partkey",
+            (F.col("rev_fp") / F.lit(10000.0)).alias("part_revenue"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_q14",
+    oracle="""
+    SELECT sum(CAST(floor(CASE WHEN p.p_type = 'PROMO'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END * 10000) AS BIGINT)) / 10000.0
+               AS promo_revenue,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) / 10000.0 AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo vs total revenue for one ship month, returned as
+    the exact fixed-point pair (promo percent = 100*promo/total is the
+    caller's one division). Scale shape: the month predicate is a
+    parquet-pushdown range on the lineitem scan (the dominant filter
+    axis the layout module clusters on), so the partkey join sees only
+    that month's lines; part side carries just (p_partkey, p_type)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    parts = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _fixed_sum(promo, "promo_revenue"),
+            _fixed_sum(revenue, "total_revenue"),
+        )
+    )
+
+
+@query(
+    "supplier_part_counts_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+    GROUP BY 1, 2
+    """,
+)
+def supplier_part_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp: supplier-per-part relationships
+    come from shipped lineitems). Distinct-count of suppliers per
+    (brand, size) with NOT-filters on the part side. Scale shape: the
+    part-side exclusions prune before the fact join; countDistinct
+    becomes a two-phase Expand aggregate — both shuffles are on bounded
+    key spaces (brand × size, then + suppkey)."""
+    parts = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "promo_part_suppliers_q20",
+    oracle="""
+    WITH promo_qty AS (
+        SELECT l.l_suppkey,
+               sum(CAST(floor(l.l_quantity * 10000) AS BIGINT)) AS qty_fp
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_type = 'PROMO'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name AS supp_nation, q.qty_fp / 10000.0 AS promo_qty
+    FROM promo_qty q
+    JOIN supplier s ON q.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE q.qty_fp > (SELECT 1.5 * avg(qty_fp) FROM promo_qty)
+    """,
+)
+def promo_part_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availqty: "excess stock" becomes
+    suppliers whose promo-part shipped quantity in a year exceeds 1.5×
+    the average across suppliers — relative like the original's
+    0.5×sum form, so it stays selective at every SF). Scale shape:
+    part-type filter joins first, one suppkey agg (bounded key space),
+    1-row average broadcast, then supplier/nation broadcast lookups."""
+    promo_parts = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qty_fp = F.floor(F.col("l_quantity") * 10000).cast("bigint")
+    promo_qty = (
+        li.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(qty_fp).alias("qty_fp"))
+    )
+    threshold = promo_qty.agg((F.avg("qty_fp") * F.lit(1.5)).alias("thr"))
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        promo_qty.join(broadcast(threshold))
+        .filter(F.col("qty_fp") > F.col("thr"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_name",
+            "supp_nation",
+            (F.col("qty_fp") / F.lit(10000.0)).alias("promo_qty"),
+        )
+    )
+
+
+@query(
+    "sole_late_supplier_q21",
+    oracle="""
+    WITH per_os AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ),
+    per_o AS (
+        SELECT l_orderkey,
+               count(*) AS n_supp,
+               CAST(sum(is_late) AS BIGINT) AS n_late
+        FROM per_os GROUP BY 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM per_os x
+    JOIN per_o o ON x.l_orderkey = o.l_orderkey
+    JOIN supplier s ON x.l_suppkey = s.s_suppkey
+    WHERE x.is_late = 1 AND o.n_supp >= 2 AND o.n_late = 1
+    GROUP BY 1
+    """,
+)
+def sole_late_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no commit/receipt dates: "late" = shipped more
+    than 60 days after the order date): suppliers who were the ONLY late
+    shipper on a finished multi-supplier order. The EXISTS/NOT-EXISTS
+    pair of the original is re-expressed as ONE (order, supplier)
+    aggregate followed by per-order WINDOW counts — a self-join of the
+    aggregate against its own groupBy would compute the fact join twice
+    (no Exchange reuse survives differing column pruning; verified), so
+    the window form is what keeps this a single pass over the fact.
+    Scale shape: one orderkey+suppkey agg shuffle over the joined fact,
+    then a window shuffle over the already-tiny per-(order,supplier)
+    relation; window state per order = a running count, never the
+    order's lines."""
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_os = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("is_late").over(w).cast("bigint").alias("n_late"),
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

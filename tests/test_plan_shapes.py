@@ -209,3 +209,46 @@ def test_bucketed_fact_join_no_exchange(spark):
         assert n_ex <= 1, f"expected <=1 Exchange, got {n_ex}:\n{full}"
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+@pytest.mark.parametrize(
+    "name", ["volume_shipping_q7", "promo_revenue_q14"]
+)
+def test_tpch_extras_push_ship_date_range(spark, name):
+    """Q7/Q14: the l_shipdate range must reach the lineitem scan as
+    PushedFilters — it is the dominant data-reduction axis at 100 TB."""
+    plan = _plan(QUERIES[name](spark, SF_SMALL))
+    pushed = [
+        line
+        for line in plan.splitlines()
+        if "PushedFilters" in line and "l_shipdate" in line
+    ]
+    assert any(
+        "GreaterThanOrEqual" in line and "LessThan" in line for line in pushed
+    ), f"no shipdate range pushed in {name}: {pushed}"
+
+
+def test_q21_single_pass_over_fact(spark):
+    """sole_late_supplier_q21 must scan lineitem exactly ONCE: the
+    per-order counts come from window functions over the (order,
+    supplier) aggregate, not a self-join that would re-run the fact
+    join (column pruning differences defeat Exchange reuse there)."""
+    df = QUERIES["sole_late_supplier_q21"](spark, SF_SMALL)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # One lineitem leaf == one occurrence of a lineitem-only column in a
+    # Relation line (the optimized plan prints relations by schema).
+    n_scans = sum(
+        "l_linenumber" in line
+        for line in optimized.splitlines()
+        if "Relation" in line
+    )
+    assert n_scans == 1, optimized
+
+
+def test_q11_threshold_is_broadcast_not_resort(spark):
+    """top_revenue_parts_q11: the global-revenue threshold joins the
+    per-part aggregate via a broadcast of ONE row — no sort, no shuffle
+    of the per-part side beyond its own groupBy."""
+    plan = _plan(QUERIES["top_revenue_parts_q11"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
