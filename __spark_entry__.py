@@ -36,6 +36,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # the builder-tested vs driver-verified gap; the remaining slots fill
 # with already-verified queries in registry order.
 _DRIVER_SAMPLE_FIRST = [
+    # round-3 additions (never sampled yet)
+    "volume_shipping_q7",
+    "market_share_q8",
+    "product_profit_q9",
+    "top_revenue_parts_q11",
+    "promo_revenue_q14",
+    "supplier_part_counts_q16",
+    "promo_part_suppliers_q20",
+    "sole_late_supplier_q21",
     "revenue_by_priority_bucketed",
     "lsh_pairs_jaccard_verified",
     "doc_pii_scrub",

@@ -45,6 +45,9 @@ HEADLINE = [
     "returned_revenue_q10",
     "disjunctive_revenue_q19",
     "quantity_discount_corr",
+    "volume_shipping_q7",
+    "sole_late_supplier_q21",
+    "revenue_by_priority_bucketed",
 ]
 
 

@@ -98,6 +98,12 @@ def main():
     probes = [
         "pricing_summary",       # scan + partial/final agg
         "revenue_by_priority",   # fact-fact shuffle join
+        "revenue_by_priority_bucketed",  # same join, co-bucketed layout
+        #   (first timed run pays the one-time bucketing write; best-of-2
+        #   reports the steady-state query. Distinct out_dirs per K keep
+        #   per-directory bucket tables from leaking across probe runs.)
+        "volume_shipping_q7",    # nation-pair filter before both facts
+        "sole_late_supplier_q21",  # single-pass agg + window counts
         "visits_by_region",      # broadcast dim chain
         "top_nations_by_month",  # join + window top-k
         "customer_order_progression",  # partitioned sort window
