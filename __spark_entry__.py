@@ -46,6 +46,8 @@ _DRIVER_SAMPLE_FIRST = [
     "promo_part_suppliers_q20",
     "sole_late_supplier_q21",
     "revenue_by_priority_bucketed",
+    "sequence_packing",
+    "quality_weighted_sample",
     "lsh_pairs_jaccard_verified",
     "doc_pii_scrub",
     "top_bigrams",

@@ -920,3 +920,99 @@ def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id", "n_distinct_toks", "df_sum", rarity.alias("rarity")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-export operators: packing documents into fixed token budgets
+# and quality-weighted corpus sampling (the step between "analyzed
+# corpus" and "training shards").
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(doc_id % 64 AS INTEGER) AS shard,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, tokens,
+               sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, shard, tokens,
+           CAST(floor((cum - tokens) / 8192.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~8192-token training sequences: shard by
+    doc_id (deterministic, engine-portable — no xxhash64, DuckDB can't
+    reproduce it), then within each shard assign pack_id from the
+    running token count BEFORE the document (the streaming-greedy
+    approximation of bin packing; a pack may overflow by at most one
+    document, which trainers truncate). Scale shape: ONE shuffle on
+    shard + a per-shard sort; the shard count is the parallelism knob —
+    64 here, scaled with corpus size in production exactly like bucket
+    counts (each shard is one window task). Tokens use the BPE-ish
+    pre-tokenizer (functions/text.py), all arithmetic integer until the
+    final fixed divisor, so the oracle hash-matches."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(64)).cast("int").alias("shard"),
+        T.token_count_bpe_ish(F.col("text")).cast("bigint").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "doc_id",
+        "shard",
+        "tokens",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / F.lit(8192.0))
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+@query(
+    "quality_weighted_sample",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, lang,
+               floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
+                     + 0.3 * least(length(text) / 500.0, 1.0)
+                     + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                  / length(text))) * 10000) / 10000.0 AS quality
+        FROM documents
+    )
+    SELECT doc_id, lang, quality
+    FROM q
+    WHERE (doc_id * 2654435761) % 10000 < quality * 10000
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling, deterministic and
+    shuffle-free: keep a document with probability equal to its
+    heuristic quality score by comparing a doc_id-keyed Weyl sequence
+    ((doc_id * 2654435761) mod 10000, Knuth's multiplicative constant —
+    uniform over residues, reproducible in ANY engine, unlike rand())
+    against quality*10000. A pure map-side filter: no shuffle, no RNG
+    state, resumable, and the SAME docs are kept on every run and every
+    engine — the property a training pipeline needs for reproducible
+    data recipes. The multiply stays well under int64 (doc_id ~ 1e7 *
+    2.6e9 ~ 2.6e16)."""
+    docs = table(spark, sf_dir, "documents")
+    quality = T.quality_score(F.col("text"))
+    keep = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(10000))
+    return (
+        docs.select("doc_id", "lang", quality.alias("quality"))
+        .filter(keep < F.col("quality") * 10000)
+    )

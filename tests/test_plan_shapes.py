@@ -252,3 +252,19 @@ def test_q11_threshold_is_broadcast_not_resort(spark):
     plan = _plan(QUERIES["top_revenue_parts_q11"](spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_weighted_sample_is_map_only(spark):
+    """quality_weighted_sample: deterministic sampling must be a pure
+    map-side filter — zero Exchange (the whole point of hash-keyed
+    sampling over rand() + shuffle-based approaches)."""
+    plan = _plan(QUERIES["quality_weighted_sample"](spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+
+
+def test_sequence_packing_single_shard_shuffle(spark):
+    """sequence_packing: exactly ONE Exchange (hash on shard for the
+    running-count window); the token counting stays map-side."""
+    plan = _plan(QUERIES["sequence_packing"](spark, SF_SMALL))
+    n_ex = plan.count("Exchange ")
+    assert n_ex == 1, f"expected 1 Exchange, got {n_ex}:\n{plan}"
