@@ -86,10 +86,16 @@ def visits_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "r_name")
     )
+    # Pre-aggregate the fact BEFORE the customer join: the custkey
+    # shuffle then carries one partial count per (partition, custkey)
+    # instead of every order row — same two exchanges, ~|orders|/
+    # |customers| times less shuffle payload, and count(*) = sum of
+    # partial counts keeps the oracle identical.
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
     return (
-        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        per_cust.join(dim, per_cust.o_custkey == dim.c_custkey)
         .groupBy("r_name")
-        .agg(F.count("*").alias("visits"))
+        .agg(F.sum("cnt").alias("visits"))
     )
 
 
