@@ -1193,7 +1193,19 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
-    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # The final c_nationkey = s_nationkey condition (suppliers are
+    # Asia-only) IMPLIES customers are Asia-only, but Catalyst does not
+    # propagate equality constraints into IN-set filters across joins —
+    # pre-filtering customer here prunes 4/5 of it (and of the
+    # orders⋈customer output) before the lineitem join, same semantics.
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(
+            broadcast(nations.select(F.col("n_nationkey").alias("cn_key"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "c_nationkey")
+    )
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -1928,10 +1940,15 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Join orders⋈cust BEFORE the orderkey shuffle: left-deep
+    # ((li⋈supp)⋈orders)⋈cust would shuffle EVERY order into the
+    # fact join and only then drop 23/25 of them at the customer
+    # step — pre-filtering both sides cuts the big shuffle's payload
+    # to the 2-nation slice on each side.
+    orders_2n = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
     return (
         li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders_2n, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
