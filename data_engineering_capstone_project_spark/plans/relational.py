@@ -2312,6 +2312,11 @@ def sole_late_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
         F.lit(1),
     ).otherwise(F.lit(0))
+    # Join-first, then aggregate: pre-aggregating lineitem to
+    # (orderkey, suppkey, max shipdate) before the join measured ~2x
+    # WORSE at 40x (7.2s vs 3.8s) — pairs average ~1.5 lines so the
+    # map-side combine saves almost nothing, while the join-first form
+    # drops every non-'F' order's lines before any aggregation.
     per_os = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
