@@ -48,6 +48,7 @@ _DRIVER_SAMPLE_FIRST = [
     "revenue_by_priority_bucketed",
     "sequence_packing",
     "quality_weighted_sample",
+    "cheapest_supplier_q2",
     "lsh_pairs_jaccard_verified",
     "doc_pii_scrub",
     "top_bigrams",

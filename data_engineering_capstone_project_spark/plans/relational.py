@@ -2341,3 +2341,83 @@ def sole_late_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "cheapest_supplier_q2",
+    oracle="""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               min(floor(l_extendedprice / l_quantity * 10000) / 10000.0)
+                   AS unit_price
+        FROM lineitem GROUP BY 1, 2
+    ),
+    regional AS (
+        SELECT u.l_partkey, u.l_suppkey, u.unit_price, s.s_name, n.n_name
+        FROM unit u
+        JOIN supplier s ON u.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY l_partkey
+                 ORDER BY unit_price, l_suppkey) AS rk
+        FROM regional
+    )
+    SELECT p.p_partkey, p.p_brand, ranked.s_name,
+           ranked.n_name AS supp_nation, ranked.unit_price
+    FROM ranked
+    JOIN part p ON ranked.l_partkey = p.p_partkey
+    WHERE ranked.rk = 1 AND p.p_size >= 40
+    """,
+)
+def cheapest_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp: the offered price becomes the
+    minimum OBSERVED unit price per (part, supplier) from lineitem):
+    for large parts, the cheapest European supplier. Per-group argmin
+    via row_number with a deterministic tiebreak. Scale shape: one
+    (partkey, suppkey) aggregate over the fact (map-side partial min),
+    supplier/nation/region collapse to a broadcast BEFORE the window,
+    the region filter prunes 4/5 of pairs ahead of the partkey
+    shuffle, and the part join is key-equi after rank-1 filtering
+    (WindowGroupLimit pushes the rank predicate below the sort)."""
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                table(spark, sf_dir, "nation").join(
+                    broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+    unit = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (
+                F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10000)
+                / F.lit(10000.0)
+            ).alias("up"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("up").alias("unit_price"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    ranked = (
+        unit.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    parts = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40).select(
+        "p_partkey", "p_brand"
+    )
+    return ranked.join(parts, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_partkey", "p_brand", "s_name", "supp_nation", "unit_price"
+    )
