@@ -929,9 +929,14 @@ def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sequence_packing",
     oracle="""
-    WITH t AS (
+    WITH n AS (
+        SELECT CAST(power(2, ceil(log2(greatest(count(*) / 5000.0, 64.0))))
+                    AS BIGINT) AS n_shards
+        FROM documents
+    ),
+    t AS (
         SELECT doc_id,
-               CAST(doc_id % 64 AS INTEGER) AS shard,
+               CAST(doc_id % (SELECT n_shards FROM n) AS INTEGER) AS shard,
                CAST(len(regexp_extract_all(text,
                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS tokens
         FROM documents
@@ -954,17 +959,25 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     running token count BEFORE the document (the streaming-greedy
     approximation of bin packing; a pack may overflow by at most one
     document, which trainers truncate). Scale shape: ONE shuffle on
-    shard + a per-shard sort; the shard count is the parallelism knob —
-    64 here, scaled with corpus size in production exactly like bucket
-    counts (each shard is one window task). Tokens use the BPE-ish
-    pre-tokenizer (functions/text.py), all arithmetic integer until the
-    final fixed divisor, so the oracle hash-matches."""
+    shard + a per-shard sort; the shard count is the parallelism knob
+    and SCALES WITH THE CORPUS (~5000 docs per shard, next power of
+    two, floor 64 — each shard is one window task, so a fixed count
+    would turn corpus growth into per-task sort growth, the same trap
+    measured for fixed bucket counts in PERFORMANCE.md). The count()
+    is one metadata-cheap pass at plan build, mirrored by the oracle's
+    scalar subquery — both engines derive the identical shard count,
+    and at any fixed corpus the output is deterministic. Tokens use
+    the BPE-ish pre-tokenizer (functions/text.py), all arithmetic
+    integer until the final fixed divisor, so the oracle hash-matches."""
+    import math
+
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
+    n_shards = int(2 ** math.ceil(math.log2(max(docs.count() / 5000.0, 64.0))))
     t = docs.select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(64)).cast("int").alias("shard"),
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
         T.token_count_bpe_ish(F.col("text")).cast("bigint").alias("tokens"),
     )
     w = (
