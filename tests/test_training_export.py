@@ -1,0 +1,89 @@
+"""Invariant tests for the training-export operators
+(plans/text_analysis.py): sequence packing and quality-weighted
+sampling. The oracle suite pins exact values; these pin the properties
+a training pipeline actually relies on — total coverage, budget
+behavior, determinism — on the shared testdata AND on synthetic edge
+corpora (empty docs, one giant doc, all-identical ids are impossible
+by schema, but boundary token counts are not)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project_spark.plans import QUERIES
+from tests.conftest import SF_SMALL
+
+BUDGET = 8192
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    return QUERIES["sequence_packing"](spark, SF_SMALL).cache()
+
+
+def test_packing_covers_every_document_once(spark, packed):
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+
+
+def test_packing_packs_are_contiguous_and_budgeted(packed):
+    """Within a (shard, pack): token prefix-sums below the pack's last
+    doc stay under budget (the streaming-greedy contract: a pack can
+    overflow only via its final document), and pack ids per shard are
+    a contiguous 0..max range."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = packed.withColumn("cum_before", F.sum("tokens").over(w) - F.col("tokens"))
+    # the defining invariant: pack_id == floor(cum_before / BUDGET)
+    bad = with_cum.filter(
+        F.col("pack_id") != F.floor(F.col("cum_before") / F.lit(float(BUDGET)))
+    ).count()
+    assert bad == 0
+    # contiguity: per shard, max(pack_id)+1 == count(distinct pack_id)
+    per_shard = packed.groupBy("shard").agg(
+        F.max("pack_id").alias("mx"),
+        F.countDistinct("pack_id").alias("nd"),
+    )
+    holes = per_shard.filter(F.col("mx") + 1 != F.col("nd")).count()
+    assert holes == 0
+
+
+def test_packing_deterministic_across_runs(spark, packed):
+    again = QUERIES["sequence_packing"](spark, SF_SMALL)
+    assert packed.exceptAll(again).count() == 0
+    assert again.exceptAll(packed).count() == 0
+
+
+def test_quality_sample_is_subset_and_deterministic(spark):
+    sample = QUERIES["quality_weighted_sample"](spark, SF_SMALL).cache()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_docs = docs.count()
+    n_kept = sample.count()
+    assert 0 < n_kept < n_docs
+    # subset of the corpus by id
+    stray = sample.join(docs, "doc_id", "left_anti").count()
+    assert stray == 0
+    # deterministic: second run keeps the identical set
+    again = QUERIES["quality_weighted_sample"](spark, SF_SMALL)
+    assert sample.exceptAll(again).count() == 0
+
+
+def test_quality_sample_rate_tracks_mean_quality(spark):
+    """The Weyl-sequence comparison keeps each doc with probability ~=
+    its quality, so the aggregate keep rate must be close to the mean
+    quality score (within 5 points on the shared corpus — the residues
+    are equidistributed, not random)."""
+    sample = QUERIES["quality_weighted_sample"](spark, SF_SMALL)
+    from data_engineering_capstone_project_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    mean_q = docs.agg(F.avg(T.quality_score(F.col("text")))).first()[0]
+    rate = sample.count() / docs.count()
+    assert abs(rate - mean_q) < 0.05, (rate, mean_q)
