@@ -49,6 +49,7 @@ _DRIVER_SAMPLE_FIRST = [
     "sequence_packing",
     "quality_weighted_sample",
     "cheapest_supplier_q2",
+    "dedup_incremental",
     "lsh_pairs_jaccard_verified",
     "doc_pii_scrub",
     "top_bigrams",

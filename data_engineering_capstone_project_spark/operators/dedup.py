@@ -182,6 +182,70 @@ def minhash_signatures(
     return exploded.groupBy("doc").agg(*aggs)
 
 
+def band_explode(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """One explode projection turning a signature row into ``bands``
+    (doc, band_h) rows. Band index is part of the hash so equal minhash
+    values in *different* band positions can never collide into a
+    pair."""
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "doc", F.explode(F.array(*band_hashes)).alias("band_h")
+    )
+
+
+def lsh_incremental_pairs(
+    signatures: DataFrame,
+    is_new,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest dedup: band the signatures once, split into
+    the NEW batch (``is_new``, a boolean Column over ``doc``) and the
+    EXISTING corpus, and equi-join new bands against existing bands
+    only. The full self-join generates new×new + new×old + old×old
+    candidates; an ingest run only needs new×old (plus new×new if the
+    batch should self-dedup — compose with ``lsh_candidate_pairs`` over
+    the batch alone), and old×old is by far the largest term: at 100 TB
+    corpus + 1 TB daily batch the self-join is ~100× more bucket pairs
+    than this join touches. In production the existing side reads the
+    MATERIALIZED signature table from the last run (the staging seam
+    documented in plans/text_analysis.py) — signatures for old docs are
+    never recomputed, and the new side is small enough to broadcast.
+    Returns distinct (new_doc_id, existing_doc_id)."""
+    banded = band_explode(signatures, bands, rows_per_band)
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_h")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_h")
+        )
+        banded = banded.join(ok, "band_h")
+    new_b = banded.filter(is_new)
+    old_b = banded.filter(~is_new)
+    return (
+        new_b.alias("a")
+        .join(old_b.alias("b"), "band_h")
+        .select(
+            F.col("a.doc").alias("new_doc_id"),
+            F.col("b.doc").alias("existing_doc_id"),
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
@@ -211,21 +275,7 @@ def lsh_candidate_pairs(
     mass that per-pair dedup handles badly anyway (cluster it via
     exact fingerprints instead). None = no cap (small-SF exactness;
     the oracle-checked default)."""
-    # Band index is part of the hash so equal minhash values in
-    # *different* band positions can never collide into a pair.
-    band_hashes = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-        )
-        for b in range(bands)
-    ]
-    banded = signatures.select(
-        "doc", F.explode(F.array(*band_hashes)).alias("band_h")
-    )
+    banded = band_explode(signatures, bands, rows_per_band)
     if max_bucket is not None:
         ok = (
             banded.groupBy("band_h")

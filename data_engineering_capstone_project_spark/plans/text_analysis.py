@@ -1029,3 +1029,35 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", quality.alias("quality"))
         .filter(keep < F.col("quality") * 10000)
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
+    SELECT DISTINCT a.doc AS new_doc_id, b.doc AS existing_doc_id
+    FROM bands a
+    JOIN bands b ON a.band_h = b.band_h
+    WHERE a.doc % 10 = 7 AND b.doc % 10 <> 7
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the docs with ``doc_id % 10 == 7``
+    stand in for today's crawl batch; every other doc is the existing
+    corpus. New-batch bands equi-join EXISTING bands only — the
+    old×old term (the overwhelming majority of bucket pairs at a
+    100 TB corpus with a small daily batch) is never generated, and
+    the corpus side would read the materialized signature table from
+    the previous run rather than recompute (operators/dedup.py:
+    lsh_incremental_pairs). Output: which new docs collide with which
+    existing docs."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", D.tokenize(F.col("text")).alias("toks")
+    )
+    sigs = D.minhash_signatures(
+        docs, id_col="doc_id", shingle_col=D.word_shingles(F.col("toks"), 3),
+        num_hashes=8,
+    )
+    return D.lsh_incremental_pairs(
+        sigs.persist(), is_new=F.pmod(F.col("doc"), F.lit(10)) == 7
+    )
