@@ -268,3 +268,16 @@ def test_sequence_packing_single_shard_shuffle(spark):
     plan = _plan(QUERIES["sequence_packing"](spark, SF_SMALL))
     n_ex = plan.count("Exchange ")
     assert n_ex == 1, f"expected 1 Exchange, got {n_ex}:\n{plan}"
+
+
+def test_dedup_incremental_never_pairs_existing_with_existing(spark):
+    """dedup_incremental: the band join's two inputs must be the
+    complementary pmod filters (new batch on one side, existing corpus
+    on the other) — the old x old pair term, the dominant cost at a
+    100 TB corpus, must not exist in the plan."""
+    df = QUERIES["dedup_incremental"](spark, SF_SMALL)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = [l for l in opt.splitlines() if "pmod" in l]
+    pos = [l for l in lines if "= 7" in l and "NOT" not in l]
+    neg = [l for l in lines if "NOT (pmod" in l]
+    assert pos and neg, opt
