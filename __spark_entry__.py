@@ -50,6 +50,7 @@ _DRIVER_SAMPLE_FIRST = [
     "quality_weighted_sample",
     "cheapest_supplier_q2",
     "dedup_incremental",
+    "quality_threshold_per_lang",
     "lsh_pairs_jaccard_verified",
     "doc_pii_scrub",
     "top_bigrams",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from data_engineering_capstone_project_spark.functions import text as T
 from data_engineering_capstone_project_spark.operators import dedup as D
@@ -1060,4 +1061,58 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return D.lsh_incremental_pairs(
         sigs.persist(), is_new=F.pmod(F.col("doc"), F.lit(10)) == 7
+    )
+
+
+@query(
+    "quality_threshold_per_lang",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, lang,
+               CAST(floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
+                     + 0.3 * least(length(text) / 500.0, 1.0)
+                     + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                  / length(text))) * 10000) AS BIGINT) AS q_fp
+        FROM documents
+    ),
+    cuts AS (
+        SELECT lang, quantile_cont(q_fp, 0.75) AS cut FROM q GROUP BY 1
+    )
+    SELECT q.doc_id, q.lang, q.q_fp / 10000.0 AS quality
+    FROM q JOIN cuts ON q.lang = cuts.lang
+    WHERE q.q_fp > cuts.cut
+    """,
+)
+def quality_threshold_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum filtering: keep each language's top quality quartile
+    (strictly above the per-language 75th percentile). The scale-safe
+    stratified-selection shape: a per-language window rank would
+    shuffle the WHOLE corpus into one task per language (5 languages =
+    5 tasks at 100 TB); instead the cutoffs come from ONE grouped
+    percentile aggregate (partial+final over exact int64 fixed-point
+    scores, no sort) — a ≤|languages|-row frame broadcast back — and
+    the filter is a projection. Spark ``percentile`` and DuckDB
+    ``quantile_cont`` interpolate identically over int64, so the
+    cutoffs and the kept set hash-match (same pattern as
+    customer_spend_tiers, plans/relational.py)."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    punct_r = (
+        F.length(t) - F.length(F.regexp_replace(t, T.PUNCT_CLASS, ""))
+    ) / F.length(t)
+    alpha_r = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.length(t)
+    length_term = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    q_fp = F.floor(
+        (0.5 * alpha_r + 0.3 * length_term + 0.2 * (1 - punct_r)) * 10000
+    ).cast("bigint")
+    scored = docs.select("doc_id", "lang", q_fp.alias("q_fp"))
+    cuts = scored.groupBy("lang").agg(
+        F.expr("percentile(q_fp, 0.75)").alias("cut")
+    )
+    return (
+        scored.join(broadcast(cuts), "lang")
+        .filter(F.col("q_fp") > F.col("cut"))
+        .select(
+            "doc_id", "lang", (F.col("q_fp") / F.lit(10000.0)).alias("quality")
+        )
     )
