@@ -51,6 +51,7 @@ _DRIVER_SAMPLE_FIRST = [
     "cheapest_supplier_q2",
     "dedup_incremental",
     "quality_threshold_per_lang",
+    "source_mixture_sample",
     "lsh_pairs_jaccard_verified",
     "doc_pii_scrub",
     "top_bigrams",

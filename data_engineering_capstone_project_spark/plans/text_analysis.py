@@ -1116,3 +1116,58 @@ def quality_threshold_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", (F.col("q_fp") / F.lit(10000.0)).alias("quality")
         )
     )
+
+
+@query(
+    "source_mixture_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    tot AS (SELECT source, sum(tokens) AS src_tokens FROM t GROUP BY 1),
+    fr AS (
+        SELECT source,
+               CAST(floor((SELECT min(src_tokens) FROM tot) * 10000.0
+                          / src_tokens) AS BIGINT) AS keep_bp
+        FROM tot
+    )
+    SELECT t.doc_id, t.source, t.tokens
+    FROM t JOIN fr ON t.source = fr.source
+    WHERE (t.doc_id * 2654435761) % 10000 < fr.keep_bp
+    """,
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: downsample every source to (about)
+    the token budget of the SMALLEST source — the equal-mixture recipe
+    step of a training pipeline. Per-source token totals come from one
+    grouped aggregate; the keep fraction (basis points, floor) is a
+    ≤|sources|-row broadcast; membership is the same doc_id-keyed Weyl
+    residue as quality_weighted_sample, so the selection is map-side,
+    deterministic, engine-reproducible, and resumable — rerunning after
+    adding documents keeps every previously kept doc whose source
+    fraction didn't change. No shuffle touches the corpus beyond the
+    one totals aggregate."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        T.token_count_bpe_ish(F.col("text")).cast("bigint").alias("tokens"),
+    )
+    totals = docs.groupBy("source").agg(F.sum("tokens").alias("src_tokens"))
+    min_tok = totals.agg(F.min("src_tokens").alias("min_tokens"))
+    fracs = totals.join(broadcast(min_tok)).select(
+        "source",
+        F.floor(F.col("min_tokens") * 10000.0 / F.col("src_tokens"))
+        .cast("bigint")
+        .alias("keep_bp"),
+    )
+    return (
+        docs.join(broadcast(fracs), "source")
+        .filter(
+            F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(10000))
+            < F.col("keep_bp")
+        )
+        .select("doc_id", "source", "tokens")
+    )
