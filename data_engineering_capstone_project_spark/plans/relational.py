@@ -124,10 +124,13 @@ def top5_nations_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = customer.join(
         broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).select("c_custkey", "n_name")
+    # Pre-aggregate the (filtered) fact per custkey before the dim
+    # join, as in visits_by_region: the shuffle carries partial counts.
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
     return (
-        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        per_cust.join(dim, per_cust.o_custkey == dim.c_custkey)
         .groupBy("n_name")
-        .agg(F.count("*").alias("visits"))
+        .agg(F.sum("cnt").alias("visits"))
         # n_name is unique per group -> deterministic tiebreak, so LIMIT
         # is stable across engines.
         .orderBy(F.desc("visits"), F.asc("n_name"))
@@ -170,10 +173,17 @@ def top_nations_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = customer.join(
         broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).select("c_custkey", "n_name")
+    # Pre-aggregate per (custkey, month) before the dim join: the
+    # custkey shuffle carries |custkeys|x12 partial counts instead of
+    # every order row (visits_by_region pattern; sum of partials =
+    # count(*), oracle unchanged).
+    per_cust_month = orders.groupBy(
+        F.col("o_custkey"), F.month("o_orderdate").alias("order_month")
+    ).agg(F.count("*").alias("cnt"))
     counts = (
-        orders.join(dim, orders.o_custkey == dim.c_custkey)
-        .groupBy(F.month("o_orderdate").alias("order_month"), F.col("n_name"))
-        .agg(F.count("*").alias("visits"))
+        per_cust_month.join(dim, per_cust_month.o_custkey == dim.c_custkey)
+        .groupBy("order_month", "n_name")
+        .agg(F.sum("cnt").alias("visits"))
     )
     w = Window.partitionBy("order_month").orderBy(F.desc("visits"), F.asc("n_name"))
     return (
