@@ -30,13 +30,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Queries the driver's 50-query correctness sample has never covered
-# (diff of queries() vs CORRECTNESS_r01 ∪ r02). The driver samples the
-# FIRST 50 entries in dict order, so these are listed first to close
-# the builder-tested vs driver-verified gap; the remaining slots fill
-# with already-verified queries in registry order.
+# The driver samples the FIRST 50 entries in dict order. Round-4
+# priority: the three queries with a red-or-stale driver row — the two
+# r3 HUGEINT-oracle failures (fixed: CAST(... AS BIGINT) outside the
+# aggregate) and priority_shipping_q12, whose identical fix landed in
+# r2 code but was never re-sampled. With these green, every one of the
+# 107 queries has a green driver row across r1-r4. The rest of the
+# list keeps r3's never-sampled-first ordering so re-verification
+# stays broad.
 _DRIVER_SAMPLE_FIRST = [
-    # round-3 additions (never sampled yet)
+    # round-4: red/stale driver rows — must re-verify first
+    "priority_shipping_q12",
+    "doc_rarity",
+    "conversion_funnel",
+    # round-3 additions
     "volume_shipping_q7",
     "market_share_q8",
     "product_profit_q9",
@@ -61,9 +68,7 @@ _DRIVER_SAMPLE_FIRST = [
     "top_tokens_per_lang",
     "contamination_check",
     "doc_repetition",
-    "doc_rarity",
     "events_resampled_5min",
-    "conversion_funnel",
     "time_weighted_avg",
     "events_distinct_users",
     "views_converted_10min",

@@ -102,6 +102,11 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
+        # A failed query is EXCLUDED from the total, which would make
+        # `value` look better than a clean run — mark the total partial
+        # so cross-run comparisons can't mistake it for a full suite.
+        out["partial"] = True
+        out["failed_count"] = len(errors)
         out["errors"] = errors
     print(json.dumps(out))
 

@@ -213,9 +213,11 @@ def events_resampled_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
     )
     SELECT count(*) AS users_total,
-           sum(r_view) AS users_view,
-           sum(CASE WHEN r_view = 1 THEN r_click ELSE 0 END) AS users_view_click,
-           sum(CASE WHEN r_view = 1 AND r_click = 1 THEN r_purchase ELSE 0 END)
+           CAST(sum(r_view) AS BIGINT) AS users_view,
+           CAST(sum(CASE WHEN r_view = 1 THEN r_click ELSE 0 END) AS BIGINT)
+               AS users_view_click,
+           CAST(sum(CASE WHEN r_view = 1 AND r_click = 1
+                         THEN r_purchase ELSE 0 END) AS BIGINT)
                AS users_full_funnel,
            floor(sum(CASE WHEN r_view = 1 THEN r_click ELSE 0 END)
                  / nullif(sum(r_view), 0) * 10000) / 10000.0 AS click_rate,

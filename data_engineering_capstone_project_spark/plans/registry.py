@@ -47,10 +47,52 @@ def fixed4(col):
     return F.floor(col * 10000) / F.lit(10000.0)
 
 
+_PERSISTED: dict[str, DataFrame] = {}
+
+
+def scoped_persist(df: DataFrame, key: str) -> DataFrame:
+    """persist() with a bounded lifetime: the previous frame persisted
+    under ``key`` is unpersisted first, so repeated invocations of the
+    same query site across a long driver run hold at most ONE cached
+    copy each instead of leaking cached RDDs until storage eviction.
+    (The cache must outlive the query function — callers collect the
+    returned lazy DataFrame later — so an in-function unpersist would
+    defeat it; this registry is the lifetime manager instead.)"""
+    prev = _PERSISTED.get(key)
+    if prev is not None:
+        prev.unpersist()
+    _PERSISTED[key] = df.persist()
+    return _PERSISTED[key]
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. Plain parquet scan -> Catalyst sees the file
     relation directly; filters/projections in the query push down into it."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_ROWCOUNTS: dict[tuple, int] = {}
+
+
+def cached_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a driver table, memoized on the source files'
+    (name, size, mtime) signature. Plan-build-time scalar parameters
+    (shard counts, bucket counts) need the count at EVERY build —
+    including EXPLAIN-only and test inspection paths — and a parquet
+    metadata count is cheap but still a Spark job; this caches it per
+    actual file content so repeated builds are free while a regenerated
+    parquet at the same path still re-counts."""
+    from pathlib import Path
+
+    root = Path(sf_dir) / f"{name}.parquet"
+    files = sorted(p for p in root.rglob("*") if p.is_file()) if root.is_dir() else [root]
+    sig = tuple(
+        (f.name, f.stat().st_size, f.stat().st_mtime_ns) for f in files if f.exists()
+    )
+    key = (sf_dir, name, sig)
+    if key not in _ROWCOUNTS:
+        _ROWCOUNTS[key] = table(spark, sf_dir, name).count()
+    return _ROWCOUNTS[key]
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:

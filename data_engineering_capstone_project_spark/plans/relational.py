@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 from data_engineering_capstone_project_spark.functions.dates import date_parts, sas_date
 from data_engineering_capstone_project_spark.functions.keys import surrogate_key
 from data_engineering_capstone_project_spark.plans.registry import (
+    cached_rowcount,
     events_table,
     query,
     table,
@@ -781,6 +782,18 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
     for every later query. Both facts share the count (co-bucketing
     requires equal bucket numbers).
 
+    Reuse is validated, not assumed: the table tag embeds a content
+    fingerprint (file names + sizes + mtimes of both source parquets),
+    so regenerating the parquet at the same path — which has happened
+    between rounds — yields a new tag and a fresh pair instead of
+    silently serving tables bucketed over the old data. The PAIR is
+    rebuilt atomically: if either table is missing (partial earlier
+    run) or the caller asks for a different bucket count than an
+    existing pair was written with, both are rewritten together, so
+    the two can never disagree on bucket count (unequal counts would
+    silently re-introduce the Exchange this layout exists to remove).
+    Stale same-source pairs from older fingerprints are dropped.
+
     A fresh metastore can meet a leftover warehouse directory from an
     earlier session (saveAsTable then fails LOCATION_ALREADY_EXISTS),
     so a stale unregistered location is cleared before writing.
@@ -791,30 +804,70 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
     from pathlib import Path
 
     tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
-    warehouse = Path(
-        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
-            "file:", ""
+    fp = _source_fingerprint(sf_dir, ("lineitem", "orders"))
+    pairs = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
+    names = {tbl: f"bkt_{tbl}_{tag}_{fp}" for tbl, _ in pairs}
+    rebuild = not all(spark.catalog.tableExists(n) for n in names.values())
+    if not rebuild and n_buckets is not None:
+        existing = _table_bucket_count(spark, names["lineitem"])
+        rebuild = existing is not None and existing != n_buckets
+    if rebuild:
+        if n_buckets is None:
+            rows = cached_rowcount(spark, sf_dir, "lineitem")
+            n_buckets = max(16, 2 ** math.ceil(math.log2(max(rows / 200_000, 1))))
+        warehouse = Path(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+                "file:", ""
+            )
         )
-    )
-    out = []
-    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        name = f"bkt_{tbl}_{tag}"
-        if not spark.catalog.tableExists(name):
-            if n_buckets is None:
-                rows = table(spark, sf_dir, "lineitem").count()
-                n_buckets = max(16, 2 ** math.ceil(math.log2(max(rows / 200_000, 1))))
-            loc = warehouse / name
+        from data_engineering_capstone_project_spark.sources.writers import (
+            write_bucketed_table,
+        )
+
+        for tbl, key in pairs:
+            # Drop stale variants of this source pair: older fingerprints
+            # (regenerated parquet) and the pre-fingerprint legacy name.
+            for t in spark.catalog.listTables():
+                if (
+                    t.name.startswith(f"bkt_{tbl}_{tag}_") or t.name == f"bkt_{tbl}_{tag}"
+                ) and t.name != names[tbl]:
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            spark.sql(f"DROP TABLE IF EXISTS {names[tbl]}")
+            loc = warehouse / names[tbl]
             if loc.exists():
                 shutil.rmtree(loc)
-            from data_engineering_capstone_project_spark.sources.writers import (
-                write_bucketed_table,
-            )
-
             write_bucketed_table(
-                table(spark, sf_dir, tbl), name, [key], n_buckets, sort_cols=[key]
+                table(spark, sf_dir, tbl), names[tbl], [key], n_buckets, sort_cols=[key]
             )
-        out.append(spark.table(name))
-    return tuple(out)
+    return tuple(spark.table(names[tbl]) for tbl, _ in pairs)
+
+
+def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """Cheap content tag for parquet inputs: hash of (relative name,
+    size, mtime_ns) of every file under each ``{sf_dir}/{tbl}.parquet``
+    (file or directory). No data is read; a regenerated parquet changes
+    the fingerprint even at identical size via mtime."""
+    import hashlib
+    from pathlib import Path
+
+    h = hashlib.sha1()
+    for tbl in tables:
+        root = Path(sf_dir) / f"{tbl}.parquet"
+        files = sorted(p for p in root.rglob("*") if p.is_file()) if root.is_dir() else [root]
+        for f in files:
+            if f.exists():
+                st = f.stat()
+                h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:10]
+
+
+def _table_bucket_count(spark, name: str) -> int | None:
+    """Bucket count of a catalog table, from DESCRIBE EXTENDED (None if
+    the table exists but reports no bucket spec)."""
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+        if row.col_name.strip() == "Num Buckets":
+            return int(row.data_type.strip())
+    return None
 
 
 @query(

@@ -15,7 +15,12 @@ from pyspark.sql.functions import broadcast
 
 from data_engineering_capstone_project_spark.functions import text as T
 from data_engineering_capstone_project_spark.operators import dedup as D
-from data_engineering_capstone_project_spark.plans.registry import query, table
+from data_engineering_capstone_project_spark.plans.registry import (
+    cached_rowcount,
+    query,
+    scoped_persist,
+    table,
+)
 
 # DuckDB fragments shared by several oracles.
 _TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
@@ -283,7 +288,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1). At 100 TB, replace with a parquet write of the signature
     # table and self-join the materialized files — same structure, and
     # the signature scan of the raw corpus happens exactly once.
-    return D.lsh_candidate_pairs(sigs.persist(), bands=4, rows_per_band=2)
+    return D.lsh_candidate_pairs(
+        scoped_persist(sigs, "minhash_lsh_pairs.sigs"), bands=4, rows_per_band=2
+    )
 
 
 @query(
@@ -392,7 +399,8 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expensive subtree; persist computes it once for both join
     # sides (measured 3.7s -> 1.6s at sf0.1). Parquet-stage at 100 TB.
     return D.simhash_banded_pairs(
-        sigs.persist(), id_col="doc", sig_col="sig", block_cols=("lang",),
+        scoped_persist(sigs, "simhash_banded.sigs"),
+        id_col="doc", sig_col="sig", block_cols=("lang",),
         max_hamming=3,
     )
 
@@ -874,7 +882,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n_docs FROM documents)
     SELECT t.doc_id,
            count(*) AS n_distinct_toks,
-           sum(d.doc_freq) AS df_sum,
+           CAST(sum(d.doc_freq) AS BIGINT) AS df_sum,
            floor((1 - sum(d.doc_freq)
                       / (count(*) * CAST(n.n_docs AS DOUBLE))) * 10000)
                / 10000.0 AS rarity
@@ -892,7 +900,7 @@ def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums with ONE final division keep it engine-exact — a log-prob
     variant would hash-diverge on libm differences."""
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = cached_rowcount(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(D.word_set(F.col("text"))).alias("tok")
     )
@@ -965,9 +973,15 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     two, floor 64 — each shard is one window task, so a fixed count
     would turn corpus growth into per-task sort growth, the same trap
     measured for fixed bucket counts in PERFORMANCE.md). The count()
-    is one metadata-cheap pass at plan build, mirrored by the oracle's
-    scalar subquery — both engines derive the identical shard count,
-    and at any fixed corpus the output is deterministic. Tokens use
+    is one metadata-cheap pass at plan build (memoized per source
+    files via cached_rowcount, so EXPLAIN-only/test inspection builds
+    don't re-run the job), mirrored by the oracle's scalar subquery —
+    both engines derive the identical shard count, and at any fixed
+    corpus the output is deterministic. NOTE: pack assignment is only
+    stable at a fixed corpus size — when the corpus crosses a
+    power-of-two shard boundary every document's (shard, pack_id)
+    changes; unlike the Weyl-residue samplers below this is a
+    recompute-per-snapshot recipe, not an append-stable one. Tokens use
     the BPE-ish pre-tokenizer (functions/text.py), all arithmetic
     integer until the final fixed divisor, so the oracle hash-matches."""
     import math
@@ -975,7 +989,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
-    n_shards = int(2 ** math.ceil(math.log2(max(docs.count() / 5000.0, 64.0))))
+    n_shards = int(
+        2 ** math.ceil(math.log2(max(cached_rowcount(spark, sf_dir, "documents") / 5000.0, 64.0)))
+    )
     t = docs.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
@@ -1060,7 +1076,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8,
     )
     return D.lsh_incremental_pairs(
-        sigs.persist(), is_new=F.pmod(F.col("doc"), F.lit(10)) == 7
+        scoped_persist(sigs, "dedup_incremental.sigs"),
+        is_new=F.pmod(F.col("doc"), F.lit(10)) == 7,
     )
 
 

@@ -60,3 +60,92 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
     agg = orders.groupBy("o_orderkey").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+class TestBucketedPairLifecycle:
+    """bucketed_orderkey_tables must (a) reuse a fresh pair, (b) detect
+    regenerated source parquet via the content fingerprint instead of
+    serving stale buckets, (c) rebuild the PAIR atomically so bucket
+    counts can never diverge between the two tables."""
+
+    @pytest.fixture()
+    def src_dir(self, tmp_path):
+        import shutil
+        from tests.conftest import SF_SMALL
+
+        for t in ("lineitem", "orders"):
+            shutil.copy(f"{SF_SMALL}/{t}.parquet", tmp_path / f"{t}.parquet")
+        yield str(tmp_path)
+        # drop whatever tables the tests created for this dir
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        import re
+
+        tag = re.sub(r"[^0-9A-Za-z]+", "_", str(tmp_path)).strip("_")
+        for t in spark.catalog.listTables():
+            if tag in t.name:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+    @staticmethod
+    def _pair_names(spark, src_dir):
+        import re
+
+        tag = re.sub(r"[^0-9A-Za-z]+", "_", src_dir).strip("_")
+        return sorted(t.name for t in spark.catalog.listTables() if tag in t.name)
+
+    def test_reuse_then_invalidate_on_source_change(self, spark, src_dir):
+        import os
+
+        from data_engineering_capstone_project_spark.plans.relational import (
+            _table_bucket_count,
+            bucketed_orderkey_tables,
+        )
+
+        li1, _ = bucketed_orderkey_tables(spark, src_dir)
+        names1 = self._pair_names(spark, src_dir)
+        assert len(names1) == 2
+        n1 = li1.count()
+
+        # unchanged source -> same catalog tables, nothing rebuilt
+        bucketed_orderkey_tables(spark, src_dir)
+        assert self._pair_names(spark, src_dir) == names1
+
+        # regenerate the source (same path, new mtime) -> new pair, old dropped
+        os.utime(f"{src_dir}/lineitem.parquet")
+        li2, o2 = bucketed_orderkey_tables(spark, src_dir)
+        names2 = self._pair_names(spark, src_dir)
+        assert names2 != names1 and len(names2) == 2
+        assert li2.count() == n1
+        assert _table_bucket_count(
+            spark, [n for n in names2 if "lineitem" in n][0]
+        ) == _table_bucket_count(spark, [n for n in names2 if "orders" in n][0])
+
+    def test_partial_pair_rebuilt_with_equal_buckets(self, spark, src_dir):
+        from data_engineering_capstone_project_spark.plans.relational import (
+            _table_bucket_count,
+            bucketed_orderkey_tables,
+        )
+
+        bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
+        names = self._pair_names(spark, src_dir)
+        spark.sql(f"DROP TABLE {[n for n in names if 'orders' in n][0]}")
+        # caller now asks for a different count while one table survives
+        bucketed_orderkey_tables(spark, src_dir, n_buckets=32)
+        counts = {
+            n: _table_bucket_count(spark, n) for n in self._pair_names(spark, src_dir)
+        }
+        assert set(counts.values()) == {32}, counts
+
+    def test_explicit_bucket_count_change_rebuilds_pair(self, spark, src_dir):
+        from data_engineering_capstone_project_spark.plans.relational import (
+            _table_bucket_count,
+            bucketed_orderkey_tables,
+        )
+
+        bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
+        bucketed_orderkey_tables(spark, src_dir, n_buckets=32)
+        counts = [
+            _table_bucket_count(spark, n) for n in self._pair_names(spark, src_dir)
+        ]
+        assert counts == [32, 32], counts

@@ -44,6 +44,23 @@ def canon(v):
     return f"s:{v}"
 
 
+def hugeint_columns(con, oracle: str) -> list[str]:
+    """DuckDB sum() over integers yields HUGEINT (even sum(CAST(x AS
+    BIGINT))), and the driver renders HUGEINT differently from Spark's
+    BIGINT — hash_match fails although every value is identical (r2
+    priority_shipping_q12, r3 doc_rarity/conversion_funnel). Python
+    collapses both to int, so value comparison can't see it; the output
+    SCHEMA must be checked. Fix is always CAST(sum(...) AS BIGINT)
+    *outside* the aggregate."""
+    rel = con.sql(oracle)  # lazy bind: plans, doesn't execute
+    return [
+        f"oracle column {c} has DuckDB type {t} (driver hash diverges "
+        "from Spark BIGINT): wrap in CAST(... AS BIGINT) outside the aggregate"
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+
+
 def row_multiset(rows, col_order):
     return sorted(tuple(canon(r[i]) for i in col_order) for r in rows)
 
@@ -59,6 +76,7 @@ def compare_query(spark, con, fn, oracle: str, sf_dir: str) -> list[str]:
     orows = res.fetchall()
 
     problems: list[str] = []
+    problems += hugeint_columns(con, oracle)
     if sorted(scols) != sorted(ocols):
         problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
     if len(srows) != len(orows):
