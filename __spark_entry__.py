@@ -43,6 +43,11 @@ _DRIVER_SAMPLE_FIRST = [
     "priority_shipping_q12",
     "doc_rarity",
     "conversion_funnel",
+    # round-4 additions (never sampled yet)
+    "star_schema_summary",
+    "bm25_topk",
+    "packing_efficiency",
+    "embedding_projection",
     # round-3 additions
     "volume_shipping_q7",
     "market_share_q8",

@@ -9,3 +9,4 @@ from data_engineering_capstone_project_spark.plans import events_windows  # noqa
 from data_engineering_capstone_project_spark.plans import similarity_search  # noqa: E402,F401
 from data_engineering_capstone_project_spark.plans import temporal_joins  # noqa: E402,F401
 from data_engineering_capstone_project_spark.plans import media  # noqa: E402,F401
+from data_engineering_capstone_project_spark.plans import star_schema_parity  # noqa: E402,F401

@@ -300,3 +300,59 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.array_max("fp") / F.lit(10000.0)).alias("comp_max"),
         (F.array_min("fp") / F.lit(10000.0)).alias("comp_min"),
     )
+
+
+@query(
+    "embedding_projection",
+    oracle="""
+    SELECT vec_id,
+           list_transform(generate_series(0, 15), j ->
+               CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                   CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT)
+                   * (CASE WHEN ((i * 2654435761 + j * 40503) % 1000003) % 2 = 0
+                           THEN 1 ELSE -1 END)
+               )) AS BIGINT) / 10000.0
+           ) AS proj
+    FROM embeddings
+    """,
+)
+def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection 64 -> 16 dims with
+    a deterministic pseudo-random sign matrix (sign(i,j) from an
+    integer hash both engines compute identically — no stored matrix,
+    no RNG state). This is the dimensionality-reduction stage in front
+    of ANN at 100 TB: a 4x smaller vector shrinks every downstream
+    shuffle, index, and distance evaluation while approximately
+    preserving cosine geometry. Scale shape: strictly MAP-ONLY — the
+    projection is a per-row ``transform``/``aggregate`` over the array
+    column inside whole-stage codegen; ZERO Exchange on the corpus
+    (asserted in test_plan_shapes). Engine-exactness: elements are
+    floored to fixed-point BEFORE the signed integer sum, so float
+    summation order can't flip the hash; the per-dim output is the
+    exact integer sum / 10000."""
+    emb = F.col("embedding")
+
+    def signed_term(i, j):
+        parity = F.pmod(
+            F.pmod(i * F.lit(2654435761) + j * F.lit(40503), F.lit(1000003)),
+            F.lit(2),
+        )
+        sign = F.when(parity == 0, F.lit(1)).otherwise(F.lit(-1))
+        return (
+            F.floor(F.element_at(emb, (i + 1).cast("int")).cast("double") * 10000)
+            .cast("long")
+            * sign
+        )
+
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + signed_term(i, j),
+        )
+        / F.lit(10000.0),
+    )
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", proj.alias("proj")
+    )

@@ -1188,3 +1188,138 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "tokens")
     )
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+    tf AS (
+        SELECT doc_id, dl, tok, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+        WHERE tok IN ('spark', 'join', 'window')
+        GROUP BY doc_id, dl, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    s AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ((n.n - df.df + 0.5) / (df.df + 0.5))
+                   * ((tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / s.avgdl))))
+                   * 10000) AS BIGINT) AS wfx
+        FROM tf JOIN df USING (tok) CROSS JOIN s CROSS JOIN n
+    )
+    SELECT doc_id,
+           count(*) AS terms_hit,
+           CAST(sum(wfx) AS BIGINT) / 10000.0 AS bm25
+    FROM w GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query over the
+    corpus — the lexical sibling of the embedding ANN tiers, and the
+    standard first-stage retriever of a RAG/data-curation pipeline.
+    Scale shape: ONE shuffle on (doc_id, tok) restricted to the query
+    terms (the IN-filter pushes into the explode, so the shuffled rows
+    are per-matching-token, not per-token); document frequencies and
+    avgdl are tiny broadcast aggregates; the final top-k is
+    TakeOrderedAndProject, never a global sort. Engine-exactness: the
+    rational idf variant (N - df + .5)/(df + .5) avoids ln() (libm
+    results differ across engines); every per-term weight is floored to
+    fixed-point and summed as integers so summation order can't flip
+    the hash; ties break on doc_id."""
+    terms = ["spark", "join", "window"]
+    n_docs = cached_rowcount(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", D.tokenize(F.col("text")).alias("toks")
+    )
+    with_dl = docs.select("doc_id", F.size("toks").alias("dl"), "toks")
+    tf = (
+        with_dl.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = with_dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    idf = (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    weight = idf * (
+        (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    return (
+        tf.join(broadcast(df_), "tok")
+        .join(broadcast(avgdl))
+        .select(
+            "doc_id",
+            F.floor(weight * 10000).cast("bigint").alias("wfx"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("terms_hit"),
+            (F.sum("wfx") / F.lit(10000.0)).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+from data_engineering_capstone_project_spark.plans.registry import ORACLES as _ORACLES
+
+
+@query(
+    "packing_efficiency",
+    # The inner relation IS sequence_packing's registered oracle, so the
+    # QC view can never drift from the packing it summarizes.
+    oracle="""
+    WITH per_pack AS (
+        SELECT shard, pack_id,
+               count(*) AS docs, sum(tokens) AS toks
+        FROM ({packing}) p
+        GROUP BY shard, pack_id
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(docs) AS BIGINT) AS docs,
+           CAST(sum(toks) AS BIGINT) AS tokens,
+           floor(CAST(sum(toks) AS BIGINT)
+                 / (count(*) * 8192.0) * 10000) / 10000.0 AS fill_ratio
+    FROM per_pack
+    GROUP BY shard
+    """.format(packing=_ORACLES["sequence_packing"]),
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC summary for sequence_packing: per shard, how many packs were
+    cut and how full they are against the 8192-token budget — the
+    dashboard number that tells a training run whether its packing is
+    wasting context window (fill << 1 means too many short documents
+    per pack boundary). Reuses the packing plan; the extra work is two
+    grouped aggregates that collapse to |shards| rows, so the QC costs
+    one more reduce over already-shuffled data, not a new corpus pass."""
+    packed = sequence_packing(spark, sf_dir)
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("tokens").alias("toks")
+    )
+    return per_pack.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("docs").alias("docs"),
+        F.sum("toks").alias("tokens"),
+        (
+            F.floor(F.sum("toks") / (F.count(F.lit(1)) * F.lit(8192.0)) * 10000)
+            / F.lit(10000.0)
+        ).alias("fill_ratio"),
+    )

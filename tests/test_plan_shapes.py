@@ -281,3 +281,22 @@ def test_dedup_incremental_never_pairs_existing_with_existing(spark):
     pos = [l for l in lines if "= 7" in l and "NOT" not in l]
     neg = [l for l in lines if "NOT (pmod" in l]
     assert pos and neg, opt
+
+
+def test_embedding_projection_is_map_only(spark):
+    """The 64->16 random projection must be a pure per-row transform:
+    ZERO Exchange anywhere in the plan — at 100 TB the projection cost
+    is exactly one scan, never a shuffle."""
+    plan = _plan(QUERIES["embedding_projection"](spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+
+
+def test_bm25_topk_uses_take_ordered(spark):
+    """BM25's final top-10 must be TakeOrderedAndProject (per-partition
+    heap + driver merge of 10), never a global Sort of all scored
+    docs."""
+    plan = _plan(QUERIES["bm25_topk"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    # df/avgdl sides are tiny aggregates: they must broadcast, not
+    # shuffle the per-(doc, term) frame a second time.
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -141,6 +141,91 @@ def main():
             )
         )
 
+    # Mutating operators (not in queries()): probed with their own
+    # setup (untimed) + run (timed) pair so the measurement is the
+    # merge/apply itself, not the one-off base-table write.
+    for name, setup, run in (
+        ("scd2_apply", None, _run_scd2),
+        ("merge_upsert_partitioned", _setup_merge, _run_merge),
+    ):
+        times = {}
+        for label, d in (("1x", SF_DIR), (f"{k}x", out)):
+            scratch = f"{out}/_probe_{name}_{label}"
+            if setup:
+                setup(spark, d, scratch)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                run(spark, d, scratch)
+                best = min(best, time.time() - t0)
+            times[label] = round(best, 3)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sec_1x": times["1x"],
+                    f"sec_{k}x": times[f"{k}x"],
+                    "ratio": round(times[f"{k}x"] / max(times["1x"], 1e-9), 2),
+                    "k": k,
+                }
+            )
+        )
+
+
+def _run_scd2(spark, d: str, scratch: str) -> None:
+    """SCD2 snapshot apply over the customer dim: one full_outer key
+    join (current-open vs updates) + unions — expected near-linear in
+    the dim size, no driver-side term."""
+    from data_engineering_capstone_project_spark.operators.scd import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    cust = spark.read.parquet(f"{d}/customer.parquet").withColumn(
+        "effective_date", F.lit("2024-01-01").cast("date")
+    )
+    current = scd2_init(cust, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+    updates = (
+        cust.filter(F.pmod(F.col("c_custkey"), F.lit(10)) == 3)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+        .withColumn("effective_date", F.lit("2024-02-01").cast("date"))
+    )
+    scd2_apply(
+        current, updates, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+    ).write.mode("overwrite").format("noop").save()
+
+
+def _setup_merge(spark, d: str, scratch: str) -> None:
+    """Base table for the merge probe: orders hive-partitioned by order
+    year (untimed one-off)."""
+    (
+        spark.read.parquet(f"{d}/orders.parquet")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(scratch)
+    )
+
+
+def _run_merge(spark, d: str, scratch: str) -> None:
+    """Upsert one year's orders with bumped totals: partition-pruned
+    read of the touched year + anti-join + dynamic overwrite. The
+    touched slice grows with K, so ~linear ratio is the pass bar; a
+    hidden full-table read would show up super-linear."""
+    from data_engineering_capstone_project_spark.sources.writers import (
+        merge_upsert_partitioned,
+    )
+
+    updates = (
+        spark.read.parquet(f"{d}/orders.parquet")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .filter(F.col("o_year") == 1995)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    )
+    merge_upsert_partitioned(
+        spark, scratch, updates, ["o_orderkey"], ["o_year"]
+    )
+
 
 if __name__ == "__main__":
     main()
