@@ -48,6 +48,7 @@ _DRIVER_SAMPLE_FIRST = [
     "bm25_topk",
     "packing_efficiency",
     "embedding_projection",
+    "customer_spend_quartiles_distributed",
     # round-3 additions
     "volume_shipping_q7",
     "market_share_q8",

@@ -27,6 +27,7 @@ from data_engineering_capstone_project_spark.plans.registry import (
     cached_rowcount,
     events_table,
     query,
+    scoped_persist,
     table,
 )
 
@@ -2483,4 +2484,104 @@ def cheapest_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.join(parts, F.col("l_partkey") == F.col("p_partkey")).select(
         "p_partkey", "p_brand", "s_name", "supp_nation", "unit_price"
+    )
+
+
+@query(
+    "customer_spend_quartiles_distributed",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               sum(CAST(floor(o_totalprice * 10000) AS BIGINT)) AS spend_fp
+        FROM orders
+        GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n FROM spend),
+    r AS (
+        SELECT custkey, spend_fp,
+               row_number() OVER (ORDER BY spend_fp DESC, custkey) AS rnk
+        FROM spend
+    )
+    SELECT custkey,
+           spend_fp / 10000.0 AS total_spend,
+           CAST(rnk AS BIGINT) AS spend_rank,
+           CAST(floor(((rnk - 1) * 4) / n.n) + 1 AS INTEGER) AS quartile
+    FROM r CROSS JOIN n
+    """,
+)
+def customer_spend_quartiles_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global spend rank + equal-count quartile WITHOUT a
+    single-partition sort — the scale-safe answer to
+    ``customer_spend_quartiles``'s acknowledged weakness (ntile needs
+    every row through one task).
+
+    Mechanics: range-repartition on the total order (spend desc,
+    custkey), rank WITHIN each partition, then add per-partition
+    offsets. The offsets come from a per-partition count — a frame
+    bounded by the partition count (32 here, a few thousand on a real
+    cluster), never by the data — so the only whole-data costs are one
+    range Exchange and in-partition sorts, exactly what a distributed
+    sort costs, spread over every core. The final rank is independent
+    of WHERE the range boundaries land (the order is total, so any
+    boundary placement yields the same global positions), which is why
+    sampled range boundaries can't break determinism. Quartile is rank
+    arithmetic (1 + floor((rank-1)*4/n)) instead of the ntile builtin,
+    so Spark and DuckDB compute the identical IEEE expression.
+    test_plan_shapes asserts NO SinglePartition Exchange on the spend
+    axis and that the two consumers of the range shuffle reuse one
+    Exchange."""
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 10000).cast("bigint")).alias(
+            "spend_fp"
+        )
+    )
+    # Local ranks WITHOUT a window: after the range Exchange + an
+    # in-partition sort, monotonically_increasing_id() encodes
+    # (partition_id << 33) | row_index_in_partition — so pid and local
+    # rank are bit-slices of one map-side expression and the Window's
+    # redundant hashpartitioning(_pid) re-shuffle of the whole frame
+    # never happens. persist pins ONE materialization of the ranged
+    # frame so the offsets branch reads the identical partitioning
+    # (and the range shuffle runs once, not once per consumer).
+    ranked = scoped_persist(
+        spend.repartitionByRange(F.col("spend_fp").desc(), F.col("custkey").asc())
+        .sortWithinPartitions(F.desc("spend_fp"), F.asc("custkey"))
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright(F.col("_mid"), 33))
+        .withColumn(
+            "_lrank", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1
+        ),
+        "customer_spend_quartiles_distributed.ranked",
+    )
+    # Offsets: one row per partition; the windowed prefix sum runs on a
+    # frame whose size is the PARTITION count, not the row count.
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offset_w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(offset_w), F.lit(0)).alias("_offset"),
+    )
+    # Total n from the same 32-row counts frame — no third scan of the
+    # fact for a COUNT the partition counts already contain.
+    n_frame = counts.agg(F.sum("_cnt").alias("_n"))
+    return (
+        ranked.join(broadcast(offsets), "_pid")
+        .join(broadcast(n_frame))
+        .select(
+            "custkey",
+            (F.col("spend_fp") / F.lit(10000.0)).alias("total_spend"),
+            (F.col("_offset") + F.col("_lrank")).cast("bigint").alias("spend_rank"),
+            (
+                F.floor(((F.col("_offset") + F.col("_lrank") - 1) * 4) / F.col("_n"))
+                + 1
+            )
+            .cast("int")
+            .alias("quartile"),
+        )
     )

@@ -300,3 +300,26 @@ def test_bm25_topk_uses_take_ordered(spark):
     # df/avgdl sides are tiny aggregates: they must broadcast, not
     # shuffle the per-(doc, term) frame a second time.
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_distributed_quartiles_no_single_partition_on_data(spark):
+    """The exact global ranking must never funnel the DATA through one
+    task: SinglePartition exchanges may appear only above the tiny
+    per-partition-counts frames (bounded by the partition count), and
+    no Window may run over the full spend frame. The cached ranged
+    frame must be the single materialization both consumers read."""
+    plan = _plan(QUERIES["customer_spend_quartiles_distributed"](spark, SF_SMALL))
+    lines = plan.splitlines()
+    # Full-data branch: the InMemoryTableScan serving (custkey, spend)
+    # must not sit under any SinglePartition exchange.
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            subtree = "\n".join(lines[i : i + 8])
+            assert "_pid" in subtree or "_cnt" in subtree or "count(" in subtree, (
+                f"SinglePartition over a data-bearing frame:\n{subtree}"
+            )
+    # The heavy frame is served from cache, not recomputed per consumer.
+    assert plan.count("InMemoryTableScan") >= 2
+    # No Window over the spend columns (only the 32-row offsets window).
+    win_lines = [l for l in lines if "Window " in l or l.strip().startswith("Window")]
+    assert all("spend_fp" not in l for l in win_lines), win_lines

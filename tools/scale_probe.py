@@ -116,6 +116,7 @@ def main():
         "conversion_funnel",     # single-shuffle sequential window
         "time_weighted_avg",     # lead() interval weighting
         "customer_spend_quartiles",  # global-order ntile (single-partition sort)
+        "customer_spend_quartiles_distributed",  # exact rank, range-partitioned
         "dedup_components",      # iterative min-label propagation
     ]
     for name in probes:
