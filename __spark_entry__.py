@@ -49,6 +49,7 @@ _DRIVER_SAMPLE_FIRST = [
     "packing_efficiency",
     "embedding_projection",
     "customer_spend_quartiles_distributed",
+    "epoch_shuffle",
     # round-3 additions
     "volume_shipping_q7",
     "market_share_q8",

@@ -1323,3 +1323,63 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("fill_ratio"),
     )
+
+
+@query(
+    "epoch_shuffle",
+    oracle="""
+    WITH n AS (
+        SELECT CAST(pow(2, ceil(log2(greatest(count(*) / 5000.0, 64.0))))
+                    AS BIGINT) AS n_shards
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               (doc_id * 2654435761 + 1 * 40503) % 1000000007 AS skey
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(skey % (SELECT n_shards FROM n) AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+                    PARTITION BY skey % (SELECT n_shards FROM n)
+                    ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle: every document gets a
+    (shard, position) for epoch 1 from an integer LCG mix of
+    (doc_id, epoch) — the training-reader order randomization that at
+    100 TB must NOT be a global sort or an RNG with driver state.
+    Changing the epoch constant re-deals the entire order; the same
+    epoch always re-produces the identical order (resumable mid-epoch,
+    reproducible across runs/engines). Scale shape: map-side key, ONE
+    hash shuffle on shard, per-shard in-partition sort; shard count
+    scales with the corpus (same rule as sequence_packing) so
+    per-task sort depth stays constant as data grows. Ties impossible:
+    the sort key includes doc_id."""
+    import math
+
+    n_shards = int(
+        2
+        ** math.ceil(
+            math.log2(max(cached_rowcount(spark, sf_dir, "documents") / 5000.0, 64.0))
+        )
+    )
+    epoch = 1
+    keyed = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(
+            F.col("doc_id") * F.lit(2654435761) + F.lit(epoch) * F.lit(40503),
+            F.lit(1000000007),
+        ).alias("skey"),
+    )
+    shard = F.pmod(F.col("skey"), F.lit(n_shards)).cast("int")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(shard).orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
