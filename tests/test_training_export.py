@@ -87,3 +87,50 @@ def test_quality_sample_rate_tracks_mean_quality(spark):
     mean_q = docs.agg(F.avg(T.quality_score(F.col("text")))).first()[0]
     rate = sample.count() / docs.count()
     assert abs(rate - mean_q) < 0.05, (rate, mean_q)
+
+
+class TestEpochShuffle:
+    """epoch_shuffle must be a bijection onto contiguous shard
+    positions, stable within an epoch, and a genuine re-deal across
+    epochs."""
+
+    def test_every_doc_has_one_slot_and_positions_are_contiguous(self, spark):
+        out = QUERIES["epoch_shuffle"](spark, SF_SMALL).cache()
+        n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+        assert out.count() == n_docs
+        assert out.select("doc_id").distinct().count() == n_docs
+        # per shard: positions are exactly 1..count(shard)
+        bad = (
+            out.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("pos").alias("lo"),
+                F.max("pos").alias("hi"),
+                F.countDistinct("pos").alias("npos"),
+            )
+            .filter(
+                (F.col("lo") != 1)
+                | (F.col("hi") != F.col("n"))
+                | (F.col("npos") != F.col("n"))
+            )
+            .count()
+        )
+        assert bad == 0
+        out.unpersist()
+
+    def test_same_epoch_is_stable_and_order_is_not_doc_id_order(self, spark):
+        from pyspark.sql.window import Window
+
+        a = QUERIES["epoch_shuffle"](spark, SF_SMALL)
+        b = QUERIES["epoch_shuffle"](spark, SF_SMALL)
+        assert a.exceptAll(b).count() == 0
+        # the shuffle must actually permute: walking a shard in pos
+        # order must hit doc_id inversions (ascending doc_id would mean
+        # no re-ordering happened)
+        w = Window.partitionBy("shard").orderBy("pos")
+        inversions = (
+            a.withColumn("prev", F.lag("doc_id").over(w))
+            .filter(F.col("prev") > F.col("doc_id"))
+            .count()
+        )
+        assert inversions > 0
