@@ -50,6 +50,7 @@ _DRIVER_SAMPLE_FIRST = [
     "embedding_projection",
     "customer_spend_quartiles_distributed",
     "epoch_shuffle",
+    "token_budget_select",
     # round-3 additions
     "volume_shipping_q7",
     "market_share_q8",

@@ -1383,3 +1383,84 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@query(
+    "token_budget_select",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / length(text) * 10000) / 10000.0 AS quality,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM base),
+    c AS (
+        SELECT doc_id, quality, tokens,
+               CAST(sum(tokens) OVER (ORDER BY quality DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM base
+    )
+    SELECT doc_id, quality, tokens, cum_tokens
+    FROM c CROSS JOIN tot
+    WHERE cum_tokens * 4 <= tot.total
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget selection: keep the highest-quality documents
+    until their cumulative token count reaches 1/4 of the corpus — the
+    "give me the best N tokens" curation step, done WITHOUT a global
+    sort. The global prefix sum decomposes over VALUE buckets
+    (bucket = floor(quality*1000)): bucket order IS quality order, so
+    cum = (prefix sum of whole lower-bucket totals — a frame bounded by
+    1001 buckets, never by data) + (in-bucket running sum). One hash
+    Exchange on bucket is the only data shuffle; bucket boundaries are
+    pure arithmetic, so unlike sampled range partitioning there is
+    nothing nondeterministic to pin. All-integer token arithmetic and
+    a multiply-compare (cum*4 <= total) keep the cut engine-exact —
+    no division ever happens."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    base = scoped_persist(
+        docs.select(
+            "doc_id",
+            (
+                F.floor(
+                    F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+                    / F.length(t)
+                    * 10000
+                )
+                / F.lit(10000.0)
+            ).alias("quality"),
+            T.token_count_bpe_ish(t).cast("bigint").alias("tokens"),
+        ),
+        "token_budget_select.base",
+    )
+    bucket = F.floor(F.col("quality") * 1000).cast("int")
+    from pyspark.sql.window import Window as W
+
+    local_w = (
+        W.partitionBy(bucket)
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    btot = base.groupBy(bucket.alias("_bkt")).agg(
+        F.sum("tokens").alias("_btoks")
+    )
+    off_w = W.orderBy(F.desc("_bkt")).rowsBetween(W.unboundedPreceding, -1)
+    offsets = btot.select(
+        "_bkt", F.coalesce(F.sum("_btoks").over(off_w), F.lit(0)).alias("_off")
+    )
+    total = base.agg(F.sum("tokens").alias("_total"))
+    return (
+        base.withColumn("_bkt", bucket)
+        .withColumn("_lcum", F.sum("tokens").over(local_w))
+        .join(broadcast(offsets), "_bkt")
+        .join(broadcast(total))
+        .withColumn("cum_tokens", (F.col("_off") + F.col("_lcum")).cast("bigint"))
+        .filter(F.col("cum_tokens") * 4 <= F.col("_total"))
+        .select("doc_id", "quality", "tokens", "cum_tokens")
+    )

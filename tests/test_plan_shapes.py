@@ -323,3 +323,15 @@ def test_distributed_quartiles_no_single_partition_on_data(spark):
     # No Window over the spend columns (only the 32-row offsets window).
     win_lines = [l for l in lines if "Window " in l or l.strip().startswith("Window")]
     assert all("spend_fp" not in l for l in win_lines), win_lines
+
+
+def test_token_budget_select_single_data_exchange(spark):
+    """The budget cut's only full-data shuffle is the hash on the
+    quality bucket; SinglePartition exchanges may sit only above
+    bucket-grain (<=1001 rows) or scalar frames."""
+    plan = _plan(QUERIES["token_budget_select"](spark, SF_SMALL))
+    data_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "_groupingexpression" not in l
+    ]
+    assert len(data_exchanges) == 1, data_exchanges
