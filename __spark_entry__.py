@@ -44,6 +44,10 @@ _DRIVER_SAMPLE_FIRST = [
     "doc_rarity",
     "conversion_funnel",
     # round-4 additions (never sampled yet)
+    "doc_chunks",
+    "repeated_passages",
+    "bpe_pair_counts",
+    "nearest_centroid_assign",
     "star_schema_summary",
     "bm25_topk",
     "packing_efficiency",

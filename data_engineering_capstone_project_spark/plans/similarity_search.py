@@ -356,3 +356,82 @@ def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "embeddings").select(
         "vec_id", proj.alias("proj")
     )
+
+
+@query(
+    "nearest_centroid_assign",
+    oracle="""
+    WITH cent AS (
+        SELECT label AS clabel,
+               CAST(i - 1 AS INTEGER) AS dim,
+               (sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000)
+                         AS BIGINT)) / count(*)) / 10000000.0 AS mean_val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               sum(CAST(floor((CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.mean_val)
+                              * (CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.mean_val)
+                              * 10000000) AS BIGINT)) AS dist_fp
+        FROM embeddings e JOIN cent c ON TRUE
+        GROUP BY 1, 2, 3
+    ),
+    a AS (
+        SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist_fp ASC, clabel ASC) AS rn
+        FROM d
+    )
+    SELECT label, clabel AS assigned, count(*) AS n
+    FROM a
+    WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classification with a confusion-matrix
+    summary — the label-propagation / auto-labeling pass of a vector
+    pipeline (Rocchio classifier). Two stages: (1) the per-label
+    centroid aggregate (the ``label_centroids`` plan — the shuffle
+    carries labels x dims fixed-point partial sums, O(1) in corpus
+    size), collected to the driver exactly like the IVF centroid set
+    (bounded: n_labels x dim doubles); (2) a strictly MAP-ONLY
+    assignment — each row evaluates zip_with/aggregate distances to
+    LITERAL centroid arrays inside codegen, so the corpus never
+    shuffles for assignment; the only remaining Exchange carries the
+    (label, assigned) partial counts. Engine-exactness: centroid =
+    (int64 fixed-point sum / count) / 1e7 (bit-identical division in
+    both engines) and each squared-error term is floored to int64
+    BEFORE summation, so the argmin is over exact integers with the
+    class id as tiebreak — no float summation order anywhere."""
+    cent_rows = label_centroids(spark, sf_dir).collect()
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["mean_val"]
+    labels = sorted(by_label)
+
+    def dist_to(lab: int):
+        means = by_label[lab]
+        cent = F.array(*[F.lit(float(means[d])) for d in sorted(means)])
+        terms = F.zip_with(
+            F.col("embedding"),
+            cent,
+            lambda x, m: F.floor(
+                (x.cast("double") - m) * (x.cast("double") - m) * 10000000
+            ).cast("long"),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    cand = F.array(
+        *[
+            F.struct(dist_to(lab).alias("dist"), F.lit(lab).alias("lab"))
+            for lab in labels
+        ]
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.array_min(cand)["lab"].alias("assigned"))
+        .groupBy("label", "assigned")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1464,3 +1464,157 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") * 4 <= F.col("_total"))
         .select("doc_id", "quality", "tokens", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window preparation: overlapping chunking, cross-document
+# repeated-passage detection, and the first BPE merge statistics —
+# the steps between "curated corpus" and "tokenizer + fixed-length
+# training windows".
+@query(
+    "doc_chunks",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(gs.i AS INTEGER) AS chunk_id,
+           substring(d.text, CAST(gs.i * 80 + 1 AS INTEGER), 120) AS chunk,
+           CAST(length(substring(d.text, CAST(gs.i * 80 + 1 AS INTEGER), 120))
+                AS INTEGER) AS chunk_chars
+    FROM documents d,
+         unnest(generate_series(0, CAST(greatest(0,
+                floor((length(d.text) - 41) / 80.0)) AS BIGINT))) gs(i)
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (window 120 chars, stride 80 —
+    the context-window split with 1/3 overlap so no boundary sentence
+    is lost). Pure map-side: sequence+explode+substring, ZERO
+    Exchange — each task chunks its own parquet split, so at 100 TB
+    this is embarrassingly parallel and output-partitioned exactly
+    like the input. Chunk count is integer arithmetic on length():
+    1 + max(0, ceil((len-120)/80)) = 1 + max(0, floor((len-41)/80)),
+    so the final short chunk is emitted iff it starts before the end
+    of text."""
+    docs = table(spark, sf_dir, "documents")
+    extra = F.greatest(
+        F.lit(0), F.floor((F.length("text") - F.lit(41)) / F.lit(80.0))
+    ).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), extra)).alias("chunk_id"),
+    )
+    chunk = F.expr("substring(text, chunk_id * 80 + 1, 120)")
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("int").alias("chunk_chars"),
+    )
+
+
+@query(
+    "repeated_passages",
+    oracle="""
+    WITH sh AS (
+        SELECT d.doc_id,
+               substring(d.text, CAST(gs.i * 20 + 1 AS INTEGER), 40) AS passage
+        FROM documents d,
+             unnest(generate_series(0, CAST(floor((length(d.text) - 40) / 20.0)
+                                            AS BIGINT))) gs(i)
+        WHERE length(d.text) >= 40
+    )
+    SELECT passage,
+           count(*) AS occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+    FROM sh
+    GROUP BY passage
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY docs DESC, occurrences DESC, passage ASC
+    LIMIT 50
+    """,
+)
+def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-passage detection (the memorization-risk scan of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", re-shaped for Spark): 40-char windows at stride
+    20, grouped by literal window text, keep windows seen in >=2
+    docs. The suffix-array formulation is a single-machine algorithm;
+    the shingle-grouping form is one explode (map-side, never
+    materialized corpus-wide) plus ONE hash Exchange carrying
+    (passage, partial count) — linear at 100 TB. Stride 20 with
+    window 40 guarantees any duplicated run >= 59 chars contains a
+    shared aligned window, so recall misses only sub-59-char repeats."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 40)
+    n_win = F.floor((F.length("text") - F.lit(40)) / F.lit(20.0)).cast("int")
+    sh = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_win)).alias("i"),
+    ).select(
+        "doc_id", F.expr("substring(text, i * 20 + 1, 40)").alias("passage")
+    )
+    return (
+        sh.groupBy("passage")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.count_distinct("doc_id").alias("docs"),
+        )
+        .filter(F.col("docs") >= 2)
+        .orderBy(F.desc("docs"), F.desc("occurrences"), F.asc("passage"))
+        .limit(50)
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+        SELECT tok AS word, count(*) AS wf
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS tok
+              FROM documents)
+        GROUP BY tok
+    ),
+    p AS (
+        SELECT substring(word, CAST(g.i AS INTEGER), 2) AS pair, wf
+        FROM w, unnest(generate_series(1, length(word) - 1)) g(i)
+        WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS total
+    FROM p
+    GROUP BY pair
+    ORDER BY total DESC, pair ASC
+    LIMIT 40
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge statistics: corpus-weighted adjacent character
+    pair counts (exactly the argmax table of the first merge step in
+    Sennrich et al. 2016 tokenizer training). Heaps'-law leverage:
+    the corpus-sized pass is ONE explode+agg to the distinct-word
+    frequency table; pair generation then runs over the vocabulary
+    (sublinear in corpus size), so at 100 TB the second stage costs
+    ~millions of rows regardless of corpus growth. Iterating merges
+    would re-run only the vocab-sized stage — the corpus pass never
+    repeats."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("bigint").alias("total"))
+        .orderBy(F.desc("total"), F.asc("pair"))
+        .limit(40)
+    )

@@ -335,3 +335,46 @@ def test_token_budget_select_single_data_exchange(spark):
         if "Exchange hashpartitioning" in l and "_groupingexpression" not in l
     ]
     assert len(data_exchanges) == 1, data_exchanges
+
+
+def test_doc_chunks_is_map_only(spark):
+    """Overlapping chunking must be a pure generator over the scan:
+    ZERO Exchange — at 100 TB chunking costs exactly one pass and the
+    output inherits the input's partitioning."""
+    plan = _plan(QUERIES["doc_chunks"](spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # sequence+explode, not a join on indexes
+
+
+def test_repeated_passages_single_corpus_exchange(spark):
+    """Passage-duplication detection: explode is map-side; the only
+    corpus-sized Exchange carries (passage, partial agg). The final
+    top-50 must be TakeOrderedAndProject, never a global Sort."""
+    plan = _plan(QUERIES["repeated_passages"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial count +
+    # count_distinct expansion; both keyed on passage, no doc x doc term
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pair_counts_second_stage_is_vocab_sized(spark):
+    """BPE pair statistics: the corpus-sized stage is ONE explode+agg
+    to the distinct-word table; pair explosion happens after that
+    aggregate (vocab-sized, sublinear in corpus). Assert the plan has
+    exactly the two hash aggregates' Exchanges and the final top-40 is
+    a TakeOrdered."""
+    plan = _plan(QUERIES["bpe_pair_counts"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_nearest_centroid_assign_is_map_only_after_centroids(spark):
+    """Rocchio assignment: centroids are collected literals, so the
+    corpus-side plan is scan -> project(distances) -> final confusion
+    agg. Exactly ONE Exchange (the (label, assigned) partial counts);
+    no join anywhere."""
+    plan = _plan(QUERIES["nearest_centroid_assign"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, plan
