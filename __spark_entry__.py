@@ -48,6 +48,7 @@ _DRIVER_SAMPLE_FIRST = [
     "repeated_passages",
     "bpe_pair_counts",
     "nearest_centroid_assign",
+    "trending_event_types",
     "star_schema_summary",
     "bm25_topk",
     "packing_efficiency",

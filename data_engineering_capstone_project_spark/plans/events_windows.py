@@ -427,3 +427,58 @@ def views_converted_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value"
         ),
     )
+
+
+@query(
+    "trending_event_types",
+    oracle="""
+    WITH expanded AS (
+        SELECT CAST(floor(floor(epoch(ts) / 900) * 900 - 900 * g.j) AS BIGINT)
+                   AS window_start,
+               event_type
+        FROM events, unnest(generate_series(0, 3)) g(j)
+    ),
+    counted AS (
+        SELECT window_start, event_type, count(*) AS events
+        FROM expanded
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, events, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT window_start, event_type, events,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY events DESC, event_type ASC) AS rnk
+        FROM counted
+    )
+    WHERE rnk <= 3
+    """,
+)
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: top-3 event types per 1-hour window sliding
+    every 15 minutes — the dashboard "what's hot right now" shape.
+    Each event expands map-side into its 4 covering windows (Spark's
+    window() generates exactly the starts the oracle enumerates); ONE
+    Exchange carries ((window, type), partial count) — the rank then
+    runs over the aggregated per-window type counts (bounded by
+    #types, not by events) and the rank<=3 plans as WindowGroupLimit,
+    so each partition retains a running top-3 instead of sorting its
+    windows' full type lists. At 100 TB the shuffle payload is the
+    aggregated (window x type) grid regardless of event volume."""
+    ev = events_table(spark, sf_dir)
+    counted = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "events",
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("events"), F.asc("event_type")
+        )
+    )
+    return counted.withColumn("rnk", rnk).filter(F.col("rnk") <= 3)

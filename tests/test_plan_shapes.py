@@ -378,3 +378,13 @@ def test_nearest_centroid_assign_is_map_only_after_centroids(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_trending_event_types_single_exchange_and_group_limit(spark):
+    """Sliding-window trending: the corpus-sized Exchange carries the
+    aggregated ((window, type), partial count) rows; the top-3 rank
+    must plan as WindowGroupLimit over that bounded grid."""
+    plan = _plan(QUERIES["trending_event_types"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

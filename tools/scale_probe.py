@@ -7,8 +7,8 @@ representative query per physical pattern at 1x and Kx. Near-linear
 wall-clock growth (at fixed parallelism) is the evidence that the plans
 have no super-linear term waiting at 100 TB.
 
-Usage: python tools/scale_probe.py [K] [out_dir]
-       (defaults: K=8, out_dir=/tmp/scale_probe)
+Usage: python tools/scale_probe.py [K] [out_dir] [query ...]
+       (defaults: K=8, out_dir=/tmp/scale_probe, all probes)
 Prints one JSON line per query: name, rows_1x, sec_1x, sec_kx, ratio.
 """
 
@@ -51,6 +51,12 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
     spark = get_spark(app_name="scale-probe")
 
+    if Path(f"{out}/lineitem.parquet").exists():
+        # Reuse an already-replicated dir (same K assumed): replication
+        # dominates probe wall-clock, and since r4 the bucketed-table
+        # tags fingerprint source files, so reuse is correctness-safe.
+        print(f"reusing replicated tables in {out}", file=sys.stderr)
+        return _run_probes(k, out)
     shutil.rmtree(out, ignore_errors=True)
     # Strides chosen >= the 1x keyspace of each column.
     replicate(spark, "lineitem", out, k, {"l_orderkey": 10_000_000})
@@ -92,6 +98,12 @@ def main():
         else:
             shutil.copy(src, dst)
 
+    return _run_probes(k, out)
+
+
+def _run_probes(k: int, out: str):
+    spark = get_spark(app_name="scale-probe")
+
     import __spark_entry__ as e
 
     qs = e.queries()
@@ -118,7 +130,15 @@ def main():
         "customer_spend_quartiles",  # global-order ntile (single-partition sort)
         "customer_spend_quartiles_distributed",  # exact rank, range-partitioned
         "dedup_components",      # iterative min-label propagation
+        "doc_chunks",            # map-only generator (zero Exchange)
+        "repeated_passages",     # explode + single passage-keyed agg
+        "bpe_pair_counts",       # corpus agg once, vocab-sized 2nd stage
+        "nearest_centroid_assign",  # centroid collect + map-only argmin
+        "trending_event_types",  # sliding-window top-k (WindowGroupLimit)
     ]
+    only = set(sys.argv[3:])
+    if only:
+        probes = [p for p in probes if p in only]
     for name in probes:
         times = {}
         for label, d in (("1x", SF_DIR), (f"{k}x", out)):
@@ -149,6 +169,8 @@ def main():
         ("scd2_apply", None, _run_scd2),
         ("merge_upsert_partitioned", _setup_merge, _run_merge),
     ):
+        if only and name not in only:
+            continue
         times = {}
         for label, d in (("1x", SF_DIR), (f"{k}x", out)):
             scratch = f"{out}/_probe_{name}_{label}"
