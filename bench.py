@@ -70,10 +70,13 @@ def main() -> None:
 
     # Best of 2 runs per query: run 1 pays one-off costs (file-index
     # listing, codegen compile) that a steady-state deployment amortizes;
-    # run 2 measures the plan itself. Data is never cached by the bench
-    # (query-internal persist() of derived signatures is part of the
-    # plan being measured and is re-done each run), so run 2 still
-    # scans parquet end-to-end.
+    # run 2 measures the plan itself. The bench itself caches nothing;
+    # the dedup queries' scoped_persist of their signature subtree DOES
+    # carry from run 1 to run 2 (same logical plan -> same cached frame,
+    # bounded at one per key), so their run-2 time is the steady-state
+    # cost with signatures materialized once per corpus version — the
+    # deployment shape the plan comments describe. Every other query
+    # scans parquet end-to-end both runs.
     #
     # The noop sink fully evaluates every row on the executors without
     # materializing results on the driver: the bench measures the

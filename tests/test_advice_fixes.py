@@ -87,3 +87,40 @@ def test_read_parquet_evolving_merges_schema_generations(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     got = {(r.id): (r.name, r.score) for r in df.collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_scoped_persist_reuses_same_plan_and_stays_bounded(spark):
+    """scoped_persist must (a) serve the ALREADY-CACHED frame when the
+    incoming DataFrame has an identical logical plan (repeated bench /
+    driver invocations compute the staged subtree once), and (b) hold
+    at most ONE cached frame per key when the plan changes (the r3
+    leak must not return)."""
+    from data_engineering_capstone_project_spark.plans.registry import (
+        _PERSISTED,
+        scoped_persist,
+    )
+    from tests.conftest import SF_SMALL
+
+    key = "__test_scoped_persist__"
+    try:
+        a = spark.read.parquet(f"{SF_SMALL}/documents.parquet").groupBy(
+            "lang"
+        ).count()
+        b = spark.read.parquet(f"{SF_SMALL}/documents.parquet").groupBy(
+            "lang"
+        ).count()
+        p1 = scoped_persist(a, key)
+        p1.count()
+        assert scoped_persist(b, key) is p1  # same plan -> reused
+
+        c = spark.read.parquet(f"{SF_SMALL}/documents.parquet").groupBy(
+            "source"
+        ).count()
+        p2 = scoped_persist(c, key)
+        assert p2 is not p1  # different plan -> replaced…
+        assert p1.storageLevel.useMemory is False  # …and prev unpersisted
+        assert _PERSISTED[key] is p2  # exactly one slot per key
+    finally:
+        prev = _PERSISTED.pop(key, None)
+        if prev is not None:
+            prev.unpersist()
