@@ -102,3 +102,122 @@ def maintain_user_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def apply_additive_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    serving: str,
+    inc_fn,
+    keys: list[str],
+    sum_cols: list[str],
+) -> bool:
+    """Generic idempotent additive merge: fold one micro-batch into a
+    keyed serving table whose measure columns are all ADDITIVE (counts,
+    fixed-point sums — the class of aggregates that can be maintained
+    incrementally without re-reading history). ``inc_fn`` maps the raw
+    batch to its (keys + sum_cols) increment; the merge is a full-outer
+    join of two aggregate-sized tables plus coalesce-adds, staged and
+    atomically published. The batch-id guard makes crash-replayed
+    batches no-ops (same contract as ``apply_user_counts_batch``)."""
+    if _table_exists(spark, serving):
+        cur = spark.read.parquet(serving)
+        applied = cur.agg(F.max("applied_batch_id")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            return False
+    else:
+        cur = None
+
+    inc = inc_fn(batch_df)
+    if cur is None:
+        merged = inc.select(*keys, *sum_cols)
+    else:
+        add = [
+            (
+                F.coalesce(F.col(f"c.{m}"), F.lit(0))
+                + F.coalesce(F.col(f"i.{m}"), F.lit(0))
+            ).alias(m)
+            for m in sum_cols
+        ]
+        merged = (
+            cur.select(*keys, *sum_cols)
+            .alias("c")
+            .join(inc.alias("i"), keys, "full_outer")
+            .select(*keys, *add)
+        )
+    staged = serving + _STAGED
+    merged.withColumn("applied_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    publish_swap(spark, staged, serving)
+    return True
+
+
+def trending_increment(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's contribution to the sliding-window trending
+    counts: each event lands map-side in its 4 covering 1-hour windows
+    (slide 15 min) — the same expansion as the batch
+    ``trending_event_types`` query, so the maintained table converges
+    to the batch answer."""
+    return (
+        batch_df.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "events",
+        )
+    )
+
+
+def maintain_trending_counts(
+    events: DataFrame, serving: str, checkpoint: str
+) -> None:
+    """Drain the events stream (availableNow) into the per-(window,
+    type) counts table. The serving table is the aggregated
+    window x type grid — O(windows x types), independent of event
+    volume — so each micro-batch merge joins two tiny aggregates."""
+    spark = events.sparkSession
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        apply_additive_batch(
+            spark,
+            batch_df,
+            batch_id,
+            serving,
+            trending_increment,
+            keys=["window_start", "event_type"],
+            sum_cols=["events"],
+        )
+
+    q = (
+        events.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def trending_topk_view(spark: SparkSession, serving: str, k: int = 3) -> DataFrame:
+    """Read-time rank over the maintained counts grid: top-k event
+    types per window (count desc, type asc tiebreak) — the streaming
+    twin of the batch ``trending_event_types`` query. Ranking at read
+    time (not merge time) keeps the maintained state purely additive,
+    which is what makes replayed batches safely idempotent."""
+    from pyspark.sql.window import Window
+
+    counts = spark.read.parquet(serving)
+    rnk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("events"), F.asc("event_type")
+        )
+    )
+    return (
+        counts.select("window_start", "event_type", "events")
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= k)
+    )

@@ -443,3 +443,67 @@ def test_stream_approx_distinct_equals_batch(spark, events_dir):
         tumbling_unique_users(stream, watermark="90 days"), "t_uniq"
     )
     assert _canon(spark.table("t_uniq")) == expected
+
+
+def test_incremental_trending_topk_maintenance(spark, tmp_path):
+    """foreachBatch-maintained sliding-window trending counts: the
+    read-time top-3 view over the incrementally merged grid equals the
+    one-shot batch rank (all-integer counts, so equality is exact);
+    a replayed batch id must not double-count."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        apply_additive_batch,
+        maintain_trending_counts,
+        trending_increment,
+        trending_topk_view,
+    )
+
+    src = str(tmp_path / "src")
+    serving = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    ev = events_table(spark, SF_SMALL).limit(600).cache()
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    maintain_trending_counts(
+        stream_events_from_dir(spark, src, max_files_per_trigger=1),
+        serving,
+        ckpt,
+    )
+
+    rnk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("events"), F.asc("event_type")
+        )
+    )
+    want = sorted(
+        (r.window_start, r.event_type, r.events, r.rnk)
+        for r in trending_increment(ev)
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    )
+    got = sorted(
+        (r.window_start, r.event_type, r.events, r.rnk)
+        for r in trending_topk_view(spark, serving).collect()
+    )
+    assert got == want
+
+    # A re-delivered batch id is a no-op on the counts grid.
+    applied = (
+        spark.read.parquet(serving).agg(F.max("applied_batch_id")).collect()[0][0]
+    )
+    assert not apply_additive_batch(
+        spark,
+        ev,
+        applied,
+        serving,
+        trending_increment,
+        keys=["window_start", "event_type"],
+        sum_cols=["events"],
+    )
+    got2 = sorted(
+        (r.window_start, r.event_type, r.events, r.rnk)
+        for r in trending_topk_view(spark, serving).collect()
+    )
+    assert got2 == want
