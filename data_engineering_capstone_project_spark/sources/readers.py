@@ -79,3 +79,34 @@ def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     zero extra planning I/O; this helper is for the exploratory case
     where the union schema is not known."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """JSON-lines corpus scan (the interchange format LLM training
+    corpora actually ship in — one JSON document per line, typically
+    gzip/zstd files Spark decompresses transparently per-file).
+
+    Pass an explicit ``schema`` in production: without one Spark runs a
+    full inference pre-pass over the data (a second scan — unacceptable
+    at 100 TB) and schema drift across dumps silently widens columns.
+    With a schema the scan is single-pass, missing fields are NULL, and
+    extra fields are ignored — exactly the tolerant-reader posture a
+    multi-source corpus needs. Malformed lines land in
+    ``_corrupt_record`` (PERMISSIVE mode) instead of failing the job;
+    filter/count them as a quality gate rather than crashing a
+    100 TB ingest on one bad line."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines export (training-shard handoff to tokenizer/loader
+    stacks that do not read parquet). Columnar work should stay in
+    parquet; this is the boundary format for the last hop."""
+    df.write.mode(mode).json(path)

@@ -82,3 +82,36 @@ def test_synthetic_source_streams_to_parity(spark, tmp_path):
         q.awaitTermination()
     got = sorted(map(tuple, spark.table("t_synth_stream").collect()))
     assert got == expected
+
+
+def test_jsonl_roundtrip_with_schema_and_corrupt_line(spark, tmp_path):
+    """read_jsonl: explicit schema means single-pass scan, NULL for
+    missing fields, tolerance of extra fields; a malformed line surfaces
+    in _corrupt_record instead of failing the read."""
+    import json as _json
+
+    from data_engineering_capstone_project_spark.sources.readers import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    src = tmp_path / "docs.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "hello world", "lang": "en"}),
+        _json.dumps({"doc_id": 2, "text": "salut"}),  # missing lang -> NULL
+        _json.dumps({"doc_id": 3, "text": "hi", "lang": "en", "extra": 9}),
+        "{not json",  # malformed -> _corrupt_record
+    ]
+    src.write_text("\n".join(lines) + "\n")
+
+    schema = "doc_id bigint, text string, lang string, _corrupt_record string"
+    df = read_jsonl(spark, str(src), schema).cache()
+    good = {r.doc_id: (r.text, r.lang) for r in df.filter("_corrupt_record IS NULL").collect()}
+    assert good == {1: ("hello world", "en"), 2: ("salut", None), 3: ("hi", "en")}
+    assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+
+    out = str(tmp_path / "out")
+    write_jsonl(df.filter("_corrupt_record IS NULL").select("doc_id", "text", "lang"), out)
+    back = read_jsonl(spark, out, "doc_id bigint, text string, lang string")
+    assert {r.doc_id: (r.text, r.lang) for r in back.collect()} == good
+    df.unpersist()
