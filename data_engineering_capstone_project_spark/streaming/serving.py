@@ -221,3 +221,81 @@ def trending_topk_view(spark: SparkSession, serving: str, k: int = 3) -> DataFra
         .withColumn("rnk", rnk)
         .filter(F.col("rnk") <= k)
     )
+
+
+def value_histogram_increment(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's contribution to the per-user value histogram:
+    counts at (user_id, bucket) grain, bucket = floor(value * 4)
+    clamped to [0, 63] (uniform 0.25-wide bins over the value domain —
+    swap for log buckets when the domain is heavy-tailed). A bucketed
+    histogram is the MERGEABLE percentile sketch: bucket counts are
+    additive, so the serving table maintains incrementally with the
+    same machinery as any counts grid, and any percentile is readable
+    from the cumulative bucket mass at any time. Accuracy is one
+    bucket width — fixed and known, unlike a sampled quantile."""
+    bucket = F.least(
+        F.lit(63), F.greatest(F.lit(0), F.floor(F.col("value") * 4).cast("int"))
+    )
+    return (
+        batch_df.groupBy(F.col("user_id"), bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def maintain_value_histograms(
+    events: DataFrame, serving: str, checkpoint: str
+) -> None:
+    """Drain the events stream (availableNow) into the per-(user,
+    bucket) histogram table — O(users x 64) rows regardless of event
+    volume; each micro-batch merge joins two aggregate-sized tables."""
+    spark = events.sparkSession
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        apply_additive_batch(
+            spark,
+            batch_df,
+            batch_id,
+            serving,
+            value_histogram_increment,
+            keys=["user_id", "bucket"],
+            sum_cols=["n"],
+        )
+
+    q = (
+        events.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def user_percentile_view(
+    spark: SparkSession, serving: str, p: float = 0.95
+) -> DataFrame:
+    """Read-time percentile over the maintained histograms: for each
+    user, the lower edge of the first bucket whose cumulative count
+    reaches p of the user's total — i.e. the bucket-resolution
+    p-quantile. All-integer compare (cum * 1 >= p-scaled total via
+    multiply, no division), so the answer is deterministic; the
+    window runs over <= 64 rows per user."""
+    from pyspark.sql.window import Window
+
+    h = spark.read.parquet(serving)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scaled = int(round(p * 10000))
+    cum = F.sum("n").over(w)
+    tot = F.sum("n").over(Window.partitionBy("user_id"))
+    hit = (
+        h.select("user_id", "bucket", cum.alias("cum"), tot.alias("tot"))
+        .filter(F.col("cum") * 10000 >= F.col("tot") * F.lit(scaled))
+        .groupBy("user_id")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return hit.select(
+        "user_id", (F.col("bucket") / F.lit(4.0)).alias(f"p{int(p * 100)}_value")
+    )

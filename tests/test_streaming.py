@@ -507,3 +507,59 @@ def test_incremental_trending_topk_maintenance(spark, tmp_path):
         for r in trending_topk_view(spark, serving).collect()
     )
     assert got2 == want
+
+
+def test_incremental_histogram_percentile_maintenance(spark, tmp_path):
+    """foreachBatch-maintained per-(user, bucket) histograms: the
+    read-time p95 equals the batch-computed bucket-resolution p95
+    (all-integer counts, exact equality), and the maintained grid
+    equals the one-shot histogram."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        maintain_value_histograms,
+        user_percentile_view,
+        value_histogram_increment,
+    )
+
+    src = str(tmp_path / "src")
+    serving = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    ev = events_table(spark, SF_SMALL).limit(500).cache()
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    maintain_value_histograms(
+        stream_events_from_dir(spark, src, max_files_per_trigger=1),
+        serving,
+        ckpt,
+    )
+
+    got_grid = {
+        (r.user_id, r.bucket): r.n
+        for r in spark.read.parquet(serving).collect()
+    }
+    want_grid = {
+        (r.user_id, r.bucket): r.n
+        for r in value_histogram_increment(ev).collect()
+    }
+    assert got_grid == want_grid
+
+    # Batch-side p95 from the same histogram definition.
+    import math
+
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for (u, b), n in want_grid.items():
+        per_user.setdefault(u, []).append((b, n))
+    want_p95 = {}
+    for u, pairs in per_user.items():
+        pairs.sort()
+        tot = sum(n for _, n in pairs)
+        cum = 0
+        for b, n in pairs:
+            cum += n
+            if cum * 10000 >= tot * 9500:
+                want_p95[u] = b / 4.0
+                break
+    got_p95 = {
+        r.user_id: r.p95_value
+        for r in user_percentile_view(spark, serving, 0.95).collect()
+    }
+    assert got_p95 == want_p95
