@@ -96,21 +96,47 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _ROWCOUNTS: dict[tuple, int] = {}
 
 
+def file_signature(sf_dir: str, name: str) -> tuple:
+    """Source-content signature of ``{sf_dir}/{name}.parquet``: the
+    (relative name, size, mtime_ns) of every file under it, sorted. No
+    data is read; a regenerated parquet changes the signature even at
+    identical size via mtime. The ONE shared definition backing both
+    the row-count memo key and the bucketed-table fingerprint, so the
+    two invalidation schemes can never disagree about whether a source
+    changed.
+
+    Returns ``()`` when nothing is found (non-local URI Spark could
+    still read, missing table): callers MUST treat an empty signature
+    as "unknown — do not trust for caching/reuse", never as "same as
+    last time" (an empty tuple compares equal to every other empty
+    tuple, which would make staleness invisible)."""
+    from pathlib import Path
+
+    root = Path(sf_dir.removeprefix("file:")) / f"{name}.parquet"
+    if root.is_dir():
+        files = sorted(p for p in root.rglob("*") if p.is_file())
+    elif root.is_file():
+        files = [root]
+    else:
+        return ()
+    return tuple(
+        (f.name, f.stat().st_size, f.stat().st_mtime_ns) for f in files
+    )
+
+
 def cached_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Row count of a driver table, memoized on the source files'
-    (name, size, mtime) signature. Plan-build-time scalar parameters
+    signature (``file_signature``). Plan-build-time scalar parameters
     (shard counts, bucket counts) need the count at EVERY build —
     including EXPLAIN-only and test inspection paths — and a parquet
     metadata count is cheap but still a Spark job; this caches it per
     actual file content so repeated builds are free while a regenerated
-    parquet at the same path still re-counts."""
-    from pathlib import Path
-
-    root = Path(sf_dir) / f"{name}.parquet"
-    files = sorted(p for p in root.rglob("*") if p.is_file()) if root.is_dir() else [root]
-    sig = tuple(
-        (f.name, f.stat().st_size, f.stat().st_mtime_ns) for f in files if f.exists()
-    )
+    parquet at the same path still re-counts. An unknown signature
+    (non-local path) disables memoization entirely rather than caching
+    under a key that can never change."""
+    sig = file_signature(sf_dir, name)
+    if not sig:
+        return table(spark, sf_dir, name).count()
     key = (sf_dir, name, sig)
     if key not in _ROWCOUNTS:
         _ROWCOUNTS[key] = table(spark, sf_dir, name).count()

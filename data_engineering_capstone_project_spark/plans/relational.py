@@ -809,9 +809,18 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
     pairs = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
     names = {tbl: f"bkt_{tbl}_{tag}_{fp}" for tbl, _ in pairs}
     rebuild = not all(spark.catalog.tableExists(n) for n in names.values())
-    if not rebuild and n_buckets is not None:
-        existing = _table_bucket_count(spark, names["lineitem"])
-        rebuild = existing is not None and existing != n_buckets
+    if not rebuild:
+        # Both tables exist: verify they agree on bucket count (a crash
+        # between the pair's two writes can leave 32/16) and, when the
+        # caller pins a count, that they match it. Any discrepancy
+        # rebuilds the PAIR — serving an unequal pair would silently
+        # re-introduce the Exchange this layout removes.
+        counts = [_table_bucket_count(spark, n) for n in names.values()]
+        rebuild = (
+            None in counts
+            or len(set(counts)) != 1
+            or (n_buckets is not None and counts[0] != n_buckets)
+        )
     if rebuild:
         if n_buckets is None:
             rows = cached_rowcount(spark, sf_dir, "lineitem")
@@ -828,9 +837,14 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
         for tbl, key in pairs:
             # Drop stale variants of this source pair: older fingerprints
             # (regenerated parquet) and the pre-fingerprint legacy name.
+            # Match the fingerprint suffix EXACTLY ([0-9a-f]{10}$): a
+            # bare prefix test would also hit sibling sf_dirs whose
+            # sanitized tag extends this one (…_corpus vs …_corpus_big)
+            # and delete their live pair.
+            stale = _re.compile(rf"^bkt_{tbl}_{tag}_[0-9a-f]{{10}}$")
             for t in spark.catalog.listTables():
                 if (
-                    t.name.startswith(f"bkt_{tbl}_{tag}_") or t.name == f"bkt_{tbl}_{tag}"
+                    stale.match(t.name) or t.name == f"bkt_{tbl}_{tag}"
                 ) and t.name != names[tbl]:
                     spark.sql(f"DROP TABLE IF EXISTS {t.name}")
             spark.sql(f"DROP TABLE IF EXISTS {names[tbl]}")
@@ -844,21 +858,27 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
 
 
 def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
-    """Cheap content tag for parquet inputs: hash of (relative name,
-    size, mtime_ns) of every file under each ``{sf_dir}/{tbl}.parquet``
-    (file or directory). No data is read; a regenerated parquet changes
-    the fingerprint even at identical size via mtime."""
+    """Cheap content tag for parquet inputs: hash over each table's
+    ``registry.file_signature`` (the ONE shared signature definition —
+    see its docstring). If ANY table's signature is unknown (non-local
+    path), returns a fresh random hex tag instead: the pair then
+    rebuilds rather than reusing tables whose staleness cannot be
+    checked — never-stale at the cost of a rebuild, which is the only
+    safe default when content can't be fingerprinted."""
     import hashlib
-    from pathlib import Path
+    import uuid
+
+    from data_engineering_capstone_project_spark.plans.registry import (
+        file_signature,
+    )
 
     h = hashlib.sha1()
     for tbl in tables:
-        root = Path(sf_dir) / f"{tbl}.parquet"
-        files = sorted(p for p in root.rglob("*") if p.is_file()) if root.is_dir() else [root]
-        for f in files:
-            if f.exists():
-                st = f.stat()
-                h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+        sig = file_signature(sf_dir, tbl)
+        if not sig:
+            return uuid.uuid4().hex[:10]
+        for name, size, mtime in sig:
+            h.update(f"{name}:{size}:{mtime};".encode())
     return h.hexdigest()[:10]
 
 

@@ -37,51 +37,32 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
+def _user_counts_increment(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's contribution to the per-user totals (count +
+    fixed-point value sum — both additive)."""
+    return batch_df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 10000).cast("bigint")).alias("value_fp"),
+    )
+
+
 def apply_user_counts_batch(
     spark: SparkSession, batch_df: DataFrame, batch_id: int, serving: str
 ) -> bool:
     """Fold one micro-batch of events into the per-user serving table.
-    Returns False (no-op) if ``batch_id`` was already applied."""
-    if _table_exists(spark, serving):
-        cur = spark.read.parquet(serving)
-        applied = cur.agg(F.max("applied_batch_id")).collect()[0][0]
-        if applied is not None and batch_id <= applied:
-            return False  # replayed batch: already folded in
-    else:
-        cur = None
-
-    inc = batch_df.groupBy("user_id").agg(
-        F.count("*").alias("d_events"),
-        F.sum(F.floor(F.col("value") * 10000).cast("bigint")).alias("d_value_fp"),
+    Returns False (no-op) if ``batch_id`` was already applied. A thin
+    delegation to ``apply_additive_batch`` — ONE implementation of the
+    guard/merge/swap protocol, so a protocol fix cannot diverge between
+    sinks."""
+    return apply_additive_batch(
+        spark,
+        batch_df,
+        batch_id,
+        serving,
+        _user_counts_increment,
+        keys=["user_id"],
+        sum_cols=["n_events", "value_fp"],
     )
-    if cur is None:
-        merged = inc.select(
-            "user_id",
-            F.col("d_events").alias("n_events"),
-            F.col("d_value_fp").alias("value_fp"),
-        )
-    else:
-        merged = (
-            cur.select("user_id", "n_events", "value_fp")
-            .join(inc, "user_id", "full_outer")
-            .select(
-                "user_id",
-                (
-                    F.coalesce("n_events", F.lit(0))
-                    + F.coalesce("d_events", F.lit(0))
-                ).alias("n_events"),
-                (
-                    F.coalesce("value_fp", F.lit(0))
-                    + F.coalesce("d_value_fp", F.lit(0))
-                ).alias("value_fp"),
-            )
-        )
-    staged = serving + _STAGED
-    merged.withColumn("applied_batch_id", F.lit(batch_id)).write.mode(
-        "overwrite"
-    ).parquet(staged)
-    publish_swap(spark, staged, serving)
-    return True
 
 
 def maintain_user_counts(
@@ -133,6 +114,20 @@ def apply_additive_batch(
     if cur is None:
         merged = inc.select(*keys, *sum_cols)
     else:
+        # Null-safe key equality: a name-based full_outer join never
+        # matches NULL keys, so a NULL-keyed row (null ts -> null
+        # window, null value -> null bucket) would fork into a new row
+        # every batch instead of merging. eqNullSafe merges them; the
+        # key columns are then re-coalesced manually since only
+        # name-based joins auto-coalesce.
+        c, i = cur.select(*keys, *sum_cols).alias("c"), inc.alias("i")
+        cond = None
+        for k in keys:
+            eq = F.col(f"c.{k}").eqNullSafe(F.col(f"i.{k}"))
+            cond = eq if cond is None else cond & eq
+        out_keys = [
+            F.coalesce(F.col(f"c.{k}"), F.col(f"i.{k}")).alias(k) for k in keys
+        ]
         add = [
             (
                 F.coalesce(F.col(f"c.{m}"), F.lit(0))
@@ -140,12 +135,7 @@ def apply_additive_batch(
             ).alias(m)
             for m in sum_cols
         ]
-        merged = (
-            cur.select(*keys, *sum_cols)
-            .alias("c")
-            .join(inc.alias("i"), keys, "full_outer")
-            .select(*keys, *add)
-        )
+        merged = c.join(i, cond, "full_outer").select(*out_keys, *add)
     staged = serving + _STAGED
     merged.withColumn("applied_batch_id", F.lit(batch_id)).write.mode(
         "overwrite"

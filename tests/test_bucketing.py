@@ -149,3 +149,74 @@ class TestBucketedPairLifecycle:
             _table_bucket_count(spark, n) for n in self._pair_names(spark, src_dir)
         ]
         assert counts == [32, 32], counts
+
+    def test_diverged_existing_pair_detected_and_rebuilt(self, spark, src_dir):
+        """A crash between the pair's two writes can leave BOTH tables
+        present with unequal bucket counts; the next call must detect
+        the divergence (not just table existence) and rebuild the pair."""
+        from data_engineering_capstone_project_spark.plans.relational import (
+            _table_bucket_count,
+            bucketed_orderkey_tables,
+        )
+        from data_engineering_capstone_project_spark.sources.writers import (
+            write_bucketed_table,
+        )
+
+        bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
+        names = self._pair_names(spark, src_dir)
+        victim = [n for n in names if "orders" in n][0]
+        # simulate the crash artifact: same catalog name, different count
+        src = spark.read.parquet(f"{src_dir}/orders.parquet")
+        spark.sql(f"DROP TABLE {victim}")
+        import shutil
+        from pathlib import Path
+
+        loc = Path(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+                "file:", ""
+            )
+        ) / victim
+        if loc.exists():
+            shutil.rmtree(loc)
+        write_bucketed_table(src, victim, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+        assert _table_bucket_count(spark, victim) == 8  # diverged pair
+
+        bucketed_orderkey_tables(spark, src_dir)  # no explicit count
+        counts = {
+            n: _table_bucket_count(spark, n)
+            for n in self._pair_names(spark, src_dir)
+        }
+        assert len(set(counts.values())) == 1, counts
+
+    def test_sibling_tag_tables_survive_stale_cleanup(self, spark, src_dir, tmp_path_factory):
+        """The stale-variant cleanup must match the fingerprint suffix
+        exactly: a sibling sf_dir whose sanitized tag EXTENDS this tag
+        (…/src vs …/src_big) keeps its live pair."""
+        import shutil
+        from pathlib import Path
+
+        from data_engineering_capstone_project_spark.plans.relational import (
+            bucketed_orderkey_tables,
+        )
+        from tests.conftest import SF_SMALL
+
+        sib = Path(f"{src_dir}_big")
+        sib.mkdir()
+        for t in ("lineitem", "orders"):
+            shutil.copy(f"{SF_SMALL}/{t}.parquet", sib / f"{t}.parquet")
+        try:
+            bucketed_orderkey_tables(spark, str(sib))
+            sib_names = set(self._pair_names(spark, str(sib)))
+            assert len(sib_names) == 2
+
+            # force a rebuild in the SHORT-tag dir; sibling must survive
+            import os
+
+            bucketed_orderkey_tables(spark, src_dir)
+            os.utime(f"{src_dir}/lineitem.parquet")
+            bucketed_orderkey_tables(spark, src_dir)
+            still = {t.name for t in spark.catalog.listTables()}
+            assert sib_names <= still
+        finally:
+            for n in self._pair_names(spark, str(sib)):
+                spark.sql(f"DROP TABLE IF EXISTS {n}")

@@ -563,3 +563,26 @@ def test_incremental_histogram_percentile_maintenance(spark, tmp_path):
         for r in user_percentile_view(spark, serving, 0.95).collect()
     }
     assert got_p95 == want_p95
+
+
+def test_additive_merge_null_keys_merge_not_fork(spark, tmp_path):
+    """A NULL key (null ts -> null window; null value -> null bucket)
+    must MERGE across batches via null-safe key equality, not fork a
+    fresh row per batch."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        apply_additive_batch,
+    )
+
+    serving = str(tmp_path / "serving")
+
+    def inc(df):
+        return df.groupBy("k").agg(F.count("*").alias("n"))
+
+    b1 = spark.createDataFrame([(None, 1), ("a", 1), ("a", 2)], "k string, v int")
+    b2 = spark.createDataFrame([(None, 3), (None, 4), ("b", 1)], "k string, v int")
+    assert apply_additive_batch(spark, b1, 0, serving, inc, ["k"], ["n"])
+    assert apply_additive_batch(spark, b2, 1, serving, inc, ["k"], ["n"])
+
+    got = {r.k: r.n for r in spark.read.parquet(serving).collect()}
+    assert got == {None: 3, "a": 2, "b": 1}
+    assert spark.read.parquet(serving).count() == 3  # no forked NULL rows

@@ -51,12 +51,21 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
     spark = get_spark(app_name="scale-probe")
 
-    if Path(f"{out}/lineitem.parquet").exists():
-        # Reuse an already-replicated dir (same K assumed): replication
-        # dominates probe wall-clock, and since r4 the bucketed-table
-        # tags fingerprint source files, so reuse is correctness-safe.
-        print(f"reusing replicated tables in {out}", file=sys.stderr)
-        return _run_probes(k, out)
+    # Reuse an already-replicated dir ONLY when its completion marker
+    # records the same K: replication dominates probe wall-clock, but a
+    # partial dir (killed mid-replication) or a different-K dir would
+    # silently produce wrong scaling evidence. The marker is written
+    # LAST, so its presence implies every table landed.
+    marker = Path(out) / "_replication_meta.json"
+    if marker.exists():
+        meta = json.loads(marker.read_text())
+        if meta.get("k") == k and meta.get("sf_dir") == SF_DIR:
+            print(f"reusing replicated tables in {out} (k={k})", file=sys.stderr)
+            return _run_probes(k, out)
+        print(
+            f"discarding {out}: replicated with {meta}, need k={k}",
+            file=sys.stderr,
+        )
     shutil.rmtree(out, ignore_errors=True)
     # Strides chosen >= the 1x keyspace of each column.
     replicate(spark, "lineitem", out, k, {"l_orderkey": 10_000_000})
@@ -98,6 +107,7 @@ def main():
         else:
             shutil.copy(src, dst)
 
+    marker.write_text(json.dumps({"k": k, "sf_dir": SF_DIR}))
     return _run_probes(k, out)
 
 
