@@ -300,6 +300,7 @@ def write_zorder_clustered(
     n_files: int = 8,
     bits: int = 10,
     mode: str = "overwrite",
+    normalization: str = "approx",
 ) -> None:
     """Multi-column data layout (the Delta OPTIMIZE ZORDER idea, plain
     parquet): normalize each cluster column to its ntile rank, build
@@ -310,23 +311,23 @@ def write_zorder_clustered(
     pruning on one column and none on the others; Z-order trades a
     little of axis one for usable pruning on all of them.
 
-    Write-time costs: one window pass per column for the rank
-    normalization (at 100 TB use approx-percentile bucket cutoffs
-    instead of exact ntile — same layout quality, no global sort) and
-    the repartitionByRange sampling pass."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+    Normalization (``normalization=``):
 
-    n_buckets = 1 << bits
-    normed = df
-    rank_cols = []
-    for c in cluster_cols:
-        rc = f"__zr_{c}"
-        normed = normed.withColumn(
-            rc, F.ntile(n_buckets).over(Window.orderBy(F.col(c))) - 1
-        )
-        rank_cols.append(rc)
-    keyed = normed.withColumn("__zkey", zorder_key(rank_cols, bits))
+    * ``"approx"`` (default, the 100 TB path): one ``approxQuantile``
+      pass computes per-column bucket cutoffs (Greenwald-Khanna — a
+      mergeable sketch, NO global sort), then bucket assignment is a
+      map-only count of cutoffs below the value inside codegen. Layout
+      quality is identical for pruning purposes — file boundaries only
+      need approximately-equal-mass buckets.
+    * ``"exact"``: the ntile window — a SINGLE-PARTITION global sort
+      per column. Keep for small dims / exact-rank requirements only;
+      this is the same anti-pattern ``customer_spend_quartiles``'s
+      distributed twin exists to avoid.
+
+    Numeric cluster columns only on the approx path (cast to double
+    for the cutoff compare). Plus the repartitionByRange sampling pass
+    either way."""
+    keyed, rank_cols = zorder_keyed(df, cluster_cols, bits, normalization)
     (
         keyed.repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
@@ -334,3 +335,44 @@ def write_zorder_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_keyed(
+    df: DataFrame,
+    cluster_cols: Sequence[str],
+    bits: int = 10,
+    normalization: str = "approx",
+):
+    """The __zkey-annotated frame behind ``write_zorder_clustered``
+    (exposed so the normalization's plan shape is testable). Returns
+    (keyed_df, rank_col_names)."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    normed = df
+    rank_cols = []
+    if normalization == "approx":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts_per_col = df.stat.approxQuantile(
+            list(cluster_cols), probs, 1.0 / (4 * n_buckets)
+        )
+        for c, cuts in zip(cluster_cols, cuts_per_col):
+            rc = f"__zr_{c}"
+            arr = F.array(*[F.lit(float(x)) for x in sorted(cuts)])
+            normed = normed.withColumn(
+                rc,
+                F.size(
+                    F.filter(arr, lambda x: x < F.col(c).cast("double"))
+                ).cast("long"),
+            )
+            rank_cols.append(rc)
+    else:
+        from pyspark.sql.window import Window
+
+        for c in cluster_cols:
+            rc = f"__zr_{c}"
+            normed = normed.withColumn(
+                rc, (F.ntile(n_buckets).over(Window.orderBy(F.col(c))) - 1).cast("long")
+            )
+            rank_cols.append(rc)
+    return normed.withColumn("__zkey", zorder_key(rank_cols, bits)), rank_cols

@@ -221,3 +221,25 @@ def test_zorder_layout_tightens_both_axes(spark, tmp_path):
     assert avg_span(zdir, "user_id") < 0.7 * g.u
     assert avg_span(rdir, "user_id") < avg_span(zdir, "user_id")
     ev.unpersist()
+
+
+def test_zorder_approx_normalization_is_map_only(spark):
+    """The default (approx) Z-order normalization must contain NO
+    Exchange and no window sort: bucket assignment is a literal-array
+    compare per row, so the keying step is one scan at any scale. The
+    exact path keeps its documented single-partition ntile."""
+    from data_engineering_capstone_project_spark.plans.registry import events_table
+    from data_engineering_capstone_project_spark.sources.writers import zorder_keyed
+    from tests.conftest import SF_SMALL
+
+    ev = events_table(spark, SF_SMALL).select("user_id", "value")
+    keyed, _ = zorder_keyed(ev, ["user_id", "value"], bits=8)
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+    keyed_exact, _ = zorder_keyed(
+        ev, ["user_id", "value"], bits=8, normalization="exact"
+    )
+    plan_exact = keyed_exact._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan_exact  # the documented exact-rank fallback
