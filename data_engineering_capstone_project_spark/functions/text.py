@@ -21,7 +21,10 @@ PUNCT_CLASS = r"[.,!?;:]"
 
 
 def words(col: Column) -> Column:
-    """Whitespace tokenization -> array<string> (empty text -> [])."""
+    """Whitespace tokenization -> array<string>. NB: Spark's split on
+    an EMPTY string yields [""] (one empty token), never [] — callers
+    counting or dividing by size(words(x)) must guard length==0
+    themselves, as token_count_ws does."""
     return F.split(F.trim(col), r"\s+")
 
 
@@ -67,8 +70,8 @@ def quality_score(col: Column) -> Column:
     engine-portable (plain arithmetic over the ratios above)."""
     length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
     q = 0.5 * alpha_ratio(col) + 0.3 * length_term + 0.2 * (1 - punct_ratio(col))
-    # floor-truncation, not round(): portable at decimal ties (see
-    # plans.registry.fixed4)
+    # floor-truncation, not round(): portable at decimal ties (see the
+    # float-output contract note in plans/registry.py's docstring)
     return F.floor(q * 10000) / F.lit(10000.0)
 
 

@@ -204,6 +204,23 @@ def band_explode(
     )
 
 
+def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop degenerate LSH buckets BEFORE any pair generation: a bucket
+    with m members emits O(m^2) pairs, so one boilerplate bucket turns
+    the linear plan quadratic. A count-groupBy semi-filter — linear.
+    The ONE shared guard for both the self-join and incremental pair
+    generators, so a fix cannot diverge between them."""
+    if max_bucket is None:
+        return banded
+    ok = (
+        banded.groupBy("band_h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band_h")
+    )
+    return banded.join(ok, "band_h")
+
+
 def lsh_incremental_pairs(
     signatures: DataFrame,
     is_new,
@@ -224,15 +241,7 @@ def lsh_incremental_pairs(
     documented in plans/text_analysis.py) — signatures for old docs are
     never recomputed, and the new side is small enough to broadcast.
     Returns distinct (new_doc_id, existing_doc_id)."""
-    banded = band_explode(signatures, bands, rows_per_band)
-    if max_bucket is not None:
-        ok = (
-            banded.groupBy("band_h")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("band_h")
-        )
-        banded = banded.join(ok, "band_h")
+    banded = _cap_buckets(band_explode(signatures, bands, rows_per_band), max_bucket)
     new_b = banded.filter(is_new)
     old_b = banded.filter(~is_new)
     return (
@@ -275,15 +284,7 @@ def lsh_candidate_pairs(
     mass that per-pair dedup handles badly anyway (cluster it via
     exact fingerprints instead). None = no cap (small-SF exactness;
     the oracle-checked default)."""
-    banded = band_explode(signatures, bands, rows_per_band)
-    if max_bucket is not None:
-        ok = (
-            banded.groupBy("band_h")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("band_h")
-        )
-        banded = banded.join(ok, "band_h")
+    banded = _cap_buckets(band_explode(signatures, bands, rows_per_band), max_bucket)
     a = banded.alias("a")
     bb = banded.alias("b")
     return (
@@ -311,9 +312,7 @@ def simhash_signatures(
     id; at 100 TB that shuffle carries only (id, 64 small ints) after
     partial aggregation.
     """
-    toks = F.explode(
-        F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
-    ).alias("tok")
+    toks = F.explode(word_set(text)).alias("tok")
     md5h = F.md5(F.col("tok"))
     hashed = df.select(F.col(id_col).alias("doc"), toks).select(
         "doc",

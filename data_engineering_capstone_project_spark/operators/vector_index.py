@@ -94,7 +94,6 @@ def sampled_centroids(
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,
-    id_col: str,
     vec_col: str = "embedding",
     n_probe: int = 1,
 ) -> DataFrame:
@@ -176,11 +175,11 @@ def ann_ivf_topk(
         centroids = train_centroids(corpus, n_cells, vec_col)
     c = assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        centroids, id_col="neighbor_id", vec_col="cv", n_probe=1,
+        centroids, vec_col="cv", n_probe=1,
     )
     q = assign_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        centroids, id_col="query_id", vec_col="qv", n_probe=n_probe,
+        centroids, vec_col="qv", n_probe=n_probe,
     )
     scored = (
         broadcast(q)

@@ -7,8 +7,13 @@ Contract notes (driver-facing, see /root/repo/__spark_entry__.py):
   (the comparator sorts columns by name before hashing).
 * Output no raw TIMESTAMP columns -- engines disagree on tz/precision
   rendering; emit epoch seconds (bigint) or formatted strings instead.
-* Keep float outputs deterministic: aggregate in DECIMAL then cast to
-  DOUBLE, or round(x, 4), so summation order can't flip the hash.
+* Keep float outputs deterministic: sum fixed-point integers (floor
+  the addends to scaled bigints) and divide ONCE at the end, then
+  floor-truncate to 4 decimals: ``floor(x * 10000) / 10000.0`` in both
+  engines. floor-truncation, NOT round(x, 4) — Spark rounds the
+  shortest decimal rendering (BigDecimal.valueOf) while DuckDB rounds
+  the binary value, so a true .xxxx5 boundary diverges by 1 ulp of the
+  4th decimal (observed at sf0.1 on doc_quality).
 """
 
 from __future__ import annotations
@@ -32,19 +37,6 @@ def query(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-def fixed4(col):
-    """Truncate a double to 4 decimals via floor — the ONLY portable
-    way to emit a rounded double: both engines floor the same IEEE
-    double, so the result is identical. round(x, 4) is NOT portable at
-    ties: Spark rounds the shortest decimal rendering (BigDecimal
-    .valueOf) while DuckDB rounds the binary value, so a true .xxxx5
-    boundary diverges by 1 ulp of the 4th decimal (observed at sf0.1
-    on doc_quality). SQL twin: floor((x) * 10000) / 10000.0"""
-    from pyspark.sql import functions as F
-
-    return F.floor(col * 10000) / F.lit(10000.0)
 
 
 _PERSISTED: dict[str, DataFrame] = {}

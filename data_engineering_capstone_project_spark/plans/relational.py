@@ -1900,10 +1900,11 @@ def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_row = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("bigint")
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(rev_row).alias("total_fp"))
-        .persist()
+    revenue = scoped_persist(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(rev_row).alias("total_fp")
+        ),
+        "top_supplier_q15.revenue",
     )
     max_rev = revenue.agg(F.max("total_fp").alias("max_fp"))
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

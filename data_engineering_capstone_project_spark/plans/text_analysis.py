@@ -931,6 +931,18 @@ def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_shard_count(spark: SparkSession, sf_dir: str) -> int:
+    """Power-of-two training-shard count scaled to corpus size
+    (~5000 docs/shard, floor 64) — the ONE definition shared by
+    sequence_packing and epoch_shuffle so their shard layouts can
+    never desynchronize. Each query's SQL oracle necessarily embeds
+    the same formula; tune the knee HERE and in both oracles together."""
+    import math
+
+    rows = cached_rowcount(spark, sf_dir, "documents")
+    return int(2 ** math.ceil(math.log2(max(rows / 5000.0, 64.0))))
+
+
 # ---------------------------------------------------------------------------
 # Training-export operators: packing documents into fixed token budgets
 # and quality-weighted corpus sampling (the step between "analyzed
@@ -984,14 +996,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute-per-snapshot recipe, not an append-stable one. Tokens use
     the BPE-ish pre-tokenizer (functions/text.py), all arithmetic
     integer until the final fixed divisor, so the oracle hash-matches."""
-    import math
-
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
-    n_shards = int(
-        2 ** math.ceil(math.log2(max(cached_rowcount(spark, sf_dir, "documents") / 5000.0, 64.0)))
-    )
+    n_shards = _corpus_shard_count(spark, sf_dir)
     t = docs.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
@@ -1358,14 +1366,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with the corpus (same rule as sequence_packing) so
     per-task sort depth stays constant as data grows. Ties impossible:
     the sort key includes doc_id."""
-    import math
-
-    n_shards = int(
-        2
-        ** math.ceil(
-            math.log2(max(cached_rowcount(spark, sf_dir, "documents") / 5000.0, 64.0))
-        )
-    )
+    n_shards = _corpus_shard_count(spark, sf_dir)
     epoch = 1
     keyed = table(spark, sf_dir, "documents").select(
         "doc_id",

@@ -285,6 +285,14 @@ def zorder_key(cols: Sequence[str], bits: int = 16) -> "Column":
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if n * bits > 63:
+        # JVM shiftleft masks the shift amount mod 64, so positions
+        # >= 64 would silently wrap onto the low bits and OR garbage
+        # over the interleave — a mis-clustered layout with no error.
+        raise ValueError(
+            f"zorder_key needs len(cols)*bits <= 63 (got {n}*{bits}="
+            f"{n * bits}); lower bits or split the column set"
+        )
     key = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):

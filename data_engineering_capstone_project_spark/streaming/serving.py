@@ -223,9 +223,15 @@ def value_histogram_increment(batch_df: DataFrame) -> DataFrame:
     same machinery as any counts grid, and any percentile is readable
     from the cumulative bucket mass at any time. Accuracy is one
     bucket width — fixed and known, unlike a sampled quantile."""
-    bucket = F.least(
+    # greatest()/least() SKIP nulls, so clamping first would silently
+    # fold value=NULL into bucket 0 and skew every percentile toward 0;
+    # a NULL value must stay a NULL bucket (merged across batches by
+    # the null-safe key equality, surfaced to the reader as its own
+    # row rather than laundered into real mass).
+    clamped = F.least(
         F.lit(63), F.greatest(F.lit(0), F.floor(F.col("value") * 4).cast("int"))
     )
+    bucket = F.when(F.col("value").isNotNull(), clamped)
     return (
         batch_df.groupBy(F.col("user_id"), bucket.alias("bucket"))
         .agg(F.count("*").alias("n"))
@@ -271,7 +277,10 @@ def user_percentile_view(
     window runs over <= 64 rows per user."""
     from pyspark.sql.window import Window
 
-    h = spark.read.parquet(serving)
+    # NULL buckets hold events whose value was NULL — unknown values
+    # are counted in the grid (visible to a data-quality reader) but
+    # must not contribute mass to a VALUE percentile.
+    h = spark.read.parquet(serving).filter(F.col("bucket").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("bucket")

@@ -117,7 +117,7 @@ def test_ivf_corpus_assignment_is_map_only(spark):
 
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
     cents = sampled_centroids(emb, 8)
-    plan = _plan(assign_cells(emb, cents, id_col="vec_id"))
+    plan = _plan(assign_cells(emb, cents))
     assert plan.count("Exchange") == 0, plan[:2000]
     assert plan.count("Window") == 0, plan[:2000]
 

@@ -586,3 +586,30 @@ def test_additive_merge_null_keys_merge_not_fork(spark, tmp_path):
     got = {r.k: r.n for r in spark.read.parquet(serving).collect()}
     assert got == {None: 3, "a": 2, "b": 1}
     assert spark.read.parquet(serving).count() == 3  # no forked NULL rows
+
+
+def test_histogram_null_values_kept_out_of_percentiles(spark, tmp_path):
+    """value=NULL must land in a NULL bucket (not be laundered into
+    bucket 0 by null-skipping greatest/least) and must not contribute
+    mass to the read-time percentile."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        apply_additive_batch,
+        user_percentile_view,
+        value_histogram_increment,
+    )
+
+    serving = str(tmp_path / "serving")
+    b = spark.createDataFrame(
+        [(1, None), (1, None), (1, 0.1), (1, 5.0)],
+        "user_id long, value double",
+    )
+    assert apply_additive_batch(
+        spark, b, 0, serving, value_histogram_increment,
+        keys=["user_id", "bucket"], sum_cols=["n"],
+    )
+    grid = {r.bucket: r.n for r in spark.read.parquet(serving).collect()}
+    assert grid == {None: 2, 0: 1, 20: 1}  # nulls visible, not in bucket 0
+    # p50 over the 2 real values is the upper one's bucket (cum 2*10000
+    # >= tot 2*5000 first at bucket 0? cum(0)=1 -> 10000 >= 10000: yes)
+    got = {r.user_id: r.p50_value for r in user_percentile_view(spark, serving, 0.5).collect()}
+    assert got == {1: 0.0}

@@ -36,7 +36,7 @@ def test_centroids_shape_and_determinism(emb):
 
 def test_assign_cells_partitions_corpus(emb):
     cents = train_centroids(emb, n_cells=4)
-    assigned = assign_cells(emb, cents, id_col="vec_id")
+    assigned = assign_cells(emb, cents)
     # exactly one cell per vector, all cells non-empty at this size
     assert assigned.count() == emb.count()
     assert assigned.select("cell_id").distinct().count() == 4
