@@ -1516,18 +1516,22 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "repeated_passages",
     oracle="""
-    WITH sh AS (
-        SELECT d.doc_id,
-               substring(d.text, CAST(gs.i * 20 + 1 AS INTEGER), 40) AS passage
+    WITH pos AS (
+        SELECT d.doc_id, d.text, CAST(gs.i AS INTEGER) AS p
         FROM documents d,
-             unnest(generate_series(0, CAST(floor((length(d.text) - 40) / 20.0)
-                                            AS BIGINT))) gs(i)
+             unnest(generate_series(0, CAST(length(d.text) - 40 AS BIGINT)))
+                 gs(i)
         WHERE length(d.text) >= 40
+    ),
+    anch AS (
+        SELECT doc_id, substring(text, p + 1, 40) AS passage
+        FROM pos
+        WHERE substring(md5(substring(text, p + 1, 8)), 1, 1) = '0'
     )
     SELECT passage,
            count(*) AS occurrences,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
-    FROM sh
+    FROM anch
     GROUP BY passage
     HAVING count(DISTINCT doc_id) >= 2
     ORDER BY docs DESC, occurrences DESC, passage ASC
@@ -1537,25 +1541,35 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-passage detection (the memorization-risk scan of
     Lee et al. 2022, "Deduplicating Training Data Makes Language
-    Models Better", re-shaped for Spark): 40-char windows at stride
-    20, grouped by literal window text, keep windows seen in >=2
-    docs. The suffix-array formulation is a single-machine algorithm;
-    the shingle-grouping form is one explode (map-side, never
-    materialized corpus-wide) plus ONE hash Exchange carrying
-    (passage, partial count) — linear at 100 TB. Stride 20 with
-    window 40 guarantees any duplicated run >= 59 chars contains a
-    shared aligned window, so recall misses only sub-59-char repeats."""
+    Models Better", re-shaped for Spark) with CONTENT-DEFINED window
+    anchoring (the winnowing / content-defined-chunking idea,
+    Schleimer et al. 2003): a 40-char window starts wherever the md5
+    of the local 8-gram begins with hex nibble '0' (~1/16 of
+    positions), so both copies of a duplicated run agree on the SAME
+    in-run window starts at ANY byte alignment. Fixed-stride sampling
+    cannot do this: two copies at different stride phases share no
+    aligned window no matter how long the run (a real bug this
+    replaced — pinned by tests/test_property_chunks.py across every
+    offset pair). Miss probability is content-level only: a shared run
+    of length L is missed iff none of its first L-39 positions
+    anchors, p = (15/16)^(L-39) — <2% at L=100, ~1e-12 at L=1000 —
+    identical for every copy, so recall never depends on alignment.
+    Cost is one md5 per character (map-side, linear, inside codegen);
+    the anchor filter runs in the same projection, so the single
+    passage-keyed Exchange carries only the ~1/16 sampled windows."""
     docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 40)
-    n_win = F.floor((F.length("text") - F.lit(40)) / F.lit(20.0)).cast("int")
-    sh = docs.select(
+    pos = docs.select(
         "doc_id",
         "text",
-        F.explode(F.sequence(F.lit(0), n_win)).alias("i"),
-    ).select(
-        "doc_id", F.expr("substring(text, i * 20 + 1, 40)").alias("passage")
+        F.explode(
+            F.sequence(F.lit(0), (F.length("text") - F.lit(40)).cast("int"))
+        ).alias("p"),
     )
+    anch = pos.filter(
+        F.substring(F.md5(F.expr("substring(text, p + 1, 8)")), 1, 1) == "0"
+    ).select("doc_id", F.expr("substring(text, p + 1, 40)").alias("passage"))
     return (
-        sh.groupBy("passage")
+        anch.groupBy("passage")
         .agg(
             F.count("*").alias("occurrences"),
             F.count_distinct("doc_id").alias("docs"),
