@@ -49,6 +49,8 @@ _DRIVER_SAMPLE_FIRST = [
     "bpe_pair_counts",
     "nearest_centroid_assign",
     "trending_event_types",
+    "weekly_cohort_retention",
+    "contrastive_negatives",
     "star_schema_summary",
     "bm25_topk",
     "packing_efficiency",

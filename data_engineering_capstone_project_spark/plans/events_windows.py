@@ -482,3 +482,49 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counted.withColumn("rnk", rnk).filter(F.col("rnk") <= 3)
+
+
+@query(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk
+        FROM events
+    ),
+    firstwk AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id
+    )
+    SELECT f.cohort_wk,
+           CAST(a.wk - f.cohort_wk AS BIGINT) AS age_weeks,
+           CAST(count(*) AS BIGINT) AS users
+    FROM act a JOIN firstwk f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week
+    (the cohort), counted at each later week of activity (the age) —
+    the canonical product-analytics shape ("of the users who arrived
+    in week W, how many were still active N weeks later?"). Weeks are
+    pure epoch arithmetic (epoch // 604800), portable across engines
+    unlike date_trunc('week') whose week-start convention differs.
+    Plan: one distinct on (user, week) — map-side partial distinct,
+    the only corpus-sized Exchange — then cohort assignment via a
+    min() window over the already-distinct per-user weeks (reuses the
+    user partitioning, no fresh shuffle of raw events), then the
+    bounded (cohort, age) aggregate. At 100 TB the state after the
+    distinct is (users x active-weeks), far smaller than events."""
+    from pyspark.sql.window import Window as W
+
+    ev = events_table(spark, sf_dir)
+    act = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / F.lit(604800)).alias("wk"),
+    ).distinct()
+    cohort = F.min("wk").over(W.partitionBy("user_id"))
+    return (
+        act.withColumn("cohort_wk", cohort)
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_weeks"))
+        .agg(F.count("*").alias("users"))
+    )

@@ -1633,3 +1633,53 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total"), F.asc("pair"))
         .limit(40)
     )
+
+
+@query(
+    "contrastive_negatives",
+    oracle="""
+    WITH n AS (SELECT count(*) AS total FROM documents),
+    pairs AS (
+        SELECT d.doc_id,
+               CAST(m.m AS INTEGER) AS neg_rank,
+               (d.doc_id * 2654435761 + m.m * 40503) % (SELECT total FROM n)
+                   AS cand
+        FROM documents d, unnest(generate_series(1, 2)) m(m)
+    )
+    SELECT doc_id,
+           neg_rank,
+           CAST(CASE WHEN cand = doc_id
+                     THEN (cand + 1) % (SELECT total FROM n)
+                     ELSE cand END AS BIGINT) AS neg_id
+    FROM pairs
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair sampling for contrastive training
+    (k=2 random-looking negatives per anchor document): candidate =
+    (doc_id * A + m * B) mod N with the Knuth multiplier — a fixed
+    arithmetic permutation-ish draw, so the pairing is reproducible
+    across runs/engines with NO RNG state, NO join and NO shuffle
+    (doc ids are dense 0..N-1 by the corpus contract, so the negative
+    id is known to exist without looking it up — the plan is strictly
+    map-only, asserted in test_plan_shapes). Self-collisions step to
+    the next id. At 100 TB this is the cheapest possible pair
+    generator: one scan, k output rows per doc; pair quality upgrades
+    (hard negatives from ANN buckets) layer on top via
+    ``ann_lsh_topk``/``ann_ivf_topk`` without changing this recipe."""
+    n_docs = cached_rowcount(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(2))).alias("neg_rank"),
+    )
+    cand = F.pmod(
+        F.col("doc_id") * F.lit(2654435761) + F.col("neg_rank") * F.lit(40503),
+        F.lit(n_docs),
+    )
+    neg = F.when(cand == F.col("doc_id"), F.pmod(cand + 1, F.lit(n_docs))).otherwise(
+        cand
+    )
+    return pairs.select(
+        "doc_id", F.col("neg_rank").cast("int"), neg.cast("bigint").alias("neg_id")
+    )

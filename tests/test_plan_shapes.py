@@ -388,3 +388,22 @@ def test_trending_event_types_single_exchange_and_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contrastive_negatives_is_map_only(spark):
+    """Negative sampling must exploit dense ids: ZERO Exchange, no
+    join — the negative id is computed, never looked up."""
+    plan = _plan(QUERIES["contrastive_negatives"](spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_cohort_retention_single_corpus_exchange(spark):
+    """Cohort retention: the raw-events Exchange is the (user, week)
+    distinct; cohort assignment reuses the user partitioning (a window
+    over already-distinct rows), and the final aggregate runs on the
+    bounded (cohort, age) grid."""
+    plan = _plan(QUERIES["weekly_cohort_retention"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no self-join back to events

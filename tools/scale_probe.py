@@ -145,6 +145,8 @@ def _run_probes(k: int, out: str):
         "bpe_pair_counts",       # corpus agg once, vocab-sized 2nd stage
         "nearest_centroid_assign",  # centroid collect + map-only argmin
         "trending_event_types",  # sliding-window top-k (WindowGroupLimit)
+        "weekly_cohort_retention",  # (user,week) distinct + window cohort
+        "contrastive_negatives",  # map-only arithmetic pair generator
     ]
     only = set(sys.argv[3:])
     if only:
