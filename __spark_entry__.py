@@ -44,6 +44,9 @@ _DRIVER_SAMPLE_FIRST = [
     "doc_rarity",
     "conversion_funnel",
     # round-4 additions (never sampled yet)
+    "bigram_fluency",
+    "prefix_filter_jaccard",
+    "kmeans_refine",
     "doc_chunks",
     "repeated_passages",
     "bpe_pair_counts",

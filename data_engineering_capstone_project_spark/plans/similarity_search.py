@@ -387,10 +387,10 @@ def _cached_label_centroids(
     return by_label
 
 
-@query(
-    "nearest_centroid_assign",
-    oracle="""
-    WITH cent AS (
+# The assignment CTEs of nearest_centroid_assign's oracle, shared with
+# kmeans_refine: per-label centroids -> fixed-point squared distances
+# -> rank-1 assignment per vector.
+_CENT_ASSIGN_CTES = """cent AS (
         SELECT label AS clabel,
                CAST(i - 1 AS INTEGER) AS dim,
                (sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000)
@@ -398,7 +398,7 @@ def _cached_label_centroids(
         FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
         GROUP BY 1, 2
     ),
-    d AS (
+    dist AS (
         SELECT e.vec_id, e.label, c.clabel,
                sum(CAST(floor((CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.mean_val)
                               * (CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.mean_val)
@@ -406,15 +406,50 @@ def _cached_label_centroids(
         FROM embeddings e JOIN cent c ON TRUE
         GROUP BY 1, 2, 3
     ),
-    a AS (
-        SELECT vec_id, label, clabel,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dist_fp ASC, clabel ASC) AS rn
-        FROM d
+    asg AS (
+        SELECT vec_id, label, clabel AS assigned
+        FROM (
+            SELECT vec_id, label, clabel,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist_fp ASC, clabel ASC) AS rn
+            FROM dist
+        )
+        WHERE rn = 1
+    )"""
+
+
+def _nearest_label_expr(by_label: dict[int, dict[int, float]]):
+    """argmin-over-literal-centroids expression (fixed-point squared
+    L2, label id as tiebreak) — the strictly map-only assignment stage
+    shared by ``nearest_centroid_assign`` and ``kmeans_refine``."""
+
+    def dist_to(lab: int):
+        means = by_label[lab]
+        cent = F.array(*[F.lit(float(means[d])) for d in sorted(means)])
+        terms = F.zip_with(
+            F.col("embedding"),
+            cent,
+            lambda x, m: F.floor(
+                (x.cast("double") - m) * (x.cast("double") - m) * 10000000
+            ).cast("long"),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    cand = F.array(
+        *[
+            F.struct(dist_to(lab).alias("dist"), F.lit(lab).alias("lab"))
+            for lab in sorted(by_label)
+        ]
     )
-    SELECT label, clabel AS assigned, count(*) AS n
-    FROM a
-    WHERE rn = 1
+    return F.array_min(cand)["lab"]
+
+
+@query(
+    "nearest_centroid_assign",
+    oracle=f"""
+    WITH {_CENT_ASSIGN_CTES}
+    SELECT label, assigned, count(*) AS n
+    FROM asg
     GROUP BY 1, 2
     """,
 )
@@ -434,30 +469,66 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines) and each squared-error term is floored to int64
     BEFORE summation, so the argmin is over exact integers with the
     class id as tiebreak — no float summation order anywhere."""
-    by_label = _cached_label_centroids(spark, sf_dir)
-    labels = sorted(by_label)
-
-    def dist_to(lab: int):
-        means = by_label[lab]
-        cent = F.array(*[F.lit(float(means[d])) for d in sorted(means)])
-        terms = F.zip_with(
-            F.col("embedding"),
-            cent,
-            lambda x, m: F.floor(
-                (x.cast("double") - m) * (x.cast("double") - m) * 10000000
-            ).cast("long"),
-        )
-        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
-
-    cand = F.array(
-        *[
-            F.struct(dist_to(lab).alias("dist"), F.lit(lab).alias("lab"))
-            for lab in labels
-        ]
-    )
+    assigned = _nearest_label_expr(_cached_label_centroids(spark, sf_dir))
     emb = table(spark, sf_dir, "embeddings")
     return (
-        emb.select("label", F.array_min(cand)["lab"].alias("assigned"))
+        emb.select("label", assigned.alias("assigned"))
         .groupBy("label", "assigned")
         .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "kmeans_refine",
+    oracle=f"""
+    WITH {_CENT_ASSIGN_CTES}
+    SELECT s.assigned,
+           CAST(i - 1 AS INTEGER) AS dim,
+           (sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000000)
+                     AS BIGINT)) / count(*)) / 10000000.0 AS mean_val,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM asg s
+    JOIN embeddings e USING (vec_id),
+         unnest(generate_series(1, len(e.embedding))) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd (k-means) iteration, distributed: assign every
+    vector to its nearest current centroid, then recompute each
+    cluster's centroid from its members — the refinement step that
+    turns the label-seeded prototypes into data-driven clusters (and,
+    iterated, the IVF cell-retraining loop behind ``ann_ivf_topk``).
+    Seeds are the per-label centroids (deterministic — no RNG init).
+
+    Scale shape: this is THE template for iterative ML on 100 TB —
+    the assignment stage is strictly MAP-ONLY (literal centroid arrays
+    evaluated inside codegen; the corpus never shuffles to be
+    assigned), and the recompute stage's only Exchange carries
+    (cluster, dim) fixed-point partial sums: O(k x dim) rows per
+    executor, independent of corpus size. Each further Lloyd iteration
+    costs exactly one corpus scan + one tiny shuffle; nothing
+    accumulates on the driver except the k x dim centroid literals
+    (same bounded collect as the IVF index). Engine-exactness: members
+    are selected by exact integer argmin (label tiebreak), and the new
+    means are int64 fixed-point sums / count divided once — the same
+    scheme label_centroids hash-verifies."""
+    assigned = _nearest_label_expr(_cached_label_centroids(spark, sf_dir))
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(assigned.alias("assigned"), "embedding").select(
+        "assigned", F.posexplode("embedding").alias("dim", "x")
+    )
+    return e.groupBy("assigned", "dim").agg(
+        (
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 10000000).cast(
+                        "bigint"
+                    )
+                )
+                / F.count("*")
+            )
+            / F.lit(10000000.0)
+        ).alias("mean_val"),
+        F.count("*").alias("n_members"),
     )

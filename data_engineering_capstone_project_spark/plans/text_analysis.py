@@ -532,6 +532,257 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_fluency",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM t
+    ),
+    doc_bg AS (
+        SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS n
+        FROM occ GROUP BY 1, 2
+    ),
+    bs AS (
+        SELECT bg, CAST(sum(n) AS BIGINT) AS c12 FROM doc_bg GROUP BY 1
+    ),
+    ws AS (
+        SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+        FROM bs GROUP BY 1
+    ),
+    p AS (
+        SELECT bg, c12 * 1000000 // c1 AS p_fp
+        FROM bs JOIN ws ON split_part(bs.bg, ' ', 1) = ws.w1
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+           CAST(sum(d.n * p.p_fp) // sum(d.n) AS BIGINT) / 1000000.0 AS fluency
+    FROM doc_bg d JOIN p USING (bg)
+    GROUP BY 1
+    """,
+)
+def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram-LM quality score per document — the
+    CCNet-style "perplexity filter" stage of an LLM data pipeline,
+    scoring each document by the mean corpus conditional probability
+    P(w2|w1) of its bigrams (fluent, corpus-typical text scores high;
+    boilerplate word salad scores low). The canonical formulation
+    averages log-probs; this uses the probability itself so every step
+    stays in INTEGER arithmetic — floor(c12*1e6/c1) per bigram type and
+    one integer division per doc — because ln() is libm-dependent and
+    would not hash-match across engines (registry.py header rule).
+
+    Scale shape: counts pass = explode bigram occurrences -> partial
+    agg per (doc_id, bigram) -> the shuffle carries distinct-pairs, not
+    occurrences; model = two further linear aggs over the (much
+    smaller) distinct-bigram table; scoring = one equi-join of the
+    staged (doc_id, bigram, n) frame back to the model on bigram plus a
+    per-doc agg. The (doc_id, bigram) frame is used twice (model build
+    + scoring), so it's staged via scoped_persist — at 100 TB, write it
+    to parquet once instead; the raw-text tokenize then runs exactly
+    once. No driver-side state, no windows, no skew term beyond the
+    bigram Zipf head that partial aggregation already collapses.
+    Overflow: c12 * 1e6 needs c12 <= 9.2e12 — safe through ~1e13 total
+    tokens per bigram; at extreme corpus sizes drop the fixed-point
+    factor to 1e4 or aggregate in DECIMAL. Docs with < 2 tokens have no
+    bigrams and are (intentionally) absent from the output."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", D.tokenize(F.col("text")).alias("toks")
+    )
+    # Non-distinct bigram occurrences (LM counts need multiplicity, so
+    # word_shingles' array_distinct would be wrong here). Same
+    # materialized-toks discipline as word_shingles (see its docstring).
+    toks = F.col("toks")
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+    )
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(F.transform(F.sequence(F.lit(0), F.size(toks) - 2), mk))
+
+    occ = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    doc_bg = scoped_persist(
+        occ.groupBy("doc_id", "bg").agg(F.count("*").alias("n")),
+        "bigram_fluency.doc_bg",
+    )
+    bs = doc_bg.groupBy("bg").agg(F.sum("n").alias("c12"))
+    ws = (
+        bs.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    p = (
+        bs.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(ws, "w1")
+        .select("bg", F.expr("c12 * 1000000L div c1").alias("p_fp"))
+    )
+    return (
+        doc_bg.join(p, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            (F.expr("sum(n * p_fp) div sum(n)") / F.lit(1000000.0)).alias(
+                "fluency"
+            ),
+        )
+    )
+
+
+@query(
+    "prefix_filter_jaccard",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS ws FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, len(ws) AS sz, unnest(ws) AS tok FROM d
+    ),
+    dfc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
+    ),
+    pref AS (
+        SELECT doc_id, sz, tok FROM (
+            SELECT t.doc_id, t.sz, t.tok,
+                   row_number() OVER (PARTITION BY t.doc_id
+                                      ORDER BY f.df ASC, t.tok ASC) AS rn
+            FROM tok t JOIN dfc f USING (tok)
+        )
+        WHERE rn <= sz - (sz + 1) // 2 + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b ON a.tok = b.tok
+        WHERE a.doc_id < b.doc_id
+          AND b.sz * 2 >= a.sz AND a.sz * 2 >= b.sz
+    )
+    SELECT id_a, id_b, jac FROM (
+        SELECT c.id_a, c.id_b,
+               floor(len(list_intersect(a.ws, b.ws))
+                     / len(list_distinct(list_concat(a.ws, b.ws))) * 10000)
+                   / 10000.0 AS jac
+        FROM cand c
+        JOIN d a ON a.doc_id = c.id_a
+        JOIN d b ON b.doc_id = c.id_b
+    )
+    WHERE jac >= 0.5
+    """,
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard>=0.5 pairs via prefix filtering (PPJoin-family,
+    Bayardo et al. WWW'07 / Xiao et al. WWW'08) — the third point in
+    the dedup design space: MinHash-LSH is linear but probabilistic
+    (misses pairs with banding probability), size-blocked all-pairs
+    (``near_dup_jaccard``) is exact but quadratic per block; prefix
+    filtering is exact AND candidate-bounded. Each doc keeps only its
+    |s| - ceil(t|s|) + 1 globally-rarest tokens (rarity = corpus doc
+    frequency, ties by token text — a total order both engines
+    reproduce); the prefix lemma guarantees any pair with J >= t shares
+    a prefix token, so the token equi-join over PREFIXES generates a
+    complete candidate set whose size is driven by RARE-token
+    collisions, not the Zipf head (frequent tokens sort last and fall
+    outside every prefix). t = 0.5 throughout. Unlike
+    ``near_dup_jaccard`` this needs NO blocking key at all, so it also
+    finds the cross-language near-dups the (lang, size-bucket) blocking
+    excludes by construction (the synthetic corpus really contains
+    them: e.g. fr/en template pairs at J=0.83 at sf0.01) — the output
+    is a strict superset of ``near_dup_jaccard`` and identical to it
+    when restricted to same-lang pairs (both asserted in
+    tests/test_dedup_ops.py, which is what "exact" means
+    operationally).
+
+    Scale shape: explode distinct tokens (linear), one df-count agg,
+    then tokens are INTERNED to dense integer ids ordered by (df, tok)
+    — the id order IS the rarity order, so each doc's prefix is a
+    plain array slice of its sorted id-set (no per-doc window at all),
+    and every downstream join/intersection runs on ints, not strings
+    (measured ~3x on the verify stage: the J>=0.5 pair graph of this
+    corpus is genuinely ~9M pairs at sf0.1, so per-pair cost is the
+    whole game). The id dictionary is built with one row_number over
+    the VOCABULARY (distinct tokens — bounded by token entropy, not
+    corpus size; at a trillion-token corpus swap the window for a
+    zipWithIndex-style assignment or 64-bit token hashes, trading the
+    exactness proof for a 2^-64 collision bound). Candidate pairs come
+    from the prefix self-equi-join with the t-size filter (|B| within
+    [t|A|, |A|/t]) applied before DISTINCT; the union size is computed
+    arithmetically (|A|+|B|-o), never by materializing the union.
+    Prefix length uses pure integer arithmetic (ceil(s/2) =
+    (s+1) div 2) so both engines select identical prefixes."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(D.word_set(F.col("text"))).alias("tok")
+    )
+    dfc = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = dfc.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.asc("df"), F.asc("tok")))
+        .alias("tok_id"),
+    )
+    isets = scoped_persist(
+        tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("tok_id")).alias("wi"))
+        .withColumn("sz", F.size("wi")),
+        "prefix_jaccard.isets",
+    )
+    pref = isets.select(
+        "doc_id",
+        "sz",
+        F.explode(F.expr("slice(wi, 1, sz - (sz + 1) div 2 + 1)")).alias(
+            "tok_id"
+        ),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "tok_id"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "tok_id"
+    )
+    cand = (
+        a.join(b, "tok_id")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") * 2 >= F.col("sz_a"))
+            & (F.col("sz_a") * 2 >= F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    o = F.size(F.array_intersect(F.col("wi_a"), F.col("wi_b")))
+    jac = (
+        F.floor(o / (F.col("sz_a") + F.col("sz_b") - o) * 10000)
+        / F.lit(10000.0)
+    )
+    return (
+        cand.join(
+            isets.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("wi").alias("wi_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            isets.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("wi").alias("wi_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+    )
+
+
+@query(
     "dedup_components",
     oracle=f"""
     WITH {_MINHASH_CTES},

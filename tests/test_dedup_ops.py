@@ -43,3 +43,28 @@ def test_max_bucket_drops_degenerate_bucket_only(spark):
         assert capped <= uncapped
     finally:
         sigs.unpersist()
+
+
+def test_prefix_filter_jaccard_is_exact_superset_of_blocked(spark):
+    """prefix_filter_jaccard is EXACT with no blocking key, so it must
+    (a) contain every pair the (lang, size-bucket)-blocked exact twin
+    finds, and (b) agree with it exactly on same-lang pairs (the only
+    pairs the blocked form can see)."""
+    from data_engineering_capstone_project_spark.plans.registry import table
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        near_dup_jaccard,
+        prefix_filter_jaccard,
+    )
+    from tests.conftest import SF_SMALL
+
+    pf = {tuple(r) for r in prefix_filter_jaccard(spark, SF_SMALL).collect()}
+    nd = {tuple(r) for r in near_dup_jaccard(spark, SF_SMALL).collect()}
+    assert nd <= pf
+    lang = {
+        r["doc_id"]: r["lang"]
+        for r in table(spark, SF_SMALL, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    same_lang_pf = {p for p in pf if lang[p[0]] == lang[p[1]]}
+    assert same_lang_pf == nd

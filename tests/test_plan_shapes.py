@@ -407,3 +407,44 @@ def test_cohort_retention_single_corpus_exchange(spark):
     plan = _plan(QUERIES["weekly_cohort_retention"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # no self-join back to events
+
+
+def test_kmeans_refine_assignment_is_map_only(spark):
+    """One Lloyd iteration: assignment against literal centroids never
+    shuffles the corpus — the ONLY Exchange carries the (cluster, dim)
+    fixed-point partial sums, and no join touches the embeddings."""
+    plan = _plan(QUERIES["kmeans_refine"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_bigram_fluency_no_occurrence_level_join(spark):
+    """LM scoring joins the per-(doc, bigram) DISTINCT frame to the
+    bigram model — never the raw occurrence stream — and the model
+    side is built by linear aggs: no cartesian, no global sort."""
+    plan = _plan(QUERIES["bigram_fluency"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    # the per-(doc_id, bg) partial aggregation must exist below the join
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_prefix_filter_join_globally_sorts_vocab_only(spark):
+    """Prefix filtering may globally rank the VOCABULARY (distinct
+    tokens — bounded by token entropy) but must never single-partition
+    anything doc-shaped: the only SinglePartition window in the plan
+    has to sit above the distinct-token aggregate, and candidates must
+    come from an equi-join, never a cartesian."""
+    plan = _plan(QUERIES["prefix_filter_jaccard"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    # Every SinglePartition Exchange must sit directly above the
+    # df-count aggregate (keys=[tok...]), i.e. rows entering it are
+    # DISTINCT TOKENS, never docs/pairs. (The persisted isets subtree
+    # prints once per reference, so the occurrence count is a printing
+    # artifact — the invariant is what feeds each occurrence.)
+    lines = plan.splitlines()
+    sp_idx = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert sp_idx, plan
+    for i in sp_idx:
+        below = "\n".join(lines[i + 1 : i + 6])
+        assert "keys=[tok" in below, plan

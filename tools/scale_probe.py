@@ -147,6 +147,9 @@ def _run_probes(k: int, out: str):
         "trending_event_types",  # sliding-window top-k (WindowGroupLimit)
         "weekly_cohort_retention",  # (user,week) distinct + window cohort
         "contrastive_negatives",  # map-only arithmetic pair generator
+        "bigram_fluency",        # bigram LM: distinct-pair aggs + model join
+        "prefix_filter_jaccard",  # exact set-sim join via prefix filtering
+        "kmeans_refine",         # map-only Lloyd assign + (k x dim) agg
     ]
     only = set(sys.argv[3:])
     if only:
