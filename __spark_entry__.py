@@ -47,6 +47,9 @@ _DRIVER_SAMPLE_FIRST = [
     "bigram_fluency",
     "prefix_filter_jaccard",
     "kmeans_refine",
+    "revenue_trend_by_nation",
+    "top_event_paths",
+    "event_value_drift",
     "doc_chunks",
     "repeated_passages",
     "bpe_pair_counts",

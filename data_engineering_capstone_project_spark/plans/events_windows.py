@@ -17,9 +17,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from data_engineering_capstone_project_spark.plans.registry import events_table, query
+from data_engineering_capstone_project_spark.plans.registry import (
+    events_table,
+    query,
+    scoped_persist,
+)
 
 _FIXED_SUM_SQL = "sum(CAST(floor(value * 10000) AS BIGINT)) / 10000.0"
 
@@ -527,4 +532,198 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         act.withColumn("cohort_wk", cohort)
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_weeks"))
         .agg(F.count("*").alias("users"))
+    )
+
+
+@query(
+    "top_event_paths",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    ),
+    ranked AS (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM tagged
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY sessions DESC, path
+    LIMIT 20
+    """,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths (first 3 event types per 10-minute-gap
+    session) — sequence/path mining, the funnel-discovery complement to
+    the fixed-order ``conversion_funnel``: instead of checking a KNOWN
+    sequence, it surfaces which sequences actually happen. Ties at
+    identical timestamps are broken by event_id so the path is a total
+    order both engines reproduce, and the top-20 boundary breaks
+    count-ties by path text for a deterministic result set.
+
+    Scale shape: ONE corpus Exchange on user_id serves every stage —
+    the gaps-and-islands session tag (lag + running sum), the per-
+    session head-3 (sort+slice of a per-session collected array, never
+    a corpus-wide rank), and the path aggregation keys on path strings
+    whose cardinality is bounded by |event_type|^3; the final top-20 is
+    a TakeOrdered over that bounded table, not a global sort of
+    sessions. Session state never accumulates: a session's array holds
+    at most its own events, and only the first 3 survive the slice."""
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap test in exact integer MICROseconds: ts has sub-second
+    # precision, so a seconds-truncated cast would disagree with the
+    # oracle's epoch_us whenever fractional parts straddle the 600s
+    # boundary (session_window gets this right internally; the
+    # tagged-events form must match it explicitly).
+    is_new = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 600_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    tagged = ev.select(
+        "user_id", "ts", "event_id", "event_type", is_new.alias("is_new")
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    path = F.concat_ws(
+        ">",
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                1,
+                3,
+            ),
+            lambda s: s["event_type"],
+        ),
+    )
+    paths = tagged.groupBy("user_id", "session_id").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("sessions"))
+        .orderBy(F.desc("sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "event_value_drift",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        FROM events
+    ),
+    e AS (
+        SELECT least(CAST(floor(value / 25) AS BIGINT), 19) AS bucket,
+               CASE WHEN epoch_us(ts) <= (SELECT mid FROM b)
+                    THEN 1 ELSE 0 END AS is_ref
+        FROM events
+    ),
+    c AS (
+        SELECT bucket,
+               CAST(sum(is_ref) AS BIGINT) AS n_ref,
+               CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+        FROM e GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+               CAST(sum(n_cur) AS BIGINT) AS tot_cur
+        FROM c
+    )
+    SELECT c.bucket, c.n_ref, c.n_cur,
+           floor((c.n_ref / t.tot_ref - c.n_cur / t.tot_cur)
+                 * (c.n_ref / t.tot_ref - c.n_cur / t.tot_cur)
+                 / (c.n_ref / t.tot_ref + c.n_cur / t.tot_cur)
+                 * 1000000000) / 1000000000.0 AS chi2
+    FROM c, t
+    """,
+)
+def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection over the event value stream — the
+    monitoring gate a production pipeline runs before trusting a new
+    data window (training-serving skew, upstream schema rot, bot
+    bursts). The observed range splits at its midpoint into a
+    reference and a current period; values histogram into 20 fixed
+    bins and each bin contributes its chi-square-distance term
+    (p-q)^2/(p+q) between the two periods' proportions. The canonical
+    PSI multiplies by ln(p/q) — libm-dependent, so this uses the
+    chi-square form whose arithmetic is engine-exact: proportions are
+    exact int/int doubles and each bin's term is floor-truncated to
+    fixed point BEFORE any cross-bin consumer sums it (per-bin rows
+    are returned; the total is one trivial sum away).
+
+    Scale shape: bounds = one min/max agg (scan-cheap, broadcast as a
+    1-row literal join); counts = ONE corpus Exchange carrying at most
+    20 x 2 partial sums per task; everything after runs on a 20-row
+    frame. Period assignment is map-side arithmetic on epoch
+    microseconds — integer, so both engines pick identical periods."""
+    ev = events_table(spark, sf_dir)
+    bounds = ev.agg(
+        (
+            F.floor(
+                (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2
+            )
+        ).alias("mid")
+    )
+    bucket = F.least(F.floor(F.col("value") / 25).cast("long"), F.lit(19))
+    # The ~20-row counts frame is consumed twice (totals + output):
+    # stage it, or the whole corpus aggregation subtree executes twice.
+    counts = scoped_persist(
+        ev.join(broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            F.when(F.unix_micros("ts") <= F.col("mid"), 1)
+            .otherwise(0)
+            .alias("is_ref"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+        ),
+        "event_value_drift.counts",
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    p = F.col("n_ref") / F.col("tot_ref")
+    q = F.col("n_cur") / F.col("tot_cur")
+    chi2 = F.floor((p - q) * (p - q) / (p + q) * 1000000000) / F.lit(
+        1000000000.0
+    )
+    return counts.join(broadcast(totals)).select(
+        "bucket", "n_ref", "n_cur", chi2.alias("chi2")
     )

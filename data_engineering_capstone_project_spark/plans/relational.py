@@ -2606,3 +2606,100 @@ def customer_spend_quartiles_distributed(
             .alias("quartile"),
         )
     )
+
+
+@query(
+    "revenue_trend_by_nation",
+    oracle="""
+    WITH m AS (
+        SELECT c.c_nationkey,
+               CAST((year(o.o_orderdate) - 1990) * 12 + month(o.o_orderdate) AS BIGINT) AS x,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    fit AS (
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_months,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM m GROUP BY 1
+    )
+    SELECT n.n_name,
+           f.n_months,
+           f.sy / 100.0 AS total_revenue,
+           floor((f.n_months * f.sxy - f.sx * f.sy)
+                 / (f.n_months * f.sxx - f.sx * f.sx) * 10000) / 10000.0
+               AS slope_cents
+    FROM fit f JOIN nation n ON f.c_nationkey = n.n_nationkey
+    """,
+)
+def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly-revenue TREND via closed-form least squares —
+    the grouped-regression capability (forecasting, anomaly triage,
+    cohort health) expressed without any ML library: slope =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over (month-index, monthly-cents)
+    points. Every moment is an exact int64 sum (x is a month ordinal,
+    y is fixed-point cents), so the regression is order-independent
+    and hash-verifiable; the single double division happens once per
+    nation at the very end (floor-truncated to 4 decimals, both
+    engines identically).
+
+    Scale shape: the fact collapses to (custkey-nation, month) partial
+    sums before anything wide — the first agg keys on (nationkey,
+    month) AFTER the customer join (customer is threshold/AQE
+    broadcast like every dim chain here), so the only corpus-sized
+    Exchange carries month-grain partials; the regression itself runs
+    on nations x months rows. Denominator is zero only when a nation
+    has ONE distinct month — impossible in this dataset and NULL (not
+    error) semantics in both engines if it happens."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    # x anchored at 1990: the OLS slope is invariant under any affine
+    # shift of x, and a small ordinal (tens, not ~24000) keeps every
+    # cross-moment far from int64 overflow — with the raw year*12 form,
+    # n*sxy and sx*sy both reached ~7e18 at the 40x probe and threw
+    # ARITHMETIC_OVERFLOW under ANSI mode.
+    x = ((F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate")).cast(
+        "long"
+    )
+    y_cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    m = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", x.alias("x"))
+        .agg(F.sum(y_cents).alias("y"))
+    )
+    fit = m.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.floor(
+            (F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.col("n_months") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            )
+            * 10000
+        )
+        / F.lit(10000.0)
+    )
+    return (
+        fit.join(
+            broadcast(nation), fit.c_nationkey == nation.n_nationkey
+        ).select(
+            "n_name",
+            "n_months",
+            (F.col("sy") / F.lit(100.0)).alias("total_revenue"),
+            slope.alias("slope_cents"),
+        )
+    )

@@ -448,3 +448,35 @@ def test_prefix_filter_join_globally_sorts_vocab_only(spark):
     for i in sp_idx:
         below = "\n".join(lines[i + 1 : i + 6])
         assert "keys=[tok" in below, plan
+
+
+def test_revenue_trend_regression_runs_on_nation_grain(spark):
+    """Grouped OLS: moments must aggregate at (nation, month) then
+    nation grain — never a per-order window — and the nation dim must
+    broadcast."""
+    plan = _plan(QUERIES["revenue_trend_by_nation"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_top_event_paths_single_user_exchange(spark):
+    """Path mining: sessionize + head-3 + path agg must reuse ONE
+    user_id Exchange; the top-20 must be a TakeOrdered over the
+    bounded path table, not a global sort."""
+    plan = _plan(QUERIES["top_event_paths"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_event_value_drift_single_corpus_exchange(spark):
+    """Drift detection: the corpus contributes one min/max agg and one
+    bucket-count agg; the chi-square arithmetic runs on the bounded
+    bucket frame (broadcast totals, no sort-merge join)."""
+    plan = _plan(QUERIES["event_value_drift"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the bucket-counts frame is staged and read by BOTH consumers
+    # (totals + output) — without it the corpus aggregation runs twice
+    assert plan.count("InMemoryTableScan") == 2, plan

@@ -150,6 +150,9 @@ def _run_probes(k: int, out: str):
         "bigram_fluency",        # bigram LM: distinct-pair aggs + model join
         "prefix_filter_jaccard",  # exact set-sim join via prefix filtering
         "kmeans_refine",         # map-only Lloyd assign + (k x dim) agg
+        "revenue_trend_by_nation",  # grouped OLS over month-grain partials
+        "top_event_paths",       # sessionized path mining, one user Exchange
+        "event_value_drift",     # two column-pruned scans + bucket agg
     ]
     only = set(sys.argv[3:])
     if only:
