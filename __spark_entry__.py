@@ -50,6 +50,8 @@ _DRIVER_SAMPLE_FIRST = [
     "revenue_trend_by_nation",
     "top_event_paths",
     "event_value_drift",
+    "doc_pagerank",
+    "bigram_collocations",
     "doc_chunks",
     "repeated_passages",
     "bpe_pair_counts",

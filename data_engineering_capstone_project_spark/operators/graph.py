@@ -81,3 +81,53 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def pagerank_fixed_iters(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Power-iteration PageRank (damping 0.85) over the undirected
+    graph given by ``edges``, run for a FIXED number of iterations in
+    pure int64 fixed-point so any engine reproduces it bit-for-bit:
+    pr_0 = 1e9 per node, and each round computes
+
+        pr_{k+1}(v) = 0.15e9 + (17 * sum_u pr_k(u) // deg(u)) // 20
+
+    with floor (integer) division at both marked points — the damping
+    factor 0.85 expressed as the exact rational 17/20, never a float.
+    Fixed iterations (not convergence-to-epsilon) keep the operator a
+    deterministic recipe with a closed-form SQL twin (chained CTEs).
+
+    Scale posture: one symmetrized edge list materialized once
+    (localCheckpoint — at 100 TB, checkpoint() or a parquet stage),
+    then each round is one edge⋈rank join + one sum aggregation: the
+    same linear-shuffle shape per round as connected_components, with
+    rank state O(nodes). Returns (node, pr) with pr in 1e-9 units."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    wedges = sym.join(deg, "u").localCheckpoint()
+    pr = (
+        wedges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("pr", F.lit(1_000_000_000).cast("long"))
+    )
+    for _ in range(iters):
+        contrib = (
+            wedges.join(pr, wedges["u"] == pr["node"])
+            .select("v", F.expr("pr div deg").alias("share"))
+            .groupBy("v")
+            .agg(F.sum("share").alias("s"))
+        )
+        pr = contrib.select(
+            F.col("v").alias("node"),
+            (F.lit(150_000_000) + F.expr("(17 * s) div 20"))
+            .cast("long")
+            .alias("pr"),
+        )
+    return pr

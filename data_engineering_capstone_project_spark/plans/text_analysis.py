@@ -1934,3 +1934,149 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_id", F.col("neg_rank").cast("int"), neg.cast("bigint").alias("neg_id")
     )
+
+
+@query(
+    "doc_pagerank",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM cand
+        UNION ALL
+        SELECT id_b, id_a FROM cand
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+    pr0 AS (SELECT u AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+    pr1 AS (
+        SELECT s.v AS node,
+               CAST(150000000 + (17 * sum(p.pr // d.deg)) // 20 AS BIGINT) AS pr
+        FROM sym s JOIN pr0 p ON s.u = p.node JOIN deg d ON s.u = d.u
+        GROUP BY 1
+    ),
+    pr2 AS (
+        SELECT s.v AS node,
+               CAST(150000000 + (17 * sum(p.pr // d.deg)) // 20 AS BIGINT) AS pr
+        FROM sym s JOIN pr1 p ON s.u = p.node JOIN deg d ON s.u = d.u
+        GROUP BY 1
+    )
+    SELECT node AS doc_id, pr FROM pr2
+    """,
+)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document authority over the near-duplicate similarity graph —
+    two fixed power iterations of PageRank (damping 17/20) on the
+    MinHash-LSH candidate edges. Within a duplicate cluster this ranks
+    the most-connected variant highest, which is the
+    keep-the-canonical signal ``dedup_canonical`` derives from quality
+    scores — by graph structure instead; beyond dedup it is the
+    template for any iterative message-passing computation
+    (label propagation, embedding smoothing) on a corpus-scale graph.
+
+    Scale shape: per iteration exactly one edge⋈rank equi-join + one
+    node-keyed sum — linear shuffles, identical to the
+    connected-components rounds; the edge list (with out-degrees) is
+    materialized once via localCheckpoint so the LSH candidate subtree
+    never re-executes per round. Engine-exactness: pure int64
+    fixed-point with floor division at every step (pr//deg shares,
+    damping as the exact rational 17/20) — the oracle's chained CTEs
+    replay the identical arithmetic, which is why fixed iterations
+    (a closed-form recipe) are used instead of iterate-to-epsilon."""
+    from data_engineering_capstone_project_spark.operators.graph import (
+        pagerank_fixed_iters,
+    )
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pr = pagerank_fixed_iters(pairs, iters=2)
+    return pr.select(F.col("node").alias("doc_id"), "pr")
+
+
+@query(
+    "bigram_collocations",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    occ AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM t
+    ),
+    bs AS (
+        SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM occ GROUP BY 1
+    ),
+    w1 AS (
+        SELECT split_part(bg, ' ', 1) AS w, CAST(sum(c12) AS BIGINT) AS c1
+        FROM bs GROUP BY 1
+    ),
+    w2 AS (
+        SELECT split_part(bg, ' ', 2) AS w, CAST(sum(c12) AS BIGINT) AS c2
+        FROM bs GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(c12) AS BIGINT) AS total FROM bs)
+    SELECT bs.bg, bs.c12,
+           (((bs.c12 * 10000 // w1.c1) * n.total) // w2.c2) / 10000.0 AS lift
+    FROM bs
+    JOIN w1 ON split_part(bs.bg, ' ', 1) = w1.w
+    JOIN w2 ON split_part(bs.bg, ' ', 2) = w2.w
+    CROSS JOIN n
+    WHERE bs.c12 >= 5
+    ORDER BY lift DESC, bg
+    LIMIT 20
+    """,
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation (multi-word-expression) mining: the top bigrams by
+    LIFT = P(w1 w2) / (P(w1) P(w2)) with a minimum support of 5
+    occurrences — the phrase-vocabulary discovery pass a tokenizer or
+    feature pipeline runs over a corpus. Canonical PMI is log2(lift);
+    log is libm-dependent, and lift is order-equivalent to PMI (log is
+    monotone), so ranking by lift gives the identical top-20 with pure
+    integer arithmetic: lift_fp = ((c12*1e4 // c1) * N) // c2 — a
+    two-stage floor division both engines replay exactly (documented
+    resolution cost: the first division floors to 1e-4 of c12/c1
+    before scaling, which only matters for lifts whose c12/c1 ratio
+    differs beyond that — ties then break by bigram text).
+
+    Scale shape: one explode -> (bigram, count) partial agg (the only
+    corpus-sized Exchange); the marginals w1/w2 and the total are
+    aggregates of the much smaller distinct-bigram table (N is a 1-row
+    broadcast literal join); the top-20 is a TakeOrdered over the
+    min-support-filtered bigram table."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", D.tokenize(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+    )
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(F.transform(F.sequence(F.lit(0), F.size(toks) - 2), mk))
+    bs = scoped_persist(
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c12")),
+        "bigram_collocations.bs",
+    )
+    w1 = (
+        bs.groupBy(F.split("bg", " ").getItem(0).alias("w"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    w2 = (
+        bs.groupBy(F.split("bg", " ").getItem(1).alias("w"))
+        .agg(F.sum("c12").alias("c2"))
+    )
+    n = bs.agg(F.sum("c12").alias("total"))
+    lift = F.expr("((c12 * 10000 div c1) * total) div c2") / F.lit(10000.0)
+    return (
+        bs.filter(F.col("c12") >= 5)
+        .withColumn("_w1", F.split("bg", " ").getItem(0))
+        .withColumn("_w2", F.split("bg", " ").getItem(1))
+        .join(w1, F.col("_w1") == w1.w)
+        .join(w2, F.col("_w2") == w2.w)
+        .join(broadcast(n))
+        .select("bg", "c12", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("bg"))
+        .limit(20)
+    )

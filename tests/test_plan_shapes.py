@@ -480,3 +480,27 @@ def test_event_value_drift_single_corpus_exchange(spark):
     # the bucket-counts frame is staged and read by BOTH consumers
     # (totals + output) — without it the corpus aggregation runs twice
     assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_doc_pagerank_rounds_are_linear_joins(spark):
+    """PageRank rounds must be edge-rank equi-joins over the
+    checkpointed edge list — no cartesian, no global sort, and the LSH
+    candidate subtree must appear only via the checkpoint (a scan),
+    never re-expanded per round."""
+    plan = _plan(QUERIES["doc_pagerank"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the raw corpus never re-enters the iteration: post-checkpoint
+    # rounds read "Scan ExistingRDD", not the documents parquet
+    assert "documents.parquet" not in plan, plan
+
+
+def test_bigram_collocations_marginals_from_staged_bigrams(spark):
+    """Collocation lift: the corpus reduces once to the staged
+    (bigram, count) table; marginals, total, and the top-20 all read
+    that cache (4 InMemoryTableScans), and the final 20 come from a
+    TakeOrdered, not a global sort."""
+    plan = _plan(QUERIES["bigram_collocations"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("InMemoryTableScan") == 4, plan
+    assert "CartesianProduct" not in plan, plan

@@ -153,6 +153,8 @@ def _run_probes(k: int, out: str):
         "revenue_trend_by_nation",  # grouped OLS over month-grain partials
         "top_event_paths",       # sessionized path mining, one user Exchange
         "event_value_drift",     # two column-pruned scans + bucket agg
+        "doc_pagerank",          # 2 power-iteration rounds on LSH graph
+        "bigram_collocations",   # corpus agg once + vocab-sized marginals
     ]
     only = set(sys.argv[3:])
     if only:
