@@ -298,3 +298,93 @@ def user_percentile_view(
     return hit.select(
         "user_id", (F.col("bucket") / F.lit(4.0)).alias(f"p{int(p * 100)}_value")
     )
+
+
+def drift_histogram_increment(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's contribution to the drift-monitoring grid:
+    counts at (day, bucket) grain — day = epoch-day of the event time,
+    bucket = floor(value / 25) clamped to [0, 19], the same 20-bin
+    layout as the batch ``event_value_drift`` query. Day-keyed bucket
+    counts are ADDITIVE, so the stream maintains the whole
+    distribution history incrementally with the generic merge; the
+    drift statistic itself is computed at READ time (``drift_view``),
+    which keeps the maintained state purely additive and
+    replay-idempotent — the same rank-at-read / merge-additive split
+    as the trending top-k. NULL ts or value stay NULL keys (visible to
+    a quality reader, excluded from the statistic)."""
+    day = F.when(
+        F.col("ts").isNotNull(),
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
+            "long"
+        ),
+    )
+    clamped = F.least(
+        F.lit(19), F.greatest(F.lit(0), F.floor(F.col("value") / 25).cast("int"))
+    )
+    bucket = F.when(F.col("value").isNotNull(), clamped)
+    return batch_df.groupBy(day.alias("day"), bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def maintain_drift_histogram(
+    events: DataFrame, serving: str, checkpoint: str
+) -> None:
+    """Drain the events stream (availableNow) into the (day, bucket)
+    distribution grid — O(days x 20) rows regardless of volume."""
+    spark = events.sparkSession
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        apply_additive_batch(
+            spark,
+            batch_df,
+            batch_id,
+            serving,
+            drift_histogram_increment,
+            keys=["day", "bucket"],
+            sum_cols=["n"],
+        )
+
+    q = (
+        events.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def drift_view(spark: SparkSession, serving: str) -> DataFrame:
+    """Read-time distribution drift from the maintained grid: the
+    LATEST day is the current window, every earlier day pools into the
+    reference, and each bucket contributes its chi-square-distance
+    term (p-q)^2/(p+q) — the identical fixed-point arithmetic as the
+    batch ``event_value_drift`` report, evaluated over at most
+    days x 20 rows (no event data is ever re-read). Emits one row per
+    bucket observed in either window."""
+    from pyspark.sql.functions import broadcast
+
+    h = (
+        spark.read.parquet(serving)
+        .filter(F.col("day").isNotNull() & F.col("bucket").isNotNull())
+    )
+    latest = h.agg(F.max("day").alias("latest"))
+    counts = (
+        h.join(broadcast(latest))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("latest"), F.col("n")).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("day") == F.col("latest"), F.col("n")).otherwise(0)).alias("n_cur"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    p = F.col("n_ref") / F.col("tot_ref")
+    q = F.col("n_cur") / F.col("tot_cur")
+    chi2 = F.floor((p - q) * (p - q) / (p + q) * 1000000000) / F.lit(
+        1000000000.0
+    )
+    return counts.join(broadcast(totals)).select(
+        "bucket", "n_ref", "n_cur", chi2.alias("chi2")
+    )

@@ -613,3 +613,66 @@ def test_histogram_null_values_kept_out_of_percentiles(spark, tmp_path):
     # >= tot 2*5000 first at bucket 0? cum(0)=1 -> 10000 >= 10000: yes)
     got = {r.user_id: r.p50_value for r in user_percentile_view(spark, serving, 0.5).collect()}
     assert got == {1: 0.0}
+
+
+def test_incremental_drift_histogram_maintenance(spark, tmp_path):
+    """foreachBatch-maintained (day, bucket) distribution grid: the
+    maintained state equals the one-shot increment over the same
+    events, and the read-time chi-square drift report equals a python
+    recomputation from that grid (latest day vs pooled history,
+    fixed-point per-bucket terms)."""
+    import math
+
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        drift_histogram_increment,
+        drift_view,
+        maintain_drift_histogram,
+    )
+
+    src = str(tmp_path / "src")
+    serving = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    ev = events_table(spark, SF_SMALL).limit(800).cache()
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    maintain_drift_histogram(
+        stream_events_from_dir(spark, src, max_files_per_trigger=1),
+        serving,
+        ckpt,
+    )
+
+    got_grid = {
+        (r.day, r.bucket): r.n for r in spark.read.parquet(serving).collect()
+    }
+    want_grid = {
+        (r.day, r.bucket): r.n for r in drift_histogram_increment(ev).collect()
+    }
+    assert got_grid == want_grid
+
+    # Python recompute of the read-time drift report.
+    latest = max(d for (d, b) in want_grid if d is not None)
+    ref: dict[int, int] = {}
+    cur: dict[int, int] = {}
+    for (d, b), n in want_grid.items():
+        if d is None or b is None:
+            continue
+        (cur if d == latest else ref).setdefault(b, 0)
+        if d == latest:
+            cur[b] += n
+        else:
+            ref[b] += n
+    tot_ref, tot_cur = sum(ref.values()), sum(cur.values())
+    want = {}
+    for b in sorted(set(ref) | set(cur)):
+        p = ref.get(b, 0) / tot_ref
+        q = cur.get(b, 0) / tot_cur
+        want[b] = (
+            ref.get(b, 0),
+            cur.get(b, 0),
+            math.floor((p - q) * (p - q) / (p + q) * 1e9) / 1e9,
+        )
+    got = {
+        r.bucket: (r.n_ref, r.n_cur, r.chi2)
+        for r in drift_view(spark, serving).collect()
+    }
+    assert got == want
