@@ -52,6 +52,7 @@ _DRIVER_SAMPLE_FIRST = [
     "event_value_drift",
     "doc_pagerank",
     "bigram_collocations",
+    "hybrid_retrieval_rrf",
     "doc_chunks",
     "repeated_passages",
     "bpe_pair_counts",

@@ -532,3 +532,103 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_val"),
         F.count("*").alias("n_members"),
     )
+
+
+_Q_COS = (
+    f"floor({_dot('q.qv', 'c.embedding')} / "
+    f"(sqrt({_dot('q.qv', 'q.qv')}) * "
+    f"sqrt({_dot('c.embedding', 'c.embedding')})) * 10000) / 10000.0"
+)
+
+
+def _rrf_oracle() -> str:
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        BM25_CTES,
+    )
+
+    return f"""
+    WITH {BM25_CTES},
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS INTEGER) AS lex_rank
+        FROM bm
+    ),
+    lex10 AS (SELECT * FROM lex WHERE lex_rank <= 10),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT c.vec_id AS doc_id, {_Q_COS} AS cos
+        FROM embeddings c CROSS JOIN qv q
+        WHERE c.vec_id <> 0
+    ),
+    sem AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                    AS INTEGER) AS sem_rank
+        FROM scored
+    ),
+    sem10 AS (SELECT * FROM sem WHERE sem_rank <= 10)
+    SELECT coalesce(l.doc_id, s2.doc_id) AS doc_id,
+           coalesce(l.lex_rank, 0) AS lex_rank,
+           coalesce(s2.sem_rank, 0) AS sem_rank,
+           CAST((CASE WHEN l.lex_rank IS NULL THEN 0
+                      ELSE 1000000 // (60 + l.lex_rank) END)
+              + (CASE WHEN s2.sem_rank IS NULL THEN 0
+                      ELSE 1000000 // (60 + s2.sem_rank) END)
+                 AS BIGINT) / 1000000.0 AS rrf
+    FROM lex10 l FULL OUTER JOIN sem10 s2 ON l.doc_id = s2.doc_id
+    """
+
+
+@query("hybrid_retrieval_rrf", oracle=_rrf_oracle())
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09, k=60) — the standard first-stage of a RAG / curation
+    pipeline: fuse the LEXICAL ranking (``bm25_topk``'s fixed 3-term
+    query) with the SEMANTIC ranking (exact cosine neighbors of the
+    vec_id-0 embedding; ids align with doc ids by the fixtures'
+    convention) as rrf(d) = sum over lists of 1/(60 + rank(d)).
+    1/(60+r) is computed as the exact integer 1000000 div (60+r), so
+    the fused score is engine-identical without any float reciprocal;
+    docs missing from a list contribute 0 (rank reported as 0).
+
+    Scale shape: each side is its own already-scale-shaped retriever
+    (BM25: term-restricted shuffle + TakeOrdered; cosine: broadcast
+    single query vector, map-side scores, per-query top-k window); the
+    fusion itself is a full-outer join of two <= 10-row frames — at
+    production scale the candidate lists are per-query TakeOrdered
+    outputs, so fusion cost never grows with the corpus, only with
+    k x queries. RRF needs no score calibration between the two
+    retrievers — rank-only fusion is exactly what makes mixing a
+    10000-scaled BM25 with a [-1, 1] cosine principled."""
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        bm25_topk,
+    )
+    from pyspark.sql.window import Window
+
+    lex = bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    sem = S.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=10
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("sem_rank"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).cast("int").alias("sem_rank"),
+    )
+    contrib = lambda c: F.when(  # noqa: E731
+        F.col(c) > 0, F.expr(f"1000000 div (60 + {c})")
+    ).otherwise(F.lit(0))
+    return fused.withColumn(
+        "rrf",
+        (contrib("lex_rank") + contrib("sem_rank")).cast("bigint")
+        / F.lit(1000000.0),
+    )

@@ -1449,10 +1449,10 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bm25_topk",
-    oracle=f"""
-    WITH d AS (
+# BM25 scoring CTEs ending in a `bm` relation of (doc_id, terms_hit,
+# bm25) — shared by bm25_topk and the hybrid RRF fusion query in
+# plans.similarity_search.
+BM25_CTES = f"""d AS (
         SELECT doc_id, {_TOKS} AS toks FROM documents
     ),
     dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
@@ -1473,11 +1473,21 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / s.avgdl))))
                    * 10000) AS BIGINT) AS wfx
         FROM tf JOIN df USING (tok) CROSS JOIN s CROSS JOIN n
-    )
-    SELECT doc_id,
-           count(*) AS terms_hit,
-           CAST(sum(wfx) AS BIGINT) / 10000.0 AS bm25
-    FROM w GROUP BY doc_id
+    ),
+    bm AS (
+        SELECT doc_id,
+               count(*) AS terms_hit,
+               CAST(sum(wfx) AS BIGINT) / 10000.0 AS bm25
+        FROM w GROUP BY doc_id
+    )"""
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH {BM25_CTES}
+    SELECT doc_id, terms_hit, bm25
+    FROM bm
     ORDER BY bm25 DESC, doc_id
     LIMIT 10
     """,

@@ -155,6 +155,7 @@ def _run_probes(k: int, out: str):
         "event_value_drift",     # two column-pruned scans + bucket agg
         "doc_pagerank",          # 2 power-iteration rounds on LSH graph
         "bigram_collocations",   # corpus agg once + vocab-sized marginals
+        "hybrid_retrieval_rrf",  # BM25 + cosine candidates, 10-row fusion
     ]
     only = set(sys.argv[3:])
     if only:
