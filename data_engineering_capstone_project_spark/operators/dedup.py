@@ -48,6 +48,22 @@ def word_set(text: Column) -> Column:
     return F.array_distinct(tokenize(text))
 
 
+def word_bigrams(tokens: Column) -> Column:
+    """Bigram OCCURRENCES (order-preserving, WITH repeats — LM counts
+    need multiplicity, so ``word_shingles``' array_distinct would be
+    wrong). Same materialized-toks discipline as word_shingles (see its
+    docstring: pass a plain array attribute, never an inline
+    tokenize(...)); the size<2 guard is required because Spark's
+    sequence(0, -1) would generate a DESCENDING range, not an empty
+    one."""
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(tokens, i + 1), F.element_at(tokens, i + 2)
+    )
+    return F.when(
+        F.size(tokens) < 2, F.array().cast("array<string>")
+    ).otherwise(F.transform(F.sequence(F.lit(0), F.size(tokens) - 2), mk))
+
+
 def word_shingles(tokens: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (arrays of 'w1 w2 w3' strings).
 

@@ -691,13 +691,15 @@ def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame. Period assignment is map-side arithmetic on epoch
     microseconds — integer, so both engines pick identical periods."""
     ev = events_table(spark, sf_dir)
+    # Integer floor-division for the midpoint: a double (min+max)/2
+    # would round once min+max epoch-micros exceeds 2^53 and could
+    # disagree with the oracle's exact `//` by 1 µs — the same
+    # at-scale-only divergence class as revenue_trend's moment
+    # overflow.
     bounds = ev.agg(
-        (
-            F.floor(
-                (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2
-            )
-        ).alias("mid")
-    )
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).select(F.expr("(lo + hi) div 2").alias("mid"))
     bucket = F.least(F.floor(F.col("value") / 25).cast("long"), F.lit(19))
     # The ~20-row counts frame is consumed twice (totals + output):
     # stage it, or the whole corpus aggregation subtree executes twice.
@@ -716,14 +718,31 @@ def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_value_drift.counts",
     )
+    return chi2_report(counts)
+
+
+def chi2_report(counts: DataFrame) -> DataFrame:
+    """Per-bucket fixed-point chi-square drift terms from a
+    (bucket, n_ref, n_cur) counts frame — THE shared arithmetic behind
+    the batch ``event_value_drift`` oracle and the streaming
+    ``drift_view`` (one definition, so the two reports can never
+    desynchronize). Proportions use ``try_divide``: an empty reference
+    or current window (bootstrap state — only one period observed yet)
+    yields chi2 NULL instead of DIVIDE_BY_ZERO under ANSI mode, which
+    is exactly DuckDB's x/0 -> NULL semantics, so the oracle still
+    hash-matches in the degenerate case. For rows where both
+    proportions exist, p+q > 0 by construction (the bucket row exists
+    only if it has mass), so the inner division is safe."""
+    from pyspark.sql.functions import broadcast as _bc
+
     totals = counts.agg(
         F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
     )
-    p = F.col("n_ref") / F.col("tot_ref")
-    q = F.col("n_cur") / F.col("tot_cur")
+    p = F.try_divide(F.col("n_ref"), F.col("tot_ref"))
+    q = F.try_divide(F.col("n_cur"), F.col("tot_cur"))
     chi2 = F.floor((p - q) * (p - q) / (p + q) * 1000000000) / F.lit(
         1000000000.0
     )
-    return counts.join(broadcast(totals)).select(
+    return counts.join(_bc(totals)).select(
         "bucket", "n_ref", "n_cur", chi2.alias("chi2")
     )

@@ -2653,8 +2653,9 @@ def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast like every dim chain here), so the only corpus-sized
     Exchange carries month-grain partials; the regression itself runs
     on nations x months rows. Denominator is zero only when a nation
-    has ONE distinct month — impossible in this dataset and NULL (not
-    error) semantics in both engines if it happens."""
+    has ONE distinct month; ``try_divide`` makes that a NULL slope
+    (matching DuckDB's x/0 -> NULL) instead of the ANSI
+    DIVIDE_BY_ZERO error plain division would raise."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
@@ -2684,10 +2685,9 @@ def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     slope = (
         F.floor(
-            (F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (
-                F.col("n_months") * F.col("sxx")
-                - F.col("sx") * F.col("sx")
+            F.try_divide(
+                F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy"),
+                F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx"),
             )
             * 10000
         )

@@ -531,19 +531,26 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bigram_fluency",
-    oracle=f"""
-    WITH t AS (
+# DuckDB twin of operators.dedup.word_bigrams: per-doc bigram
+# OCCURRENCES (with repeats) as CTEs `t` (tokens) and `occ` (bigrams)
+# -- shared by bigram_fluency and bigram_collocations so the two
+# queries can never disagree on what a bigram is.
+_BIGRAM_OCC_CTES = f"""t AS (
         SELECT doc_id, {_TOKS} AS toks FROM documents
     ),
     occ AS (
         SELECT doc_id,
                unnest(list_transform(
                    generate_series(1, greatest(len(toks) - 1, 0)),
-                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+                   i -> toks[i] || \' \' || toks[i+1])) AS bg
         FROM t
-    ),
+    )"""
+
+
+@query(
+    "bigram_fluency",
+    oracle=f"""
+    WITH {_BIGRAM_OCC_CTES},
     doc_bg AS (
         SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS n
         FROM occ GROUP BY 1, 2
@@ -594,18 +601,9 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", D.tokenize(F.col("text")).alias("toks")
     )
-    # Non-distinct bigram occurrences (LM counts need multiplicity, so
-    # word_shingles' array_distinct would be wrong here). Same
-    # materialized-toks discipline as word_shingles (see its docstring).
-    toks = F.col("toks")
-    mk = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+    occ = docs.select(
+        "doc_id", F.explode(D.word_bigrams(F.col("toks"))).alias("bg")
     )
-    bigrams = F.when(
-        F.size(toks) < 2, F.array().cast("array<string>")
-    ).otherwise(F.transform(F.sequence(F.lit(0), F.size(toks) - 2), mk))
-
-    occ = docs.select("doc_id", F.explode(bigrams).alias("bg"))
     doc_bg = scoped_persist(
         occ.groupBy("doc_id", "bg").agg(F.count("*").alias("n")),
         "bigram_fluency.doc_bg",
@@ -715,8 +713,15 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(D.word_set(F.col("text"))).alias("tok")
+    # tok feeds BOTH the df-count/vocab build and the isets build:
+    # stage it, or the regex tokenize + explode of the whole corpus
+    # runs twice (the same staging discipline bigram_fluency documents
+    # for its doc_bg frame).
+    tok = scoped_persist(
+        docs.select(
+            "doc_id", F.explode(D.word_set(F.col("text"))).alias("tok")
+        ),
+        "prefix_jaccard.tok",
     )
     dfc = tok.groupBy("tok").agg(F.count("*").alias("df"))
     vocab = dfc.select(
@@ -2003,15 +2008,7 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bigram_collocations",
     oracle=f"""
-    WITH t AS (
-        SELECT doc_id, {_TOKS} AS toks FROM documents
-    ),
-    occ AS (
-        SELECT unnest(list_transform(
-                   generate_series(1, greatest(len(toks) - 1, 0)),
-                   i -> toks[i] || ' ' || toks[i+1])) AS bg
-        FROM t
-    ),
+    WITH {_BIGRAM_OCC_CTES},
     bs AS (
         SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM occ GROUP BY 1
     ),
@@ -2056,15 +2053,8 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", D.tokenize(F.col("text")).alias("toks")
     )
-    toks = F.col("toks")
-    mk = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-    )
-    bigrams = F.when(
-        F.size(toks) < 2, F.array().cast("array<string>")
-    ).otherwise(F.transform(F.sequence(F.lit(0), F.size(toks) - 2), mk))
     bs = scoped_persist(
-        docs.select(F.explode(bigrams).alias("bg"))
+        docs.select(F.explode(D.word_bigrams(F.col("toks"))).alias("bg"))
         .groupBy("bg")
         .agg(F.count("*").alias("c12")),
         "bigram_collocations.bs",

@@ -358,11 +358,18 @@ def drift_view(spark: SparkSession, serving: str) -> DataFrame:
     """Read-time distribution drift from the maintained grid: the
     LATEST day is the current window, every earlier day pools into the
     reference, and each bucket contributes its chi-square-distance
-    term (p-q)^2/(p+q) — the identical fixed-point arithmetic as the
-    batch ``event_value_drift`` report, evaluated over at most
-    days x 20 rows (no event data is ever re-read). Emits one row per
-    bucket observed in either window."""
+    term (p-q)^2/(p+q) — the SAME ``chi2_report`` helper as the batch
+    ``event_value_drift`` query (one definition of the fixed-point
+    arithmetic), evaluated over at most days x 20 rows (no event data
+    is ever re-read). Emits one row per bucket observed in either
+    window; on day one (no history yet) the reference proportions are
+    NULL-safe, so every chi2 is NULL rather than an ANSI
+    division-by-zero error."""
     from pyspark.sql.functions import broadcast
+
+    from data_engineering_capstone_project_spark.plans.events_windows import (
+        chi2_report,
+    )
 
     h = (
         spark.read.parquet(serving)
@@ -377,14 +384,4 @@ def drift_view(spark: SparkSession, serving: str) -> DataFrame:
             F.sum(F.when(F.col("day") == F.col("latest"), F.col("n")).otherwise(0)).alias("n_cur"),
         )
     )
-    totals = counts.agg(
-        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
-    )
-    p = F.col("n_ref") / F.col("tot_ref")
-    q = F.col("n_cur") / F.col("tot_cur")
-    chi2 = F.floor((p - q) * (p - q) / (p + q) * 1000000000) / F.lit(
-        1000000000.0
-    )
-    return counts.join(broadcast(totals)).select(
-        "bucket", "n_ref", "n_cur", chi2.alias("chi2")
-    )
+    return chi2_report(counts)

@@ -676,3 +676,23 @@ def test_incremental_drift_histogram_maintenance(spark, tmp_path):
         for r in drift_view(spark, serving).collect()
     }
     assert got == want
+
+
+def test_drift_view_single_day_bootstrap_is_null_not_error(spark, tmp_path):
+    """Day one of drift monitoring: only one distinct day in the grid
+    means an EMPTY reference window — the report must come back with
+    chi2 NULL on every bucket (DuckDB x/0 semantics via try_divide),
+    not raise ANSI DIVIDE_BY_ZERO."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        drift_view,
+    )
+
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame(
+        [(19700, 3, 10, 0), (19700, 7, 5, 0)],
+        "day long, bucket int, n long, applied_batch_id long",
+    ).write.parquet(serving)
+    rows = {r.bucket: r for r in drift_view(spark, serving).collect()}
+    assert set(rows) == {3, 7}
+    assert all(r.chi2 is None for r in rows.values())
+    assert rows[3].n_cur == 10 and rows[3].n_ref == 0
