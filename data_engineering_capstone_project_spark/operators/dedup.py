@@ -434,3 +434,96 @@ def simhash_banded_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: Column,
+    t_num: int = 1,
+    t_den: int = 2,
+    stage=lambda frame, key: frame,
+):
+    """EXACT Jaccard >= t_num/t_den pairs via prefix filtering
+    (PPJoin-family) — the algorithmic core behind the
+    ``prefix_filter_jaccard`` query, factored out so arbitrary small
+    corpora can be property-tested against a brute-force reference.
+
+    Tokens are interned to dense integer ids ordered by (document
+    frequency, token) — the id order IS the global rarity order, so
+    each doc's prefix of length s - ceil(t*s) + 1 is a plain slice of
+    its sorted id array (ceil as the exact integer
+    (s*t_num + t_den - 1) div t_den). Candidates come from the prefix
+    self-equi-join with the size filter t|A| <= |B| <= |A|/t applied
+    as integer cross-multiplication; verification compares the
+    4-decimal-floored Jaccard (o / (|A|+|B|-o), union size arithmetic)
+    against the threshold. ``stage`` is the caller's persistence hook
+    (the registered query passes scoped_persist) for the two frames
+    consumed twice; the default is no staging.
+
+    Returns (id_a, id_b, jac) with jac floored to 4 decimals."""
+    from pyspark.sql.window import Window
+
+    tok = stage(
+        df.select(F.col(id_col).alias("_pfid"), F.explode(set_col).alias("tok")),
+        "prefix_jaccard.tok",
+    )
+    dfc = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = dfc.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.asc("df"), F.asc("tok")))
+        .alias("tok_id"),
+    )
+    isets = stage(
+        tok.join(vocab, "tok")
+        .groupBy("_pfid")
+        .agg(F.array_sort(F.collect_list("tok_id")).alias("wi"))
+        .withColumn("sz", F.size("wi")),
+        "prefix_jaccard.isets",
+    )
+    plen = f"sz - (sz * {t_num} + {t_den} - 1) div {t_den} + 1"
+    pref = isets.select(
+        "_pfid", "sz", F.explode(F.expr(f"slice(wi, 1, {plen})")).alias("tok_id")
+    )
+    a = pref.select(
+        F.col("_pfid").alias("id_a"), F.col("sz").alias("sz_a"), "tok_id"
+    )
+    b = pref.select(
+        F.col("_pfid").alias("id_b"), F.col("sz").alias("sz_b"), "tok_id"
+    )
+    cand = (
+        a.join(b, "tok_id")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") * t_den >= F.col("sz_a") * t_num)
+            & (F.col("sz_a") * t_den >= F.col("sz_b") * t_num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    o = F.size(F.array_intersect(F.col("wi_a"), F.col("wi_b")))
+    jac = (
+        F.floor(o / (F.col("sz_a") + F.col("sz_b") - o) * 10000)
+        / F.lit(10000.0)
+    )
+    return (
+        cand.join(
+            isets.select(
+                F.col("_pfid").alias("id_a"),
+                F.col("wi").alias("wi_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            isets.select(
+                F.col("_pfid").alias("id_b"),
+                F.col("wi").alias("wi_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", jac.alias("jac"))
+        .filter(F.col("jac") >= F.lit(t_num) / F.lit(t_den))
+    )

@@ -709,81 +709,20 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     [t|A|, |A|/t]) applied before DISTINCT; the union size is computed
     arithmetically (|A|+|B|-o), never by materializing the union.
     Prefix length uses pure integer arithmetic (ceil(s/2) =
-    (s+1) div 2) so both engines select identical prefixes."""
-    from pyspark.sql.window import Window
-
+    (s+1) div 2) so both engines select identical prefixes. The
+    algorithm lives in ``operators.dedup.prefix_filter_jaccard_pairs``
+    (generic rational threshold, property-tested against a brute-force
+    reference on arbitrary corpora in tests/test_property_dedup.py);
+    this registration binds it to the documents table at t=1/2 with
+    scoped_persist staging for the two twice-consumed frames."""
     docs = table(spark, sf_dir, "documents")
-    # tok feeds BOTH the df-count/vocab build and the isets build:
-    # stage it, or the regex tokenize + explode of the whole corpus
-    # runs twice (the same staging discipline bigram_fluency documents
-    # for its doc_bg frame).
-    tok = scoped_persist(
-        docs.select(
-            "doc_id", F.explode(D.word_set(F.col("text"))).alias("tok")
-        ),
-        "prefix_jaccard.tok",
-    )
-    dfc = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    vocab = dfc.select(
-        "tok",
-        F.row_number()
-        .over(Window.orderBy(F.asc("df"), F.asc("tok")))
-        .alias("tok_id"),
-    )
-    isets = scoped_persist(
-        tok.join(vocab, "tok")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("tok_id")).alias("wi"))
-        .withColumn("sz", F.size("wi")),
-        "prefix_jaccard.isets",
-    )
-    pref = isets.select(
-        "doc_id",
-        "sz",
-        F.explode(F.expr("slice(wi, 1, sz - (sz + 1) div 2 + 1)")).alias(
-            "tok_id"
-        ),
-    )
-    a = pref.select(
-        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "tok_id"
-    )
-    b = pref.select(
-        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "tok_id"
-    )
-    cand = (
-        a.join(b, "tok_id")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("sz_b") * 2 >= F.col("sz_a"))
-            & (F.col("sz_a") * 2 >= F.col("sz_b"))
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    o = F.size(F.array_intersect(F.col("wi_a"), F.col("wi_b")))
-    jac = (
-        F.floor(o / (F.col("sz_a") + F.col("sz_b") - o) * 10000)
-        / F.lit(10000.0)
-    )
-    return (
-        cand.join(
-            isets.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("wi").alias("wi_a"),
-                F.col("sz").alias("sz_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            isets.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("wi").alias("wi_b"),
-                F.col("sz").alias("sz_b"),
-            ),
-            "id_b",
-        )
-        .select("id_a", "id_b", jac.alias("jac"))
-        .filter(F.col("jac") >= 0.5)
+    return D.prefix_filter_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        set_col=D.word_set(F.col("text")),
+        t_num=1,
+        t_den=2,
+        stage=scoped_persist,
     )
 
 
