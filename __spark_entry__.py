@@ -53,6 +53,7 @@ _DRIVER_SAMPLE_FIRST = [
     "doc_pagerank",
     "bigram_collocations",
     "hybrid_retrieval_rrf",
+    "fk_violations",
     "doc_chunks",
     "repeated_passages",
     "bpe_pair_counts",

@@ -2703,3 +2703,78 @@ def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             slope.alias("slope_cents"),
         )
     )
+
+
+_FK_EDGES = [
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_edge_sql(rel: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{rel}' AS relationship,
+           CAST(sum(c.cnt) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN c.fk IS NULL THEN c.cnt ELSE 0 END) AS BIGINT)
+               AS null_fk,
+           CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL
+                         THEN c.cnt ELSE 0 END) AS BIGINT) AS orphans
+    FROM (SELECT {fk} AS fk, count(*) AS cnt FROM {child} GROUP BY 1) c
+    LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.fk = p.pk
+    """
+
+
+@query(
+    "fk_violations",
+    oracle=" UNION ALL ".join(_fk_edge_sql(*e) for e in _FK_EDGES),
+)
+def fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report over every FK edge of the star
+    schema in one frame — the warehouse-grade extension of the
+    reference's data-quality layer (plugins/operators/data_quality.py:
+    11-40 checks NULLs and row counts; a warehouse must also prove no
+    fact row points at a missing dimension row, since neither Redshift
+    nor Spark ENFORCES the declared PK/FK constraints). Per edge:
+    total child rows, NULL foreign keys, and orphans (non-null FK with
+    no parent).
+
+    Scale shape per edge: the child pre-aggregates to DISTINCT FK
+    values with counts (the shuffle carries one row per distinct key,
+    not per fact row — the same pre-agg-before-join discipline as
+    visits_by_region), then left-joins the parent's key projection
+    (broadcast where the dim is bounded, AQE otherwise) and reduces to
+    ONE summary row. The seven edges are independent subtrees unioned
+    at the end — on a cluster they run concurrently."""
+    out = None
+    for rel, child, fk, parent, pk in _FK_EDGES:
+        c = (
+            table(spark, sf_dir, child)
+            .groupBy(F.col(fk).alias("fk"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        p = table(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        edge = (
+            c.join(p, c.fk == p.pk, "left")
+            .agg(
+                F.sum("cnt").alias("total"),
+                F.sum(F.when(F.col("fk").isNull(), F.col("cnt")).otherwise(0)).alias(
+                    "null_fk"
+                ),
+                F.sum(
+                    F.when(
+                        F.col("fk").isNotNull() & F.col("pk").isNull(),
+                        F.col("cnt"),
+                    ).otherwise(0)
+                ).alias("orphans"),
+            )
+            .select(
+                F.lit(rel).alias("relationship"), "total", "null_fk", "orphans"
+            )
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out

@@ -75,3 +75,51 @@ def test_observed_write_single_pass(spark, tmp_path):
     )
     with pytest.raises(DataQualityError, match="NULL"):
         observed_write_parquet(bad, str(tmp_path / "bad"), ["id"], table="bad")
+
+
+def test_fk_violations_detects_orphans_and_nulls(spark, tmp_path):
+    """The fixture tables are integral (all-zero report), so pin the
+    detection logic on a corpus WITH violations: null FKs and orphans
+    must be counted separately and per-edge."""
+    import shutil
+
+    from data_engineering_capstone_project_spark.plans.relational import (
+        fk_violations,
+    )
+    from tests.conftest import SF_SMALL
+
+    sf = str(tmp_path)
+    import os
+
+    for t in ("orders", "lineitem", "part", "supplier", "customer",
+              "nation", "region"):
+        src = f"{SF_SMALL}/{t}.parquet"
+        dst = f"{sf}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    # Corrupt orders: 3 orphan custkeys, 2 null custkeys.
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    corrupted = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 500 == 0, F.lit(None))
+        .when(F.col("o_orderkey") % 499 == 0, F.lit(99_999_999))
+        .otherwise(F.col("o_custkey")),
+    )
+    n_null = corrupted.filter(F.col("o_custkey").isNull()).count()
+    n_orphan = corrupted.filter(F.col("o_custkey") == 99_999_999).count()
+    assert n_null > 0 and n_orphan > 0
+    corrupted.write.mode("overwrite").parquet(f"{sf}/orders_new.parquet")
+    dst = f"{sf}/orders.parquet"
+    shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+    shutil.move(f"{sf}/orders_new.parquet", dst)
+
+    rows = {r.relationship: r for r in fk_violations(spark, sf).collect()}
+    edge = rows["orders.o_custkey->customer"]
+    assert edge.null_fk == n_null
+    assert edge.orphans == n_orphan
+    # The untouched nation edge stays clean.
+    assert rows["customer.c_nationkey->nation"].orphans == 0

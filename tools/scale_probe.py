@@ -100,7 +100,7 @@ def main():
     # Dimension tables are copied UNshifted: suppliers/nations/regions
     # grow far slower than facts, so "Kx facts at fixed dims" is the
     # realistic growth axis for the multi-join probes.
-    for small in ("nation", "region", "supplier"):
+    for small in ("nation", "region", "supplier", "part"):
         src, dst = f"{SF_DIR}/{small}.parquet", f"{out}/{small}.parquet"
         if Path(src).is_dir():
             shutil.copytree(src, dst)
@@ -156,6 +156,7 @@ def _run_probes(k: int, out: str):
         "doc_pagerank",          # 2 power-iteration rounds on LSH graph
         "bigram_collocations",   # corpus agg once + vocab-sized marginals
         "hybrid_retrieval_rrf",  # BM25 + cosine candidates, 10-row fusion
+        "fk_violations",         # per-edge distinct-FK pre-agg + dim join
     ]
     only = set(sys.argv[3:])
     if only:
