@@ -245,6 +245,62 @@ def merge_upsert_partitioned(
     )
 
 
+def delete_keys_partitioned(
+    spark,
+    path: str,
+    doomed: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str],
+) -> int:
+    """Targeted row DELETION on a hive-partitioned parquet table — the
+    right-to-be-forgotten / takedown primitive (GDPR Art. 17, opt-out
+    lists, contaminated-document purges) a 100 TB corpus store must
+    support without rewriting the world. ``doomed`` carries the keys
+    to delete WITH their partition values (same no-key-movement
+    contract as ``merge_upsert_partitioned``: derive partition columns
+    from the key, or look them up first).
+
+    Mechanics mirror the merge: collect the touched partition values
+    (bounded by the doomed set, not the table), read ONLY those
+    partitions via the pruning filter, anti-join out the doomed keys,
+    and dynamically overwrite just the touched slices — partitions
+    without a doomed key are never read, never rewritten. Returns the
+    number of rows actually deleted (before/after count over the
+    touched slice only — cheap, and the audit number a deletion
+    request must report). Same per-partition commit contract as the
+    merge; wrap with publish_swap when a reader-visible atomic cutover
+    is required."""
+    touched = [
+        tuple(r) for r in doomed.select(*partition_cols).distinct().collect()
+    ]
+    if not touched:
+        return 0
+    existing = spark.read.parquet(path)
+    in_touched = F.lit(False)
+    for vals in touched:
+        clause = F.lit(True)
+        for c, v in zip(partition_cols, vals):
+            clause = clause & F.col(c).eqNullSafe(F.lit(v))
+        in_touched = in_touched | clause
+    slice_df = existing.filter(in_touched)
+    before = slice_df.count()
+    survivors = slice_df.join(
+        doomed.select(*key_cols).distinct(), list(key_cols), "left_anti"
+    )
+    # The slice is read twice (audit count + rewrite); at table scale
+    # the touched slice is small by construction, and the count shares
+    # the pruned scan. A crash between count and overwrite loses
+    # nothing: the rewrite is the only mutation.
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    after = spark.read.parquet(path).filter(in_touched).count()
+    return before - after
+
+
 def write_range_clustered(
     df: DataFrame,
     path: str,

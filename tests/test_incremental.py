@@ -243,3 +243,47 @@ def test_zorder_approx_normalization_is_map_only(spark):
     )
     plan_exact = keyed_exact._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan_exact  # the documented exact-rank fallback
+
+
+def test_delete_keys_partitioned_rewrites_only_touched(spark, tmp_path):
+    """Targeted delete: doomed keys vanish, untouched rows in touched
+    partitions survive, untouched partitions keep their files on disk
+    (never rewritten), and the returned audit count is exact."""
+    import glob
+    import os
+
+    from data_engineering_capstone_project_spark.sources.writers import (
+        delete_keys_partitioned,
+    )
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(1, 2024, 1, 10.0), (2, 2024, 1, 20.0),
+         (3, 2024, 2, 30.0), (4, 2024, 3, 40.0), (5, 2024, 3, 50.0)],
+        "id long, year int, month int, v double",
+    )
+    write_parquet_partitioned(base, path, ["year", "month"])
+    untouched_files = sorted(
+        (f, os.path.getmtime(f))
+        for f in glob.glob(f"{path}/year=2024/month=2/*.parquet")
+    )
+
+    doomed = spark.createDataFrame(
+        [(2, 2024, 1), (5, 2024, 3), (99, 2024, 3)],  # 99: no such row
+        "id long, year int, month int",
+    )
+    n = delete_keys_partitioned(
+        spark, path, doomed, key_cols=["id"], partition_cols=["year", "month"]
+    )
+    assert n == 2
+    got = {r.id for r in spark.read.parquet(path).collect()}
+    assert got == {1, 3, 4}
+    # month=2 partition was never touched: identical files, same mtime.
+    assert untouched_files == sorted(
+        (f, os.path.getmtime(f))
+        for f in glob.glob(f"{path}/year=2024/month=2/*.parquet")
+    )
+    # Idempotent: re-running deletes nothing further.
+    assert delete_keys_partitioned(
+        spark, path, doomed, key_cols=["id"], partition_cols=["year", "month"]
+    ) == 0

@@ -190,6 +190,7 @@ def _run_probes(k: int, out: str):
     for name, setup, run in (
         ("scd2_apply", None, _run_scd2),
         ("merge_upsert_partitioned", _setup_merge, _run_merge),
+        ("delete_keys_partitioned", _setup_merge, _run_delete),
     ):
         if only and name not in only:
             continue
@@ -269,6 +270,32 @@ def _run_merge(spark, d: str, scratch: str) -> None:
     )
     merge_upsert_partitioned(
         spark, scratch, updates, ["o_orderkey"], ["o_year"]
+    )
+
+
+def _run_delete(spark, d: str, scratch: str) -> None:
+    """Right-to-be-forgotten probe: delete ~1/50 of one year's orders
+    (partition-pruned read + anti-join + dynamic overwrite of the one
+    touched year). Like the merge, the touched slice grows with K, so
+    ~linear is the pass bar; a full-table term shows super-linear.
+    Setup (_setup_merge) rebuilds the base table each leg, so repeated
+    runs delete from a fresh copy."""
+    from data_engineering_capstone_project_spark.sources.writers import (
+        delete_keys_partitioned,
+    )
+
+    # Doomed keys come from the IMMUTABLE source table, not the scratch
+    # copy: run 2 of best-of-2 then still pays the full prune + anti-
+    # join + rewrite (deleting 0 rows), instead of short-circuiting on
+    # an empty touched set and timing nothing.
+    doomed = (
+        spark.read.parquet(f"{d}/orders.parquet")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .filter((F.col("o_year") == 1995) & (F.pmod(F.col("o_orderkey"), F.lit(50)) == 7))
+        .select("o_orderkey", "o_year")
+    )
+    delete_keys_partitioned(
+        spark, scratch, doomed, key_cols=["o_orderkey"], partition_cols=["o_year"]
     )
 
 
