@@ -54,6 +54,8 @@ _DRIVER_SAMPLE_FIRST = [
     "bigram_collocations",
     "hybrid_retrieval_rrf",
     "fk_violations",
+    "segment_zscore_pandas",
+    "revenue_by_segment_salted",
     "doc_chunks",
     "repeated_passages",
     "bpe_pair_counts",

@@ -2778,3 +2778,140 @@ def fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = edge if out is None else out.unionByName(edge)
     return out
+
+
+@query(
+    "segment_zscore_pandas",
+    oracle="""
+    WITH x AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS xfp
+        FROM customer
+    ),
+    m AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xfp) AS BIGINT) AS s1,
+               CAST(sum(xfp * xfp) AS BIGINT) AS s2
+        FROM x GROUP BY 1
+    )
+    SELECT x.c_custkey, x.c_mktsegment,
+           CASE WHEN m.n * m.s2 - m.s1 * m.s1 = 0 THEN 0.0
+                ELSE floor(
+                    (CAST(x.xfp AS DOUBLE)
+                     - CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                    / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                           / CAST(m.n * m.n AS DOUBLE))
+                    * 10000) / 10000.0
+           END AS z
+    FROM x JOIN m USING (c_mktsegment)
+    """,
+)
+def segment_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment z-score of account balance computed INSIDE an
+    Arrow ``applyInPandas`` grouped map — the driver-verified proof of
+    the Python-escape-hatch machinery (the z-score itself has a JVM
+    window twin, operators/grouped.py; THIS registration exists so the
+    Arrow path's numerics are oracle-checked end-to-end, the same
+    discipline the multimodal family follows).
+
+    Engine-exactness inside Python: balances are floored to int64
+    cents, the group moments S1/S2 are integer sums (order-independent
+    — the rows arrive in arbitrary shuffle order, so a float
+    ``pandas.std`` would not hash-match), the variance numerator
+    n*S2 - S1^2 is exact Python big-int arithmetic (S1^2 exceeds int64
+    at corpus scale; S2's own int64 numpy sum holds to ~1e9 rows/group
+    at 1e6-cent balances — beyond that, chunk or object-dtype it), and
+    the final float sequence — double(num) /
+    double(den), then (x - mean)/sqrt(var), floor-truncated to 4
+    decimals — is written in the identical IEEE operation order as the
+    oracle SQL (conversions and divisions are each correctly rounded,
+    so same order means same bits). Zero-variance groups emit 0.0.
+
+    Scale shape: one Exchange on the group key; each group must fit an
+    executor (the applyInPandas contract — key granularity is the
+    knob). For 100 TB, the window twin is the production path; this is
+    the template for per-group logic windows genuinely can't express."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_mktsegment", StringType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+
+    def z(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(pdf["c_acctbal"].to_numpy() * 100).astype("int64")
+        n = len(x)
+        s1 = int(x.sum())
+        s2 = int((x * x).sum())
+        num = n * s2 - s1 * s1
+        if num == 0:
+            zs = np.zeros(n)
+        else:
+            mean = float(s1) / float(n)
+            var = float(num) / float(n * n)
+            zs = np.floor((x - mean) / math.sqrt(var) * 10000) / 10000.0
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "z": zs,
+            }
+        )
+
+    return cust.groupBy("c_mktsegment").applyInPandas(z, schema)
+
+
+@query(
+    "revenue_by_segment_salted",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def revenue_by_segment_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment revenue computed through the SALTED join path — the
+    skew-mitigation operator (operators/skew.py: hot keys spread over 8
+    salt partitions, the dim side replicated per salt) driver-verified
+    against the plain-join oracle, which is exactly the operator's
+    contract: result equals the unsalted join bit-for-bit. The salt
+    mechanics live in the operator and are unit-tested for hot-key
+    spreading (test_skew_aqe); THIS row proves the end-to-end numbers.
+    At 100 TB reach for this when one customer owns a pathological
+    share of orders and AQE's skew-join split isn't available or the
+    skew is in an aggregation upstream of it."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_fp"),
+        "o_orderkey",
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    from data_engineering_capstone_project_spark.operators.skew import salted_join
+
+    j = salted_join(orders, cust, on="custkey", salt_by=["o_orderkey"], salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("orders"),
+        (F.sum("price_fp") / F.lit(100.0)).alias("revenue"),
+    )

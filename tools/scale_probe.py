@@ -157,6 +157,8 @@ def _run_probes(k: int, out: str):
         "bigram_collocations",   # corpus agg once + vocab-sized marginals
         "hybrid_retrieval_rrf",  # BM25 + cosine candidates, 10-row fusion
         "fk_violations",         # per-edge distinct-FK pre-agg + dim join
+        "segment_zscore_pandas",  # Arrow grouped-map, integer moments
+        "revenue_by_segment_salted",  # salted skew join vs plain oracle
     ]
     only = set(sys.argv[3:])
     if only:
