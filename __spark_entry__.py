@@ -56,6 +56,7 @@ _DRIVER_SAMPLE_FIRST = [
     "fk_violations",
     "segment_zscore_pandas",
     "revenue_by_segment_salted",
+    "curation_funnel",
     "doc_chunks",
     "repeated_passages",
     "bpe_pair_counts",

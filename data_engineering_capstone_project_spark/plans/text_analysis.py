@@ -2019,3 +2019,101 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("bg"))
         .limit(20)
     )
+
+
+@query(
+    "curation_funnel",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    base AS (
+        SELECT doc_id,
+               md5(text) AS h,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks,
+               floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             / length(text))
+                      + 0.3 * least(length(text) / 500.0, 1.0)
+                      + 0.2 * (1 - (length(text)
+                               - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                   / length(text))) * 10000) / 10000.0 AS q
+        FROM documents
+    ),
+    flags AS (
+        SELECT b.doc_id, b.toks, b.q,
+               b.doc_id = min(b.doc_id) OVER (PARTITION BY b.h) AS keep_exact,
+               d.id_b IS NULL AS keep_near
+        FROM base b
+        LEFT JOIN (SELECT DISTINCT id_b FROM cand) d ON b.doc_id = d.id_b
+    )
+    SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(toks) AS BIGINT) AS tokens
+    FROM flags
+    UNION ALL
+    SELECT '1_exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(toks) AS BIGINT)
+    FROM flags WHERE keep_exact
+    UNION ALL
+    SELECT '2_near_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(toks) AS BIGINT)
+    FROM flags WHERE keep_exact AND keep_near
+    UNION ALL
+    SELECT '3_quality', CAST(count(*) AS BIGINT),
+           CAST(sum(toks) AS BIGINT)
+    FROM flags WHERE keep_exact AND keep_near AND q >= 0.7
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE declarative plan — the
+    composition story: raw corpus -> exact dedup (keep min doc per
+    md5) -> near-dup drop (any doc that is the LARGER id of a
+    MinHash-LSH candidate pair is dropped; pairwise keep-smallest, the
+    O(pairs) policy — the transitive-component policy is the separate
+    ``dedup_canonical``) -> heuristic quality floor (q >= 0.7). One
+    row per stage with surviving docs and BPE-ish token mass — the
+    yield report every training-data run starts from.
+
+    Scale shape: the per-doc flags frame is computed once and staged
+    (md5 window over hash groups = one Exchange; the LSH-pair drop is
+    a left-anti-shaped join against the DISTINCT larger-ids of the
+    candidate set, which reuses the staged MinHash signatures from the
+    dedup family); the four stage aggregates then read the cached
+    flags. Stages are cumulative filters, so the funnel is monotone by
+    construction — an invariant the oracle verifies numerically."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    base = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        T.token_count_bpe_ish(F.col("text")).cast("long").alias("toks"),
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    dropped = minhash_lsh_pairs(spark, sf_dir).select("id_b").distinct()
+    flags = scoped_persist(
+        base.withColumn(
+            "keep_exact",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("h")),
+        )
+        .join(dropped, base.doc_id == dropped.id_b, "left")
+        .withColumn("keep_near", F.col("id_b").isNull()),
+        "curation_funnel.flags",
+    )
+
+    def stage(name: str, cond):
+        f = flags.filter(cond) if cond is not None else flags
+        return f.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("docs"),
+            F.sum("toks").alias("tokens"),
+        ).select("stage", "docs", "tokens")
+
+    keep_e = F.col("keep_exact")
+    keep_n = keep_e & F.col("keep_near")
+    keep_q = keep_n & (F.col("q") >= 0.7)
+    return (
+        stage("0_raw", None)
+        .unionByName(stage("1_exact_dedup", keep_e))
+        .unionByName(stage("2_near_dedup", keep_n))
+        .unionByName(stage("3_quality", keep_q))
+    )

@@ -13,6 +13,22 @@ from data_engineering_capstone_project_spark.plans import QUERIES
 from tests.conftest import SF_SMALL
 
 
+def _cache_scans(plan: str, col: str) -> int:
+    """Count InMemoryTableScan lines whose output mentions ``col`` —
+    i.e. reads of ONE SPECIFIC cached frame. A plain count of
+    "InMemoryTableScan" is order-dependent across the suite: Spark's
+    CacheManager substitutes ANY same-result cached fragment into new
+    plans, so a frame another test persisted (e.g. the prefix-filter
+    token explode) can appear NESTED inside this query's own cached
+    subtree — a beneficial runtime reuse that must not fail a plan
+    assertion."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "InMemoryTableScan" in line and col in line
+    )
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -84,8 +100,7 @@ def test_lsh_self_join_is_single_signature_subtree(spark):
     # Each InMemoryTableScan prints the (shared) cached child plan
     # beneath it, so "Scan parquet" still appears textually — the
     # InMemoryRelation is computed once at runtime regardless.
-    assert plan.count("InMemoryTableScan") == 2, plan
-    assert plan.count("InMemoryRelation") == 2, plan
+    assert _cache_scans(plan, "mh_0") == 2, plan
 
 
 def test_simhash_pairs_join_on_band_not_lang(spark):
@@ -101,7 +116,7 @@ def test_simhash_pairs_join_on_band_not_lang(spark):
     ]
     banded = [line for line in join_lines if "_band_v" in line]
     assert banded, f"no join keyed on band value:\n{join_lines}"
-    assert plan.count("InMemoryTableScan") == 2, plan
+    assert _cache_scans(plan, "sig#") == 2, plan
 
 
 def test_ivf_corpus_assignment_is_map_only(spark):
@@ -479,7 +494,7 @@ def test_event_value_drift_single_corpus_exchange(spark):
     assert "CartesianProduct" not in plan, plan
     # the bucket-counts frame is staged and read by BOTH consumers
     # (totals + output) — without it the corpus aggregation runs twice
-    assert plan.count("InMemoryTableScan") == 2, plan
+    assert _cache_scans(plan, "n_ref") == 2, plan
 
 
 def test_doc_pagerank_rounds_are_linear_joins(spark):
@@ -502,5 +517,5 @@ def test_bigram_collocations_marginals_from_staged_bigrams(spark):
     TakeOrdered, not a global sort."""
     plan = _plan(QUERIES["bigram_collocations"](spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan, plan
-    assert plan.count("InMemoryTableScan") == 4, plan
+    assert _cache_scans(plan, "c12") == 4, plan
     assert "CartesianProduct" not in plan, plan

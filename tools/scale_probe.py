@@ -159,6 +159,7 @@ def _run_probes(k: int, out: str):
         "fk_violations",         # per-edge distinct-FK pre-agg + dim join
         "segment_zscore_pandas",  # Arrow grouped-map, integer moments
         "revenue_by_segment_salted",  # salted skew join vs plain oracle
+        "curation_funnel",       # staged flags + 4 stage aggregates
     ]
     only = set(sys.argv[3:])
     if only:
