@@ -57,6 +57,7 @@ _DRIVER_SAMPLE_FIRST = [
     "segment_zscore_pandas",
     "revenue_by_segment_salted",
     "curation_funnel",
+    "event_rate_anomalies",
     "doc_chunks",
     "repeated_passages",
     "bpe_pair_counts",

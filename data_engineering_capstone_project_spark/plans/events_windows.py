@@ -130,10 +130,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_resampled_5min",
-    oracle="""
-    WITH b AS (
+# The dense gap-filled 5-minute grid, shared by events_resampled_5min
+# and event_rate_anomalies (as CTE `resampled`).
+_RESAMPLE_CTES = """b AS (
         SELECT CAST(floor(floor(min(epoch(ts)) / 300) * 300) AS BIGINT) AS lo,
                CAST(floor(floor(max(epoch(ts)) / 300) * 300) AS BIGINT) AS hi
         FROM events
@@ -144,11 +143,20 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS events,
                sum(CAST(floor(value * 10000) AS BIGINT)) / 10000.0 AS value_sum
         FROM events GROUP BY 1
-    )
-    SELECT g.bucket_start,
-           coalesce(c.events, 0) AS events,
-           coalesce(c.value_sum, 0.0) AS value_sum
-    FROM grid g LEFT JOIN c USING (bucket_start)
+    ),
+    resampled AS (
+        SELECT g.bucket_start,
+               coalesce(c.events, 0) AS events,
+               coalesce(c.value_sum, 0.0) AS value_sum
+        FROM grid g LEFT JOIN c USING (bucket_start)
+    )"""
+
+
+@query(
+    "events_resampled_5min",
+    oracle=f"""
+    WITH {_RESAMPLE_CTES}
+    SELECT bucket_start, events, value_sum FROM resampled
     """,
 )
 def events_resampled_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,4 +753,75 @@ def chi2_report(counts: DataFrame) -> DataFrame:
     )
     return counts.join(_bc(totals)).select(
         "bucket", "n_ref", "n_cur", chi2.alias("chi2")
+    )
+
+
+@query(
+    "event_rate_anomalies",
+    oracle=f"""
+    WITH {_RESAMPLE_CTES},
+    w AS (
+        SELECT bucket_start, events,
+               CAST(count(*) OVER tw AS BIGINT) AS n,
+               CAST(sum(events) OVER tw AS BIGINT) AS s1,
+               CAST(sum(events * events) OVER tw AS BIGINT) AS s2
+        FROM resampled
+        WINDOW tw AS (ORDER BY bucket_start
+                      ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT bucket_start, events, s1 AS trailing_sum,
+           (12 * events - s1) * (12 * events - s1)
+               > 9 * (12 * s2 - s1 * s1) AS anomaly
+    FROM w
+    WHERE n = 12
+    """,
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection on the event rate: a 5-minute
+    bucket is anomalous when its count deviates more than 3 sigma from
+    the trailing hour's (12 buckets') mean — the monitoring alarm on
+    top of the resample grid. The 3-sigma test is algebraically
+    rearranged into a PURE INTEGER comparison:
+
+        (x - s1/12)^2 > 9 * (12*s2 - s1^2)/144
+        <=>  (12x - s1)^2 > 9 * (12*s2 - s1^2)
+
+    so there is no sqrt, no division, and nothing to round — the
+    anomaly flag is bit-exact in any engine (sigma=0 windows flag any
+    deviation, the right semantics for a dead-flat baseline). Buckets
+    without a full trailing hour are excluded, so day-one output is
+    empty rather than noisy.
+
+    Scale shape: built ON the gap-filled grid (shared _RESAMPLE_CTES /
+    the events_resampled_5min plan), whose size scales with the TIME
+    RANGE, not event volume; the trailing window is a single ordered
+    pass over that grid. The grid is one global time-ordered window —
+    acceptable because the grid is range-sized; at multi-year ranges
+    partition the window by coarse epoch and stitch boundaries, or run
+    it streaming (the additive day-bucket machinery in
+    streaming/serving.py maintains the same counts incrementally).
+    Overflow: s1 <= 12*max_bucket_count, s2 <= 12*max^2 — safe to
+    ~6e8 events per 5-minute bucket."""
+    base = events_resampled_5min(spark, sf_dir)
+    tw = (
+        Window.orderBy("bucket_start").rowsBetween(-12, -1)
+    )
+    w = base.select(
+        "bucket_start",
+        "events",
+        F.count("*").over(tw).alias("n"),
+        F.sum("events").over(tw).alias("s1"),
+        F.sum(F.col("events") * F.col("events")).over(tw).alias("s2"),
+    )
+    dev = 12 * F.col("events") - F.col("s1")
+    return (
+        w.filter(F.col("n") == 12)
+        .select(
+            "bucket_start",
+            "events",
+            F.col("s1").alias("trailing_sum"),
+            (dev * dev > 9 * (12 * F.col("s2") - F.col("s1") * F.col("s1"))).alias(
+                "anomaly"
+            ),
+        )
     )

@@ -519,3 +519,17 @@ def test_bigram_collocations_marginals_from_staged_bigrams(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert _cache_scans(plan, "c12") == 4, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_event_rate_anomalies_window_is_grid_sized(spark):
+    """3-sigma anomaly flags: the global time-ordered window runs over
+    the RANGE-SIZED resample grid (SinglePartition is acceptable there
+    — the grid scales with the time range, not event volume); the
+    corpus itself contributes only the bucket-count aggregate, and the
+    anomaly predicate is pure integer arithmetic (no sqrt/division in
+    the plan)."""
+    plan = _plan(QUERIES["event_rate_anomalies"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "SQRT" not in plan.upper(), plan
+    # exactly one corpus-sized Exchange: the bucket-count partial agg
+    assert plan.count("Exchange hashpartitioning(bucket_start") <= 2, plan

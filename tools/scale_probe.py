@@ -160,6 +160,7 @@ def _run_probes(k: int, out: str):
         "segment_zscore_pandas",  # Arrow grouped-map, integer moments
         "revenue_by_segment_salted",  # salted skew join vs plain oracle
         "curation_funnel",       # staged flags + 4 stage aggregates
+        "event_rate_anomalies",  # grid-sized trailing window, int 3-sigma
     ]
     only = set(sys.argv[3:])
     if only:
