@@ -455,9 +455,13 @@ def prefix_filter_jaccard_pairs(
     its sorted id array (ceil as the exact integer
     (s*t_num + t_den - 1) div t_den). Candidates come from the prefix
     self-equi-join with the size filter t|A| <= |B| <= |A|/t applied
-    as integer cross-multiplication; verification compares the
-    4-decimal-floored Jaccard (o / (|A|+|B|-o), union size arithmetic)
-    against the threshold. ``stage`` is the caller's persistence hook
+    as integer cross-multiplication; verification is the EXACT integer
+    test o * t_den >= (|A|+|B|-o) * t_num (never a comparison of the
+    floored-decimal jac against a float threshold, which would drop
+    boundary pairs for any t not representable in 4 decimals — e.g.
+    t=1/3 with exact Jaccard exactly 1/3). The reported ``jac`` column
+    is floored to 4 decimals for display/oracle parity only.
+    ``stage`` is the caller's persistence hook
     (the registered query passes scoped_persist) for the two frames
     consumed twice; the default is no staging.
 
@@ -507,6 +511,9 @@ def prefix_filter_jaccard_pairs(
         F.floor(o / (F.col("sz_a") + F.col("sz_b") - o) * 10000)
         / F.lit(10000.0)
     )
+    passes = (
+        o * F.lit(t_den) >= (F.col("sz_a") + F.col("sz_b") - o) * F.lit(t_num)
+    )
     return (
         cand.join(
             isets.select(
@@ -524,6 +531,6 @@ def prefix_filter_jaccard_pairs(
             ),
             "id_b",
         )
+        .filter(passes)
         .select("id_a", "id_b", jac.alias("jac"))
-        .filter(F.col("jac") >= F.lit(t_num) / F.lit(t_den))
     )

@@ -2030,12 +2030,7 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(text) AS h,
                CAST(len(regexp_extract_all(text,
                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks,
-               floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                             / length(text))
-                      + 0.3 * least(length(text) / 500.0, 1.0)
-                      + 0.2 * (1 - (length(text)
-                               - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                                   / length(text))) * 10000) / 10000.0 AS q
+               {_QUALITY} AS q
         FROM documents
     ),
     flags AS (

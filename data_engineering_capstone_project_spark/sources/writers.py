@@ -269,7 +269,20 @@ def delete_keys_partitioned(
     touched slice only — cheap, and the audit number a deletion
     request must report). Same per-partition commit contract as the
     merge; wrap with publish_swap when a reader-visible atomic cutover
-    is required."""
+    is required.
+
+    Fully-doomed partitions need explicit directory removal: dynamic
+    overwrite only replaces partitions PRESENT in the written frame,
+    so a partition whose every row is doomed produces zero survivor
+    rows, gets no files written, and its old files would silently
+    survive (found in review by live repro — the audit count read 0
+    while all rows remained). The emptied-partition set is computed
+    BEFORE the overwrite (the survivors plan lazily re-reads source
+    files) and their directories are deleted through the Hadoop
+    FileSystem API afterwards. Partition values are rendered with
+    basic Hive conventions (NULL -> __HIVE_DEFAULT_PARTITION__);
+    string values needing Hive escaping (/, =, %) are out of scope
+    for this log-free store — use a cataloged table format there."""
     touched = [
         tuple(r) for r in doomed.select(*partition_cols).distinct().collect()
     ]
@@ -287,6 +300,12 @@ def delete_keys_partitioned(
     survivors = slice_df.join(
         doomed.select(*key_cols).distinct(), list(key_cols), "left_anti"
     )
+    # Must be collected BEFORE the overwrite mutates the source files.
+    remaining = {
+        tuple(r)
+        for r in survivors.select(*partition_cols).distinct().collect()
+    }
+    emptied = [vals for vals in touched if vals not in remaining]
     # The slice is read twice (audit count + rewrite); at table scale
     # the touched slice is small by construction, and the count shares
     # the pruned scan. A crash between count and overwrite loses
@@ -297,7 +316,23 @@ def delete_keys_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-    after = spark.read.parquet(path).filter(in_touched).count()
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        conf = jsc.hadoopConfiguration()
+        for vals in emptied:
+            segs = "/".join(
+                f"{c}="
+                + ("__HIVE_DEFAULT_PARTITION__" if v is None else str(v))
+                for c, v in zip(partition_cols, vals)
+            )
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{segs}")
+            fs = p.getFileSystem(conf)
+            fs.delete(p, True)
+    try:
+        after = spark.read.parquet(path).filter(in_touched).count()
+    except Exception:  # noqa: BLE001 — table fully emptied: no files left
+        after = 0
     return before - after
 
 

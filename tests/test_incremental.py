@@ -287,3 +287,40 @@ def test_delete_keys_partitioned_rewrites_only_touched(spark, tmp_path):
     assert delete_keys_partitioned(
         spark, path, doomed, key_cols=["id"], partition_cols=["year", "month"]
     ) == 0
+
+
+def test_delete_keys_partitioned_removes_fully_doomed_partition(spark, tmp_path):
+    """Review-found bug pin: dynamic overwrite only replaces partitions
+    present in the written frame, so a partition whose EVERY row is
+    doomed must be removed by explicit directory deletion — previously
+    its files silently survived and the audit count read 0."""
+    import os
+
+    from data_engineering_capstone_project_spark.sources.writers import (
+        delete_keys_partitioned,
+    )
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(1, 2024, 1, 10.0), (2, 2024, 1, 20.0), (3, 2024, 2, 30.0)],
+        "id long, year int, month int, v double",
+    )
+    write_parquet_partitioned(base, path, ["year", "month"])
+
+    # month=1 is FULLY doomed; month=2 partially (not at all).
+    doomed = spark.createDataFrame(
+        [(1, 2024, 1), (2, 2024, 1)], "id long, year int, month int"
+    )
+    n = delete_keys_partitioned(
+        spark, path, doomed, key_cols=["id"], partition_cols=["year", "month"]
+    )
+    assert n == 2
+    assert not os.path.exists(f"{path}/year=2024/month=1")
+    assert {r.id for r in spark.read.parquet(path).collect()} == {3}
+
+    # Now doom the remainder: the whole table empties without error.
+    doomed2 = spark.createDataFrame([(3, 2024, 2)], "id long, year int, month int")
+    assert delete_keys_partitioned(
+        spark, path, doomed2, key_cols=["id"], partition_cols=["year", "month"]
+    ) == 1
+    assert not os.path.exists(f"{path}/year=2024/month=2")

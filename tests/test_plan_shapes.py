@@ -532,4 +532,4 @@ def test_event_rate_anomalies_window_is_grid_sized(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SQRT" not in plan.upper(), plan
     # exactly one corpus-sized Exchange: the bucket-count partial agg
-    assert plan.count("Exchange hashpartitioning(bucket_start") <= 2, plan
+    assert plan.count("Exchange hashpartitioning(bucket_start") == 1, plan

@@ -26,14 +26,17 @@ doc = st.lists(token, min_size=1, max_size=8)
 
 
 def _brute_force(docs: list[set], t: Fraction) -> dict:
+    """Exact threshold compare (Fraction o/u >= t), floored jac as the
+    reported value — mirrors the operator's integer cross-multiplied
+    verification, NOT a float-vs-floored-decimal compare (which would
+    wrongly drop boundary pairs for thresholds like 1/3)."""
     want = {}
     for i in range(len(docs)):
         for j in range(i + 1, len(docs)):
             o = len(docs[i] & docs[j])
             u = len(docs[i] | docs[j])
-            jac = math.floor(o / u * 10000) / 10000.0
-            if jac >= t:
-                want[(i, j)] = jac
+            if u and Fraction(o, u) >= t:
+                want[(i, j)] = math.floor(o / u * 10000) / 10000.0
     return want
 
 
@@ -71,3 +74,38 @@ def test_prefix_filter_equals_brute_force_at_four_fifths(spark, corpus):
         ).collect()
     }
     assert got == _brute_force(sets, Fraction(4, 5))
+
+
+@settings(**_SETTINGS)
+@given(corpus=st.lists(doc, min_size=2, max_size=8))
+def test_prefix_filter_equals_brute_force_at_one_third(spark, corpus):
+    """t=1/3 is NOT representable in 4 decimal digits: a pair whose
+    exact Jaccard is exactly 1/3 must be kept. This is the boundary a
+    floored-decimal-vs-float-threshold compare silently drops (found
+    in review; the operator now verifies with integer
+    cross-multiplication)."""
+    sets = [set(d) for d in corpus]
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(sets)],
+        "doc_id long, ws array<string>",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in prefix_filter_jaccard_pairs(
+            df, id_col="doc_id", set_col=F.col("ws"), t_num=1, t_den=3
+        ).collect()
+    }
+    assert got == _brute_force(sets, Fraction(1, 3))
+
+
+def test_prefix_filter_keeps_exact_boundary_pair(spark):
+    """Deterministic pin of the review finding: A={a,b}, B={b,c} has
+    exact Jaccard 1/3; at t=1/3 the pair MUST be in the output even
+    though floor(1/3 * 1e4)/1e4 = 0.3333 < 1/3."""
+    df = spark.createDataFrame(
+        [(0, ["a", "b"]), (1, ["b", "c"])], "doc_id long, ws array<string>"
+    )
+    got = prefix_filter_jaccard_pairs(
+        df, id_col="doc_id", set_col=F.col("ws"), t_num=1, t_den=3
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
