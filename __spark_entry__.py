@@ -58,6 +58,8 @@ _DRIVER_SAMPLE_FIRST = [
     "revenue_by_segment_salted",
     "curation_funnel",
     "event_rate_anomalies",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
     "doc_chunks",
     "repeated_passages",
     "bpe_pair_counts",

@@ -161,6 +161,8 @@ def _run_probes(k: int, out: str):
         "revenue_by_segment_salted",  # salted skew join vs plain oracle
         "curation_funnel",       # staged flags + 4 stage aggregates
         "event_rate_anomalies",  # grid-sized trailing window, int 3-sigma
+        "ann_pq_topk",           # map-only PQ encode + broadcast ADC join
+        "ann_pq_rerank_topk",    # ADC shortlist + exact rerank of 64/query
     ]
     only = set(sys.argv[3:])
     if only:
