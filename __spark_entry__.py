@@ -30,26 +30,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# The driver samples the FIRST 50 entries in dict order. Round-4
-# priority: the three queries with a red-or-stale driver row — the two
-# r3 HUGEINT-oracle failures (fixed: CAST(... AS BIGINT) outside the
-# aggregate) and priority_shipping_q12, whose identical fix landed in
-# r2 code but was never re-sampled. With these green, every one of the
-# 107 queries has a green driver row across r1-r4. The rest of the
-# list keeps r3's never-sampled-first ordering so re-verification
-# stays broad.
+# The driver samples the FIRST 50 entries in dict order. Round-5
+# priority: embedding_projection — the only query of 137 without an
+# ever-green driver row (r4: the driver's pandas canonicalizer can't
+# sort an array cell; fixed by exchanging the projection as a CSV
+# string of fixed-point integers per the house rule, enforced
+# repo-wide by tests/test_output_schemas.py). Then the round-5
+# additions (never sampled), then event_value_drift (its bucket
+# expression changed this round — shared drift_value_bucket helper),
+# then r4's never-resampled tail for breadth.
 _DRIVER_SAMPLE_FIRST = [
-    # round-4: red/stale driver rows — must re-verify first
+    # round-5: the one never-green row — must verify first
+    "embedding_projection",
+    # round-5: bucket expression changed (shared helper) — re-verify
+    "event_value_drift",
+    # round-4 rows kept for breadth (sampled green r4)
     "priority_shipping_q12",
     "doc_rarity",
     "conversion_funnel",
-    # round-4 additions (never sampled yet)
     "bigram_fluency",
     "prefix_filter_jaccard",
     "kmeans_refine",
     "revenue_trend_by_nation",
     "top_event_paths",
-    "event_value_drift",
     "doc_pagerank",
     "bigram_collocations",
     "hybrid_retrieval_rrf",
@@ -70,7 +73,6 @@ _DRIVER_SAMPLE_FIRST = [
     "star_schema_summary",
     "bm25_topk",
     "packing_efficiency",
-    "embedding_projection",
     "customer_spend_quartiles_distributed",
     "epoch_shuffle",
     "token_budget_select",

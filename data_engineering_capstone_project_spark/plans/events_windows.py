@@ -655,7 +655,8 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     e AS (
-        SELECT least(CAST(floor(value / 25) AS BIGINT), 19) AS bucket,
+        SELECT least(greatest(CAST(floor(value / 25) AS BIGINT), 0), 19)
+                   AS bucket,
                CASE WHEN epoch_us(ts) <= (SELECT mid FROM b)
                     THEN 1 ELSE 0 END AS is_ref
         FROM events
@@ -708,7 +709,7 @@ def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("lo"),
         F.max(F.unix_micros("ts")).alias("hi"),
     ).select(F.expr("(lo + hi) div 2").alias("mid"))
-    bucket = F.least(F.floor(F.col("value") / 25).cast("long"), F.lit(19))
+    bucket = drift_value_bucket(F.col("value"))
     # The ~20-row counts frame is consumed twice (totals + output):
     # stage it, or the whole corpus aggregation subtree executes twice.
     counts = scoped_persist(
@@ -727,6 +728,24 @@ def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_value_drift.counts",
     )
     return chi2_report(counts)
+
+
+def drift_value_bucket(value):
+    """THE 20-bin drift histogram bucket: floor(value / 25) clamped to
+    [0, 19], NULL value -> NULL bucket. Shared by the batch
+    ``event_value_drift`` query and the streaming
+    ``drift_histogram_increment`` so the two reports can never
+    desynchronize on bucket layout (a negative value buckets to 0 in
+    BOTH paths; the oracle applies the same greatest/least clamp).
+    The explicit ``when(isNotNull)`` wrapper matters because Spark's
+    greatest/least SKIP nulls — without it a NULL value would clamp
+    to a real bucket. Same single-definition discipline as
+    ``chi2_report``."""
+    clamped = F.least(
+        F.lit(19),
+        F.greatest(F.lit(0), F.floor(value / 25)).cast("long"),
+    )
+    return F.when(value.isNotNull(), clamped)
 
 
 def chi2_report(counts: DataFrame) -> DataFrame:
@@ -800,8 +819,11 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition the window by coarse epoch and stitch boundaries, or run
     it streaming (the additive day-bucket machinery in
     streaming/serving.py maintains the same counts incrementally).
-    Overflow: s1 <= 12*max_bucket_count, s2 <= 12*max^2 — safe to
-    ~6e8 events per 5-minute bucket."""
+    Overflow: the largest intermediates are (12x - s1)^2 and
+    9*(12*s2 - s1*s1) <= 1296*m^2 for per-bucket max m — int64-safe to
+    ~8e7 events per 5-minute bucket (~2.5e8 on the x term); past that,
+    widen the variance arithmetic to DECIMAL. ANSI mode fails loudly
+    rather than silently below that bound."""
     base = events_resampled_5min(spark, sf_dir)
     tw = (
         Window.orderBy("bucket_start").rowsBetween(-12, -1)

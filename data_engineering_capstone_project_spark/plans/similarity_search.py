@@ -307,13 +307,13 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_projection",
     oracle="""
     SELECT vec_id,
-           list_transform(generate_series(0, 15), j ->
+           array_to_string(list_transform(generate_series(0, 15), j ->
                CAST(list_sum(list_transform(generate_series(0, 63), i ->
                    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT)
                    * (CASE WHEN ((i * 2654435761 + j * 40503) % 1000003) % 2 = 0
                            THEN 1 ELSE -1 END)
-               )) AS BIGINT) / 10000.0
-           ) AS proj
+               )) AS BIGINT)
+           ), ',') AS proj
     FROM embeddings
     """,
 )
@@ -329,8 +329,12 @@ def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     column inside whole-stage codegen; ZERO Exchange on the corpus
     (asserted in test_plan_shapes). Engine-exactness: elements are
     floored to fixed-point BEFORE the signed integer sum, so float
-    summation order can't flip the hash; the per-dim output is the
-    exact integer sum / 10000."""
+    summation order can't flip the hash; each output dim is the exact
+    fixed-point integer sum (true value = element / 10000). The 16
+    dims are exchanged as a CSV string per the house rule
+    (relational.py customer_order_keys): engines render arrays
+    differently, strings hash identically, and integer text avoids
+    float-formatting divergence entirely."""
     emb = F.col("embedding")
 
     def signed_term(i, j):
@@ -345,14 +349,16 @@ def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             * sign
         )
 
-    proj = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda j: F.aggregate(
-            F.sequence(F.lit(0), F.lit(63)),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc + signed_term(i, j),
-        )
-        / F.lit(10000.0),
+    proj = F.concat_ws(
+        ",",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(0), F.lit(63)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc + signed_term(i, j),
+            ).cast("string"),
+        ),
     )
     return table(spark, sf_dir, "embeddings").select(
         "vec_id", proj.alias("proj")
@@ -698,10 +704,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC, Jegou et al. TPAMI'11) — the fourth point of the ANN design
     space (brute-force exact -> sign-LSH -> IVF -> PQ): vectors
-    compress to {_PQ_SUBSPACES} sub-codes (here 4 x 16-dim subspaces,
-    codebook = the deterministic label centroids restricted to each
-    subspace), and a query's distance to ANY database vector is a sum
-    of {_PQ_SUBSPACES} precomputed query-to-codeword distances — at
+    compress to 8 sub-codes (8 x 8-dim subspaces, codebook = the
+    deterministic label centroids restricted to each subspace), and a
+    query's distance to ANY database vector is a sum of 8
+    precomputed query-to-codeword distances — at
     100 TB the index is ~4 bytes/vector instead of 256, and scoring
     reads codes, never raw vectors.
 
@@ -739,9 +745,9 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sub_dist(lab: int, s: int):
         # zip_with over an array SLICE, not per-dim unrolled terms: the
-        # unrolled form generated ~13k expression nodes across the 4x10
-        # (subspace, label) grid and crashed whole-stage codegen with
-        # an InternalCompilerException.
+        # unrolled form generated ~13k expression nodes across the
+        # (subspace, label) grid (8 x 10 here) and crashed whole-stage
+        # codegen with an InternalCompilerException.
         means = by_label[lab]
         lo = s * _PQ_SUBDIM
         sub = F.slice(F.col("embedding"), lo + 1, _PQ_SUBDIM)

@@ -312,16 +312,17 @@ def drift_histogram_increment(batch_df: DataFrame) -> DataFrame:
     replay-idempotent — the same rank-at-read / merge-additive split
     as the trending top-k. NULL ts or value stay NULL keys (visible to
     a quality reader, excluded from the statistic)."""
+    from data_engineering_capstone_project_spark.plans.events_windows import (
+        drift_value_bucket,
+    )
+
     day = F.when(
         F.col("ts").isNotNull(),
         F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
             "long"
         ),
     )
-    clamped = F.least(
-        F.lit(19), F.greatest(F.lit(0), F.floor(F.col("value") / 25).cast("int"))
-    )
-    bucket = F.when(F.col("value").isNotNull(), clamped)
+    bucket = drift_value_bucket(F.col("value"))
     return batch_df.groupBy(day.alias("day"), bucket.alias("bucket")).agg(
         F.count("*").alias("n")
     )

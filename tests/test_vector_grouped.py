@@ -157,7 +157,7 @@ def test_pq_rerank_recall_floor(spark):
         ann_pq_rerank_topk,
     )
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF
     got = {
         (r.query_id, r.neighbor_id)
         for r in ann_pq_rerank_topk(spark, sf).collect()
