@@ -735,47 +735,52 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, neighbor_id, approx_d): the full ADC scoring frame —
-    shared by ann_pq_topk (cut at 3) and ann_pq_rerank_topk (shortlist
-    of 64)."""
+def _pq_sub_dist(by_label: dict, lab: int, s: int):
+    """Fixed-point squared L2 between an embedding's subspace-``s``
+    slice and centroid ``lab``'s slice, as a codegen expression.
+    zip_with over an array SLICE, not per-dim unrolled terms: the
+    unrolled form generated ~13k expression nodes across the
+    (subspace, label) grid (8 x 10 here) and crashed whole-stage
+    codegen with an InternalCompilerException."""
+    means = by_label[lab]
+    lo = s * _PQ_SUBDIM
+    sub = F.slice(F.col("embedding"), lo + 1, _PQ_SUBDIM)
+    cent = F.array(
+        *[F.lit(float(means[d])) for d in range(lo, lo + _PQ_SUBDIM)]
+    )
+    terms = F.zip_with(
+        sub,
+        cent,
+        lambda x, m: F.floor(
+            (x.cast("double") - m) * (x.cast("double") - m) * 10000000
+        ).cast("long"),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def _pq_corpus_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, s, code): the map-only PQ ENCODE of the whole corpus —
+    per-subspace argmin against literal centroid slices inside
+    codegen, zero corpus Exchange before the code explode (same
+    discipline as IVF/Rocchio). This is the expensive half of ADC
+    scoring; ``pq_codes_table`` materializes it once at ingest."""
     by_label = _cached_label_centroids(spark, sf_dir)
     labels = sorted(by_label)
     emb = table(spark, sf_dir, "embeddings")
-
-    def sub_dist(lab: int, s: int):
-        # zip_with over an array SLICE, not per-dim unrolled terms: the
-        # unrolled form generated ~13k expression nodes across the
-        # (subspace, label) grid (8 x 10 here) and crashed whole-stage
-        # codegen with an InternalCompilerException.
-        means = by_label[lab]
-        lo = s * _PQ_SUBDIM
-        sub = F.slice(F.col("embedding"), lo + 1, _PQ_SUBDIM)
-        cent = F.array(
-            *[F.lit(float(means[d])) for d in range(lo, lo + _PQ_SUBDIM)]
-        )
-        terms = F.zip_with(
-            sub,
-            cent,
-            lambda x, m: F.floor(
-                (x.cast("double") - m) * (x.cast("double") - m) * 10000000
-            ).cast("long"),
-        )
-        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
 
     def code_expr(s: int):
         cand = F.array(
             *[
                 F.struct(
-                    sub_dist(lab, s).alias("d"), F.lit(lab).alias("lab")
+                    _pq_sub_dist(by_label, lab, s).alias("d"),
+                    F.lit(lab).alias("lab"),
                 )
                 for lab in labels
             ]
         )
         return F.array_min(cand)["lab"]
 
-    # Corpus codes: map-only encode, then explode to (vec_id, s, code).
-    codes = emb.select(
+    return emb.select(
         "vec_id",
         F.explode(
             F.array(
@@ -789,8 +794,15 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sc"),
     ).select("vec_id", F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
 
-    # Query-to-codeword distances: same literal arithmetic, tiny frame.
-    qd = (
+
+def _pq_query_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, s, label, d): query-to-codeword distance table —
+    queries x subspaces x codebook rows (tiny, broadcast at the ADC
+    join). Same literal fixed-point arithmetic as the corpus encode."""
+    by_label = _cached_label_centroids(spark, sf_dir)
+    labels = sorted(by_label)
+    emb = table(spark, sf_dir, "embeddings")
+    return (
         emb.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -800,7 +812,7 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.struct(
                             F.lit(s).alias("s"),
                             F.lit(lab).alias("label"),
-                            sub_dist(lab, s).alias("d"),
+                            _pq_sub_dist(by_label, lab, s).alias("d"),
                         )
                         for s in range(_PQ_SUBSPACES)
                         for lab in labels
@@ -815,6 +827,18 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.d").alias("d"),
         )
     )
+
+
+def _pq_adc(
+    spark: SparkSession, sf_dir: str, codes: DataFrame | None = None
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_d): the full ADC scoring frame —
+    shared by ann_pq_topk (cut at 3), ann_pq_rerank_topk (shortlist of
+    64), and ann_pq_topk_indexed (``codes`` read from the materialized
+    index instead of re-encoding the corpus)."""
+    if codes is None:
+        codes = _pq_corpus_codes(spark, sf_dir)
+    qd = _pq_query_dists(spark, sf_dir)
     return (
         codes.join(
             broadcast(qd),
@@ -942,4 +966,99 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rer.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "dist_fp", "rnk")
+    )
+
+
+def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ codes INDEX as a materialized catalog table
+    ``pq_codes_{tag}_{fp}``: (vec_id, s, code), encoded ONCE at ingest
+    and reused by every later ADC query — the production shape the PQ
+    docstring describes (at 100 TB the index is ~4 bytes/vector;
+    scoring must read codes, never re-encode raw vectors per query).
+
+    Same reuse-is-validated-not-assumed discipline as
+    ``bucketed_orderkey_tables`` (relational.py): the table tag embeds
+    a content fingerprint of the embeddings parquet (file names +
+    sizes + mtimes), so a regenerated source yields a new tag and a
+    fresh encode instead of silently serving codes built over old
+    vectors; stale same-source tables from older fingerprints are
+    dropped, and a leftover unregistered warehouse directory is
+    cleared before writing (a fresh metastore meeting an old dir
+    otherwise fails LOCATION_ALREADY_EXISTS)."""
+    import re as _re
+    import shutil
+    from pathlib import Path
+
+    from data_engineering_capstone_project_spark.plans.relational import (
+        _source_fingerprint,
+    )
+    from data_engineering_capstone_project_spark.sources.writers import (
+        write_table,
+    )
+
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
+    fp = _source_fingerprint(sf_dir, ("embeddings",))
+    name = f"pq_codes_{tag}_{fp}"
+    if not spark.catalog.tableExists(name):
+        stale = _re.compile(rf"^pq_codes_{tag}_[0-9a-f]{{10}}$")
+        for t in spark.catalog.listTables():
+            if stale.match(t.name) and t.name != name:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        warehouse = Path(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+                "file:", ""
+            )
+        )
+        loc = warehouse / name
+        if loc.exists():
+            shutil.rmtree(loc)
+        write_table(_pq_corpus_codes(spark, sf_dir), name)
+    return spark.table(name)
+
+
+@query(
+    "ann_pq_topk_indexed",
+    oracle=f"""
+    WITH {_PQ_SCODE_CTES},
+    adc AS (
+        SELECT q.query_id, c2.vec_id AS neighbor_id,
+               CAST(sum(q.d) AS BIGINT) AS approx_d
+        FROM codes c2 JOIN qd q ON q.s = c2.s AND q.label = c2.code
+        WHERE q.query_id <> c2.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_d,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT query_id, neighbor_id, approx_d,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_d ASC, neighbor_id ASC)
+                   AS rnk
+        FROM adc
+    ) WHERE rnk <= 3
+    """,
+)
+def ann_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq_topk`` served from the MATERIALIZED codes index
+    (``pq_codes_table``) instead of re-encoding the corpus per query —
+    identical answers (same oracle), production cost profile: the
+    per-query plan is one scan of the 3-column codes table, a
+    broadcast join against the tiny query-to-codeword distance frame,
+    one (query, vec) partial-agg sum, and a per-query
+    WindowGroupLimit. The encode cost (and its large expression tree,
+    the measured ~6.7s compile+encode floor of ann_pq_topk at sf0.1)
+    is paid once at ingest, amortized across every query against the
+    index. First call on a new/changed embeddings source pays the
+    one-time encode; steady-state calls read the index only."""
+    from pyspark.sql.window import Window
+
+    codes = pq_codes_table(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d"), F.asc("neighbor_id")
+    )
+    return (
+        _pq_adc(spark, sf_dir, codes=codes)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "approx_d", "rnk")
     )

@@ -1,0 +1,83 @@
+"""Materialized PQ codes index (pq_codes_table / ann_pq_topk_indexed):
+
+(a) the indexed query answers EXACTLY like the per-query-encode form —
+    same ADC arithmetic, codes just come from the catalog table;
+(b) an unchanged embeddings source reuses the existing index table
+    (no re-encode);
+(c) a regenerated source (same path, new mtime) invalidates the
+    fingerprinted name and re-encodes, dropping the stale table —
+    the same reuse-is-validated contract as the bucketed pair.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def src_dir(tmp_path):
+    shutil.copy(f"{SF_SMALL}/embeddings.parquet", tmp_path / "embeddings.parquet")
+    yield str(tmp_path)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", str(tmp_path)).strip("_")
+    for t in spark.catalog.listTables():
+        if tag in t.name:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def _index_names(spark, src_dir):
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", src_dir).strip("_")
+    return sorted(
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(f"pq_codes_{tag}_")
+    )
+
+
+def test_indexed_matches_reencode(spark):
+    from data_engineering_capstone_project_spark.plans.similarity_search import (
+        ann_pq_topk,
+        ann_pq_topk_indexed,
+    )
+
+    direct = {tuple(r) for r in ann_pq_topk(spark, SF_SMALL).collect()}
+    indexed = {tuple(r) for r in ann_pq_topk_indexed(spark, SF_SMALL).collect()}
+    assert indexed == direct and len(indexed) > 0
+    # cleanup: the SF_SMALL index is cheap to rebuild, don't leak it
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", SF_SMALL).strip("_")
+    for t in spark.catalog.listTables():
+        if t.name.startswith(f"pq_codes_{tag}_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_index_reused_then_invalidated_on_source_change(spark, src_dir):
+    import os
+
+    from data_engineering_capstone_project_spark.plans.similarity_search import (
+        pq_codes_table,
+    )
+
+    codes1 = pq_codes_table(spark, src_dir)
+    names1 = _index_names(spark, src_dir)
+    assert len(names1) == 1
+    n1 = codes1.count()
+    assert n1 > 0
+
+    # unchanged source -> same catalog table, nothing rebuilt
+    pq_codes_table(spark, src_dir)
+    assert _index_names(spark, src_dir) == names1
+
+    # regenerated source (same path, new mtime) -> new fingerprint,
+    # fresh encode, stale table dropped
+    os.utime(f"{src_dir}/embeddings.parquet")
+    codes2 = pq_codes_table(spark, src_dir)
+    names2 = _index_names(spark, src_dir)
+    assert names2 != names1 and len(names2) == 1
+    assert codes2.count() == n1

@@ -163,6 +163,10 @@ def _run_probes(k: int, out: str):
         "event_rate_anomalies",  # grid-sized trailing window, int 3-sigma
         "ann_pq_topk",           # map-only PQ encode + broadcast ADC join
         "ann_pq_rerank_topk",    # ADC shortlist + exact rerank of 64/query
+        "ann_pq_topk_indexed",   # ADC over the MATERIALIZED codes table
+        #   (first timed run pays the one-time ingest encode+write, like
+        #   the bucketed probe; best-of-2 reports the steady-state
+        #   read-codes-only query — the production PQ cost profile.)
     ]
     only = set(sys.argv[3:])
     if only:
@@ -222,6 +226,87 @@ def _run_probes(k: int, out: str):
                 }
             )
         )
+
+
+    # Maintenance/publish operators whose timed run CONSUMES its input
+    # (compaction rewrites the dir; publish renames the staged dir
+    # away): setup must re-run before EVERY timed run, so each
+    # measurement is the real operation on fresh state — best-of-2 of
+    # an already-compacted dir would time a no-op-ish rewrite and
+    # best-of-2 of publish would fail on the missing staged dir.
+    for name, per_run_setup, run in (
+        ("compact_parquet_atomic", _setup_fragmented, _run_compact),
+        ("publish_swap", _setup_publish, _run_publish),
+    ):
+        if only and name not in only:
+            continue
+        times = {}
+        for label, d in (("1x", SF_DIR), (f"{k}x", out)):
+            scratch = f"{out}/_probe_{name}_{label}"
+            best = float("inf")
+            for _ in range(2):
+                per_run_setup(spark, d, scratch)
+                t0 = time.time()
+                run(spark, d, scratch)
+                best = min(best, time.time() - t0)
+            times[label] = round(best, 3)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sec_1x": times["1x"],
+                    f"sec_{k}x": times[f"{k}x"],
+                    "ratio": round(times[f"{k}x"] / max(times["1x"], 1e-9), 2),
+                    "k": k,
+                }
+            )
+        )
+
+
+def _setup_fragmented(spark, d: str, scratch: str) -> None:
+    """Fragmented base table for the compaction probe: orders written
+    as 256 small files — the state a streaming/upsert-heavy table is
+    in when maintenance runs (untimed, re-created before every timed
+    run)."""
+    (
+        spark.read.parquet(f"{d}/orders.parquet")
+        .repartition(256)
+        .write.mode("overwrite")
+        .parquet(scratch)
+    )
+
+
+def _run_compact(spark, d: str, scratch: str) -> None:
+    """Timed: staged rewrite to ~32 MB files + the two-rename publish.
+    Cost is one full read+write of the table's bytes — ~linear in K is
+    the pass bar (the rename tail is O(1) metadata)."""
+    from data_engineering_capstone_project_spark.sources.writers import (
+        compact_parquet_atomic,
+    )
+
+    compact_parquet_atomic(spark, scratch, target_file_mb=32)
+
+
+def _setup_publish(spark, d: str, scratch: str) -> None:
+    """Staged + live pair for the publish probe (untimed): live is the
+    previous orders copy, staged the replacement."""
+    src = spark.read.parquet(f"{d}/orders.parquet")
+    src.write.mode("overwrite").parquet(f"{scratch}/live")
+    src.write.mode("overwrite").parquet(f"{scratch}/staged")
+
+
+def _run_publish(spark, d: str, scratch: str) -> None:
+    """Timed: the two directory renames + old-copy delete, then the
+    recover no-op check. Pure metadata ops — the pass bar is a FLAT
+    ratio (~1.0) regardless of K; any data-sized term here would mean
+    the swap secretly copies bytes."""
+    from data_engineering_capstone_project_spark.sources.writers import (
+        publish_swap,
+        recover_publish,
+    )
+
+    publish_swap(spark, f"{scratch}/staged", f"{scratch}/live")
+    assert recover_publish(spark, f"{scratch}/live") is False
 
 
 def _run_scd2(spark, d: str, scratch: str) -> None:
