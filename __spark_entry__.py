@@ -42,6 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_SAMPLE_FIRST = [
     # round-5: the one never-green row — must verify first
     "embedding_projection",
+    # round-5 additions (never sampled yet)
+    "ann_pq_topk_indexed",
+    "trending_streamed_parity",
     # round-5: bucket expression changed (shared helper) — re-verify
     "event_value_drift",
     # round-4 rows kept for breadth (sampled green r4)

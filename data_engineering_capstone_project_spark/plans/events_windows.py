@@ -498,6 +498,78 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "trending_streamed_parity",
+    oracle="""
+    WITH expanded AS (
+        SELECT CAST(floor(floor(epoch(ts) / 900) * 900 - 900 * g.j) AS BIGINT)
+                   AS window_start,
+               event_type
+        FROM events, unnest(generate_series(0, 3)) g(j)
+    ),
+    counted AS (
+        SELECT window_start, event_type, count(*) AS events
+        FROM expanded
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, events, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT window_start, event_type, events,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY events DESC, event_type ASC) AS rnk
+        FROM counted
+    )
+    WHERE rnk <= 3
+    """,
+)
+def trending_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-MAINTAINED trending top-3, driver-verified: the
+    events table is split into 4 deterministic micro-batches (user_id
+    mod 4), each folded into a fresh serving table through the real
+    ``apply_additive_batch`` merge protocol (stage + atomic
+    publish_swap per batch), WITH a deliberate crash-replay of batch 1
+    in the middle — the batch-id guard must no-op it, or the replayed
+    counts double and the oracle hash catches it. The returned frame
+    is ``trending_topk_view`` over the final maintained state; the
+    oracle is the BATCH ``trending_event_types`` SQL, so a green row
+    proves the additive-merge streaming path converges exactly to the
+    batch answer (merge-additive state, rank at read time).
+
+    Scale shape: each micro-batch merge is a full-outer join of two
+    aggregate-sized (window x type) grids — O(windows x types),
+    independent of event volume — and the maintained table is read
+    once at the end. The per-call serving dir is rebuilt from empty
+    (rmtree first), so the verification replays the full protocol
+    every time instead of trusting leftover state."""
+    import shutil
+
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        apply_additive_batch,
+        trending_increment,
+        trending_topk_view,
+    )
+
+    serving = "/tmp/decps_trending_parity_serving"
+    shutil.rmtree(serving, ignore_errors=True)
+    ev = events_table(spark, sf_dir)
+    batch_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
+    kw = dict(
+        inc_fn=trending_increment,
+        keys=["window_start", "event_type"],
+        sum_cols=["events"],
+    )
+    for i in range(4):
+        batch = ev.filter(batch_of == i)
+        assert apply_additive_batch(spark, batch, i, serving, **kw) is True
+        if i == 1:
+            # crash-replay of an already-applied batch id: must no-op.
+            replayed = apply_additive_batch(spark, batch, 1, serving, **kw)
+            assert replayed is False, "batch-id guard failed to skip replay"
+    return trending_topk_view(spark, serving, k=3).select(
+        "window_start", "event_type", "events", "rnk"
+    )
+
+
+@query(
     "weekly_cohort_retention",
     oracle="""
     WITH act AS (

@@ -1334,11 +1334,14 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-count spend quartiles per customer (ntile over a total
     order — the deterministic tiebreak on custkey makes the assignment
-    unique, hence hash-checkable). Scale posture: ntile needs a global
-    sort (range partition + local sort, O(n log n)); at 100 TB prefer
-    approx_percentile cutoffs + a broadcast bucket lookup when
-    equal-count exactness isn't required — this exact-rank form is the
-    oracle-verifiable tier assignment."""
+    unique, hence hash-checkable). ORACLE-TIER ONLY: ntile pulls every
+    row through one task (single-partition sort, measured 5.96x at the
+    40x probe, which is why this form is excluded from the probe set);
+    the production path is ``customer_spend_quartiles_distributed`` —
+    identical quartile assignment via range-repartition + id
+    bit-slicing + per-partition offsets, measured FLAT across
+    1x/8x/20x/40x. Trade-off documented in PERFORMANCE.md
+    ("Quartiles at scale")."""
     orders = table(spark, sf_dir, "orders")
     spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.floor(F.col("o_totalprice") * 10000).cast("bigint")).alias(

@@ -137,7 +137,10 @@ def _run_probes(k: int, out: str):
         "local_supplier_volume_q5",  # 6-table multi-join, fixed dims
         "conversion_funnel",     # single-shuffle sequential window
         "time_weighted_avg",     # lead() interval weighting
-        "customer_spend_quartiles",  # global-order ntile (single-partition sort)
+        # customer_spend_quartiles (ntile) is deliberately NOT probed:
+        # it is the oracle-tier form whose single-partition sort is its
+        # documented reason to exist; _distributed is the production
+        # path (PERFORMANCE.md "Quartiles at scale").
         "customer_spend_quartiles_distributed",  # exact rank, range-partitioned
         "dedup_components",      # iterative min-label propagation
         "doc_chunks",            # map-only generator (zero Exchange)
