@@ -44,6 +44,7 @@ _DRIVER_SAMPLE_FIRST = [
     "embedding_projection",
     # round-5 additions (never sampled yet)
     "ann_pq_topk_indexed",
+    "ann_ivfpq_topk",
     "trending_streamed_parity",
     # round-5: bucket expression changed (shared helper) — re-verify
     "event_value_drift",

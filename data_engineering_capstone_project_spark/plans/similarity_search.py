@@ -758,15 +758,23 @@ def _pq_sub_dist(by_label: dict, lab: int, s: int):
     return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
 
 
-def _pq_corpus_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, s, code): the map-only PQ ENCODE of the whole corpus —
-    per-subspace argmin against literal centroid slices inside
-    codegen, zero corpus Exchange before the code explode (same
+def _pq_corpus_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(vec_id, *extra_cols, s, code): the map-only PQ ENCODE of the
+    whole corpus — per-subspace argmin against literal centroid slices
+    inside codegen, zero corpus Exchange before the code explode (same
     discipline as IVF/Rocchio). This is the expensive half of ADC
-    scoring; ``pq_codes_table`` materializes it once at ingest."""
+    scoring; ``pq_codes_table`` materializes it once at ingest.
+    ``source``/``extra_cols`` let a caller encode an already-derived
+    frame (e.g. one carrying the IVF cell_id) in the same single
+    map-only pass instead of joining codes back afterwards."""
     by_label = _cached_label_centroids(spark, sf_dir)
     labels = sorted(by_label)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = source if source is not None else table(spark, sf_dir, "embeddings")
 
     def code_expr(s: int):
         cand = F.array(
@@ -782,6 +790,7 @@ def _pq_corpus_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return emb.select(
         "vec_id",
+        *extra_cols,
         F.explode(
             F.array(
                 *[
@@ -792,7 +801,12 @@ def _pq_corpus_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("sc"),
-    ).select("vec_id", F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
+    ).select(
+        "vec_id",
+        *extra_cols,
+        F.col("sc.s").alias("s"),
+        F.col("sc.code").alias("code"),
+    )
 
 
 def _pq_query_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,6 +1073,133 @@ def ann_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _pq_adc(spark, sf_dir, codes=codes)
         .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "approx_d", "rnk")
+    )
+
+
+_IVFPQ_FSIM = (
+    f"floor({_dot('e.embedding', 'ccent.centroid')} / "
+    f"(sqrt({_dot('e.embedding', 'e.embedding')}) * "
+    f"sqrt({_dot('ccent.centroid', 'ccent.centroid')})) * 10000)"
+)
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_SCODE_CTES},
+    ids AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+    ccent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                         AS cell_id,
+                     embedding AS centroid
+              FROM ids),
+    sc AS (
+        SELECT e.vec_id, ccent.cell_id, {_IVFPQ_FSIM} AS fsim
+        FROM embeddings e CROSS JOIN ccent
+    ),
+    corpus_assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY fsim DESC, cell_id) AS r
+            FROM sc) WHERE r = 1
+    ),
+    query_assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY fsim DESC, cell_id) AS r
+            FROM sc WHERE vec_id < 10) WHERE r <= 2
+    ),
+    adc AS (
+        SELECT q.query_id, c2.vec_id AS neighbor_id,
+               CAST(sum(q.d) AS BIGINT) AS approx_d
+        FROM codes c2
+        JOIN corpus_assign ca ON ca.vec_id = c2.vec_id
+        JOIN query_assign qa ON qa.cell_id = ca.cell_id
+        JOIN qd q ON q.query_id = qa.vec_id
+                 AND q.s = c2.s AND q.label = c2.code
+        WHERE q.query_id <> c2.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_d, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT query_id, neighbor_id, approx_d,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_d ASC, neighbor_id ASC)
+                   AS rnk
+        FROM adc
+    ) WHERE rnk <= 3
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ — the FAISS IndexIVFPQ architecture, completing the
+    ANN ladder (brute-force -> sign-LSH -> IVF -> PQ -> IVF+PQ): a
+    coarse quantizer (the deterministic sampled-centroid IVF from
+    ``ann_ivf_topk``) prunes the corpus to the query's 2 probed cells,
+    and within those cells scoring is compressed-domain ADC over PQ
+    codes (the ``ann_pq_topk`` machinery) — never raw vectors. At
+    100 TB this is the only sub-linear-AND-small-memory shape: search
+    touches n_probe/n_cells of the corpus, and what it touches is
+    ~4 bytes/vector of codes.
+
+    Scale shape: ONE map-only corpus pass computes BOTH the cell
+    assignment (literal centroid argmin, the ``assign_cells``
+    discipline) and the 8 sub-codes (literal codebook argmin) before
+    the code explode — zero corpus Exchange until the per-(query,
+    neighbor) partial-agg sum (asserted in test_plan_shapes: no
+    SortMergeJoin, no CartesianProduct on the corpus axis). The
+    broadcast side is (query x probed-cell x subspace x codeword) —
+    bounded by the index geometry, not the data. At ingest the
+    (vec_id, cell_id, s, code) frame is what you'd materialize
+    (``pq_codes_table`` extended with the cell column); per-query work
+    then reads only the probed cells' code partitions. Engine-exact:
+    coarse assignment ranks 4-decimal-quantized cosines with cell_id
+    tiebreaks; ADC sums are floored-int64 throughout."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_capstone_project_spark.operators.vector_index import (
+        assign_cells,
+        sampled_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, n_cells=8)
+    # Corpus: cell assignment + PQ encode fused into one map-only pass.
+    with_cells = assign_cells(
+        emb.select("vec_id", "embedding"), cents, n_probe=1
+    )
+    codes = _pq_corpus_codes(
+        spark, sf_dir, source=with_cells, extra_cols=("cell_id",)
+    )
+    # Queries: probed cells x codeword distances, joined into one tiny
+    # broadcast frame (queries x 2 cells x 8 subspaces x 10 codewords).
+    qcells = assign_cells(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        cents,
+        n_probe=2,
+    ).select("query_id", "cell_id")
+    probe = qcells.join(_pq_query_dists(spark, sf_dir), "query_id")
+    adc = (
+        codes.alias("c")
+        .join(
+            broadcast(probe).alias("p"),
+            (F.col("p.s") == F.col("c.s"))
+            & (F.col("p.label") == F.col("c.code"))
+            & (F.col("p.cell_id") == F.col("c.cell_id"))
+            & (F.col("p.query_id") != F.col("c.vec_id")),
+        )
+        .groupBy("query_id", F.col("c.vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("approx_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "approx_d", "rnk")
     )

@@ -533,3 +533,17 @@ def test_event_rate_anomalies_window_is_grid_sized(spark):
     assert "SQRT" not in plan.upper(), plan
     # exactly one corpus-sized Exchange: the bucket-count partial agg
     assert plan.count("Exchange hashpartitioning(bucket_start") == 1, plan
+
+
+def test_ann_ivfpq_corpus_side_stays_map_only(spark):
+    """IVF+PQ: the corpus axis must see NO SortMergeJoin and NO
+    cartesian product — cell assignment and PQ encode are one fused
+    map-only projection, the probe side arrives via broadcast, and the
+    only corpus Exchange is the (query, neighbor) partial-agg. At
+    100 TB any sort-merge or cross term here would shuffle raw
+    vectors the index exists to avoid."""
+    plan = _plan(QUERIES["ann_ivfpq_topk"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -166,6 +166,7 @@ def _run_probes(k: int, out: str):
         "event_rate_anomalies",  # grid-sized trailing window, int 3-sigma
         "ann_pq_topk",           # map-only PQ encode + broadcast ADC join
         "ann_pq_rerank_topk",    # ADC shortlist + exact rerank of 64/query
+        "ann_ivfpq_topk",        # IVF cell pruning + fused-encode ADC
         "ann_pq_topk_indexed",   # ADC over the MATERIALIZED codes table
         #   (first timed run pays the one-time ingest encode+write, like
         #   the bucketed probe; best-of-2 reports the steady-state
