@@ -46,6 +46,8 @@ _DRIVER_SAMPLE_FIRST = [
     "ann_pq_topk_indexed",
     "ann_ivfpq_topk",
     "trending_streamed_parity",
+    "pq_encode_incremental",
+    "train_val_test_split",
     # round-5: bucket expression changed (shared helper) — re-verify
     "event_value_drift",
     # round-4 rows kept for breadth (sampled green r4)

@@ -1078,6 +1078,34 @@ def ann_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pq_encode_incremental",
+    oracle=f"""
+    WITH {_PQ_SCODE_CTES}
+    SELECT vec_id, s, code FROM codes WHERE vec_id % 10 = 7
+    """,
+)
+def pq_encode_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index maintenance — the append half of the
+    ``pq_codes_table`` lifecycle: vectors with ``vec_id % 10 == 7``
+    stand in for today's ingest batch; the encode runs ONLY over that
+    batch (map-only, against the frozen codebook the existing index
+    was built with) and emits the (vec_id, s, code) rows a production
+    pipeline appends to the codes table. The existing corpus is never
+    re-read, let alone re-encoded — the same complementary-filter
+    discipline as ``dedup_incremental`` (new x existing only, no
+    old x old term). At 100 TB with a small daily batch this is the
+    difference between an O(batch) nightly job and an O(corpus) one.
+    (Codebook note: the oracle derives the centroids from the full
+    table because the synthetic fixture is static; in production the
+    codebook is FROZEN at index build — re-deriving it would silently
+    re-encode history into a different code space, which is exactly
+    what the codes table's content fingerprint guards against.)"""
+    emb = table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+    return _pq_corpus_codes(spark, sf_dir, source=batch)
+
+
 _IVFPQ_FSIM = (
     f"floor({_dot('e.embedding', 'ccent.centroid')} / "
     f"(sqrt({_dot('e.embedding', 'e.embedding')}) * "

@@ -1592,6 +1592,42 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "train_val_test_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN h < 8000 THEN 'train'
+                WHEN h < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang, (doc_id * 2654435761) % 10000 AS h
+          FROM documents)
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment — the split
+    every training pipeline needs to be REPRODUCIBLE and LEAK-FREE: a
+    document's split is a pure integer hash of its id (Knuth
+    multiplicative mix mod 10000), so the same doc lands in the same
+    split on every run, every engine, and every corpus size — no RNG
+    state, no sampling job, no split manifest to version. Adding new
+    documents never moves an existing one between splits (the property
+    that keeps yesterday's test set uncontaminated by today's
+    retrain). Scale shape: a pure map-side projection — ZERO shuffle,
+    the assignment never even materializes as a table unless a sink
+    wants it. The multiply stays well under int64 (doc_id ~1e7 x
+    2.65e9 ~ 2.6e16). Downstream: groupBy(split) for counts, or
+    partitionBy('split') at the export write."""
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(10000))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(h < 8000, F.lit("train"))
+        .when(h < 9000, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@query(
     "token_budget_select",
     oracle="""
     WITH base AS (

@@ -547,3 +547,15 @@ def test_ann_ivfpq_corpus_side_stays_map_only(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["train_val_test_split", "pq_encode_incremental"]
+)
+def test_map_only_pipeline_ops_have_no_exchange(spark, name):
+    """The split assignment and the incremental PQ encode are pure
+    per-row projections (hash arithmetic / literal-codebook argmin
+    over the ingest batch): ZERO Exchange — at 100 TB their cost is
+    exactly one scan of their input."""
+    plan = _plan(QUERIES[name](spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
