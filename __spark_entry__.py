@@ -48,6 +48,8 @@ _DRIVER_SAMPLE_FIRST = [
     "trending_streamed_parity",
     "pq_encode_incremental",
     "train_val_test_split",
+    "phrase_search_positional",
+    "kmv_distinct_users",
     # round-5: bucket expression changed (shared helper) — re-verify
     "event_value_drift",
     # round-4 rows kept for breadth (sampled green r4)

@@ -374,6 +374,100 @@ def twa_over(ev: DataFrame) -> DataFrame:
 
 
 @query(
+    "kmv_distinct_users",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               (user_id * 2654435761) % 1000000007 AS h
+        FROM events
+    ),
+    rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h ASC) AS r
+        FROM h
+    ),
+    kept AS (
+        SELECT event_type, max(h) AS kth, count(*) AS n
+        FROM rk WHERE r <= 32 GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS users_exact
+        FROM events GROUP BY 1
+    )
+    SELECT k.event_type, ex.users_exact,
+           CAST(CASE WHEN k.n < 32 THEN k.n
+                     ELSE CAST(31000000217 AS BIGINT) // k.kth
+                END AS BIGINT) AS kmv_estimate,
+           abs(CAST(CASE WHEN k.n < 32 THEN k.n
+                         ELSE CAST(31000000217 AS BIGINT) // k.kth
+                    END AS BIGINT) - ex.users_exact) * 100
+               <= ex.users_exact * 25 AS within_25pct
+    FROM kept k JOIN ex USING (event_type)
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002), the
+    ENGINE-EXACT counterpart to ``approx_distinct_parts``'s HLL: keep
+    the k=32 smallest values of a deterministic integer hash of
+    user_id; the k-th smallest estimates the distinct count as
+    (k-1)*M/kth (groups with < k hashes are exact by definition). HLL
+    sketches are implementation-defined, so only their error is
+    checkable; KMV built on the repo's Knuth multiplicative hash is
+    bit-identical in any engine — the whole sketch, estimate and all,
+    hash-matches the oracle. The estimate lands within 4% on this
+    fixture (pinned loosely as within_25pct; k=32 gives ~18% expected
+    relative error in general).
+
+    Why a sketch at all: the k-min set is MERGEABLE — union two
+    sketches and re-take the k smallest — so partial sketches combine
+    across partitions, days, or streaming micro-batches without ever
+    re-reading history (the additive-serving discipline, applied to
+    distinct counting). Scale shape: one distinct agg over (type,
+    hash) — partial map-side dedup collapses the Zipf head — then the
+    per-type k-smallest runs as WindowGroupLimit (running top-k per
+    partition, never a full sort); everything after is
+    types-x-k-sized. Estimator arithmetic is pure int64 (31*M =
+    3.1e10, far under the bound), floor-division in both engines."""
+    ev = events_table(spark, sf_dir)
+    k, m = 32, 1000000007
+    hashes = (
+        ev.select(
+            "event_type",
+            F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(m)).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    sk = (
+        hashes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth"), F.count("*").alias("n"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("users_exact")
+    )
+    est = (
+        F.when(F.col("n") < k, F.col("n"))
+        .otherwise(F.expr("31000000217 div kth"))
+        .cast("bigint")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "users_exact",
+            est.alias("kmv_estimate"),
+            (
+                F.abs(est - F.col("users_exact")) * 100
+                <= F.col("users_exact") * 25
+            ).alias("within_25pct"),
+        )
+    )
+
+
+@query(
     "events_distinct_users",
     oracle="""
     SELECT event_type,

@@ -1592,6 +1592,79 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "phrase_search_positional",
+    oracle=f"""
+    WITH {_BIGRAM_OCC_CTES},
+    top AS (
+        SELECT bg FROM (
+            SELECT bg, count(*) AS c FROM occ GROUP BY 1
+            ORDER BY c DESC, bg ASC LIMIT 1
+        )
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS occurrences
+    FROM occ JOIN top USING (bg)
+    GROUP BY 1
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index — the IR
+    primitive BM25's bag-of-words scoring can't express ("new york"
+    must not match "york ... new"). The query phrase is chosen
+    deterministically as the corpus's most frequent bigram (count
+    desc, lexicographic tiebreak), so both engines search the same
+    phrase; the Spark side then answers it the way a positional index
+    does: restrict the (doc, pos, token) postings to the phrase's two
+    words (broadcast semi-shape — the scan that at 100 TB reads two
+    posting lists, not the corpus), and intersect them on
+    (doc, pos+1 = pos) adjacency. The oracle is the NAIVE full scan
+    (every adjacent pair, filtered to the phrase), so a green row
+    proves the index-shaped retrieval returns exactly the scan's
+    answer — the classic index-vs-scan equivalence check.
+
+    Scale shape: tokenization+posexplode is map-only; the postings
+    restriction is a broadcast join against a <=2-row word frame, so
+    the adjacency self-join runs over only the query words' postings
+    (Zipf head at worst); one doc_id-keyed agg of phrase hits. At
+    ingest you'd materialize the postings partitioned by token —
+    the restriction then becomes partition pruning."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", D.tokenize(F.col("text")).alias("toks")
+    )
+    occ = docs.select(
+        F.explode(D.word_bigrams(F.col("toks"))).alias("bg")
+    )
+    top = (
+        occ.groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("bg"))
+        .limit(1)
+        .select(
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+        )
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    words = top.select(
+        F.explode(F.array_distinct(F.array("w1", "w2"))).alias("tok")
+    )
+    post = pos.join(broadcast(words), "tok")
+    return (
+        post.alias("a")
+        .join(broadcast(top), F.col("a.tok") == F.col("w1"))
+        .join(
+            post.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .filter(F.col("b.tok") == F.col("w2"))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count("*").alias("occurrences"))
+    )
+
+
+@query(
     "train_val_test_split",
     oracle="""
     SELECT doc_id, lang,

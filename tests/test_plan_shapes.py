@@ -559,3 +559,21 @@ def test_map_only_pipeline_ops_have_no_exchange(spark, name):
     exactly one scan of their input."""
     plan = _plan(QUERIES[name](spark, SF_SMALL))
     assert "Exchange" not in plan, plan
+
+
+def test_kmv_sketch_uses_window_group_limit(spark):
+    """The per-type k-smallest must plan as WindowGroupLimit (running
+    top-k per partition), never a full per-group sort of all distinct
+    hashes."""
+    plan = _plan(QUERIES["kmv_distinct_users"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_phrase_search_restricts_postings_via_broadcast(spark):
+    """Phrase search must restrict the positional postings to the
+    query words with a broadcast join BEFORE the adjacency self-join —
+    the index-read shape; a cartesian or unrestricted corpus self-join
+    would defeat the point."""
+    plan = _plan(QUERIES["phrase_search_positional"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
