@@ -50,6 +50,8 @@ _DRIVER_SAMPLE_FIRST = [
     "train_val_test_split",
     "phrase_search_positional",
     "kmv_distinct_users",
+    "drift_streamed_parity",
+    "ann_ivfpq_topk_indexed",
     # round-5: bucket expression changed (shared helper) — re-verify
     "event_value_drift",
     # round-4 rows kept for breadth (sampled green r4)

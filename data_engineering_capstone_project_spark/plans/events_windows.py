@@ -664,6 +664,78 @@ def trending_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "drift_streamed_parity",
+    oracle="""
+    WITH e AS (
+        SELECT floor(epoch_us(ts) / 86400000000) AS day,
+               least(greatest(CAST(floor(value / 25) AS BIGINT), 0), 19)
+                   AS bucket
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    g AS (SELECT day, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+    mx AS (SELECT max(day) AS latest FROM g),
+    c AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN day < latest THEN n ELSE 0 END)
+                   AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN day = latest THEN n ELSE 0 END)
+                   AS BIGINT) AS n_cur
+        FROM g, mx GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+               CAST(sum(n_cur) AS BIGINT) AS tot_cur
+        FROM c
+    )
+    SELECT c.bucket, c.n_ref, c.n_cur,
+           floor((c.n_ref / t.tot_ref - c.n_cur / t.tot_cur)
+                 * (c.n_ref / t.tot_ref - c.n_cur / t.tot_cur)
+                 / (c.n_ref / t.tot_ref + c.n_cur / t.tot_cur)
+                 * 1000000000) / 1000000000.0 AS chi2
+    FROM c, t
+    """,
+)
+def drift_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-MAINTAINED drift report, driver-verified (the
+    ``trending_streamed_parity`` protocol applied to the second
+    serving table): 4 deterministic micro-batches fold into the
+    (day, bucket) histogram grid through ``apply_additive_batch``
+    (with the same deliberate batch-1 crash-replay the guard must
+    no-op), then ``drift_view`` computes latest-day-vs-history
+    chi-square terms from the maintained state via the shared
+    ``chi2_report``/``drift_value_bucket`` helpers. The oracle
+    recomputes the identical report from the raw events, so a green
+    row proves the whole maintained path — bucket layout, additive
+    merge, NULL-key hygiene, read-time split — converges exactly to
+    the from-scratch answer. Scale shape: each merge joins two
+    O(days x 20) grids; no event is ever re-read after its batch."""
+    import shutil
+
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        apply_additive_batch,
+        drift_histogram_increment,
+        drift_view,
+    )
+
+    serving = "/tmp/decps_drift_parity_serving"
+    shutil.rmtree(serving, ignore_errors=True)
+    ev = events_table(spark, sf_dir)
+    batch_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
+    kw = dict(
+        inc_fn=drift_histogram_increment,
+        keys=["day", "bucket"],
+        sum_cols=["n"],
+    )
+    for i in range(4):
+        batch = ev.filter(batch_of == i)
+        assert apply_additive_batch(spark, batch, i, serving, **kw) is True
+        if i == 1:
+            replayed = apply_additive_batch(spark, batch, 1, serving, **kw)
+            assert replayed is False, "batch-id guard failed to skip replay"
+    return drift_view(spark, serving)
+
+
+@query(
     "weekly_cohort_retention",
     oracle="""
     WITH act AS (

@@ -998,12 +998,20 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_codes_table(
+    spark: SparkSession, sf_dir: str, with_cells: bool = False
+) -> DataFrame:
     """The PQ codes INDEX as a materialized catalog table
     ``pq_codes_{tag}_{fp}``: (vec_id, s, code), encoded ONCE at ingest
     and reused by every later ADC query — the production shape the PQ
     docstring describes (at 100 TB the index is ~4 bytes/vector;
     scoring must read codes, never re-encode raw vectors per query).
+    With ``with_cells=True`` the table is the IVF+PQ layout
+    ``ivfpq_codes_{tag}_{fp}``: (vec_id, cell_id, s, code), cell
+    assignment and encode fused in the same single ingest pass and the
+    table PARTITIONED BY cell_id — a probed query then reads only its
+    n_probe cells' directories (partition pruning = the inverted-file
+    read).
 
     Same reuse-is-validated-not-assumed discipline as
     ``bucketed_orderkey_tables`` (relational.py): the table tag embeds
@@ -1025,11 +1033,12 @@ def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_table,
     )
 
+    prefix = "ivfpq_codes" if with_cells else "pq_codes"
     tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
     fp = _source_fingerprint(sf_dir, ("embeddings",))
-    name = f"pq_codes_{tag}_{fp}"
+    name = f"{prefix}_{tag}_{fp}"
     if not spark.catalog.tableExists(name):
-        stale = _re.compile(rf"^pq_codes_{tag}_[0-9a-f]{{10}}$")
+        stale = _re.compile(rf"^{prefix}_{tag}_[0-9a-f]{{10}}$")
         for t in spark.catalog.listTables():
             if stale.match(t.name) and t.name != name:
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
@@ -1041,7 +1050,27 @@ def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         loc = warehouse / name
         if loc.exists():
             shutil.rmtree(loc)
-        write_table(_pq_corpus_codes(spark, sf_dir), name)
+        if with_cells:
+            from data_engineering_capstone_project_spark.operators.vector_index import (  # noqa: E501
+                assign_cells,
+                sampled_centroids,
+            )
+
+            emb = table(spark, sf_dir, "embeddings")
+            with_cell = assign_cells(
+                emb.select("vec_id", "embedding"),
+                sampled_centroids(emb, n_cells=8),
+                n_probe=1,
+            )
+            write_table(
+                _pq_corpus_codes(
+                    spark, sf_dir, source=with_cell, extra_cols=("cell_id",)
+                ),
+                name,
+                partition_cols=["cell_id"],
+            )
+        else:
+            write_table(_pq_corpus_codes(spark, sf_dir), name)
     return spark.table(name)
 
 
@@ -1128,9 +1157,10 @@ _IVFPQ_FSIM = (
 )
 
 
-@query(
-    "ann_ivfpq_topk",
-    oracle=f"""
+# Shared by ann_ivfpq_topk and ann_ivfpq_topk_indexed: the codes the
+# indexed variant reads from the catalog are byte-identical to the
+# inline fused encode, so ONE oracle covers both.
+_IVFPQ_ORACLE = f"""
     WITH {_PQ_SCODE_CTES},
     ids AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
     ccent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
@@ -1174,8 +1204,10 @@ _IVFPQ_FSIM = (
                    AS rnk
         FROM adc
     ) WHERE rnk <= 3
-    """,
-)
+    """
+
+
+@query("ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ — the FAISS IndexIVFPQ architecture, completing the
     ANN ladder (brute-force -> sign-LSH -> IVF -> PQ -> IVF+PQ): a
@@ -1216,6 +1248,26 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pq_corpus_codes(
         spark, sf_dir, source=with_cells, extra_cols=("cell_id",)
     )
+    return _ivfpq_score(spark, sf_dir, codes)
+
+
+def _ivfpq_score(
+    spark: SparkSession, sf_dir: str, codes: DataFrame
+) -> DataFrame:
+    """IVFPQ scoring tail over a (vec_id, cell_id, s, code) frame:
+    broadcast the (query x probed-cell x codeword) probe, ADC-sum per
+    (query, neighbor), per-query top-3. Shared by ``ann_ivfpq_topk``
+    (inline fused encode) and ``ann_ivfpq_topk_indexed`` (codes read
+    from the materialized cell-partitioned index)."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_capstone_project_spark.operators.vector_index import (
+        assign_cells,
+        sampled_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, n_cells=8)
     # Queries: probed cells x codeword distances, joined into one tiny
     # broadcast frame (queries x 2 cells x 8 subspaces x 10 codewords).
     qcells = assign_cells(
@@ -1245,4 +1297,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "approx_d", "rnk")
+    )
+
+
+@query("ann_ivfpq_topk_indexed", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivfpq_topk`` served from the MATERIALIZED cell-partitioned
+    codes index (``pq_codes_table(with_cells=True)``): the (vec_id,
+    cell_id, s, code) frame is encoded once at ingest and written
+    PARTITIONED BY cell_id, so a probed query's scan is partition
+    pruning down to its n_probe cells' directories — the literal
+    inverted-file read, with ADC compressed-domain scoring inside.
+    Identical answers to the inline form (same oracle); steady-state
+    cost is the probe-side broadcast + the pruned ADC join, with
+    neither encode nor cell assignment on the query path."""
+    return _ivfpq_score(
+        spark, sf_dir, pq_codes_table(spark, sf_dir, with_cells=True)
     )

@@ -81,3 +81,32 @@ def test_index_reused_then_invalidated_on_source_change(spark, src_dir):
     names2 = _index_names(spark, src_dir)
     assert names2 != names1 and len(names2) == 1
     assert codes2.count() == n1
+
+
+def test_ivfpq_indexed_matches_inline_and_is_cell_partitioned(spark):
+    from data_engineering_capstone_project_spark.plans.similarity_search import (
+        ann_ivfpq_topk,
+        ann_ivfpq_topk_indexed,
+    )
+
+    inline = {tuple(r) for r in ann_ivfpq_topk(spark, SF_SMALL).collect()}
+    indexed = {
+        tuple(r) for r in ann_ivfpq_topk_indexed(spark, SF_SMALL).collect()
+    }
+    assert indexed == inline and len(indexed) > 0
+
+    # the index table must be hive-partitioned by cell_id, so probed
+    # queries prune to their cells' directories
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", SF_SMALL).strip("_")
+    names = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(f"ivfpq_codes_{tag}_")
+    ]
+    assert len(names) == 1
+    desc = spark.sql(f"DESCRIBE TABLE {names[0]}").collect()
+    part_rows = [r.col_name for r in desc]
+    assert "# Partition Information" in part_rows, part_rows
+    assert "cell_id" in [r.col_name for r in desc], part_rows
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
