@@ -52,6 +52,8 @@ _DRIVER_SAMPLE_FIRST = [
     "kmv_distinct_users",
     "drift_streamed_parity",
     "ann_ivfpq_topk_indexed",
+    "export_shards_manifest",
+    "ab_test_report",
     # round-5: bucket expression changed (shared helper) — re-verify
     "event_value_drift",
     # round-4 rows kept for breadth (sampled green r4)

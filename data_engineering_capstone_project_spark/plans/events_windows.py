@@ -468,6 +468,109 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ab_test_report",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    base AS (
+        SELECT u.user_id,
+               (u.user_id * 2654435761) % 2 AS variant,
+               COALESCE(pu.x, 0) AS x
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN pu USING (user_id)
+    ),
+    s AS (
+        SELECT
+            CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS s1_a,
+            CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS s1_b,
+            CAST(sum(CASE WHEN variant = 0 THEN x * x ELSE 0 END) AS BIGINT) AS s2_a,
+            CAST(sum(CASE WHEN variant = 1 THEN x * x ELSE 0 END) AS BIGINT) AS s2_b
+        FROM base
+    )
+    SELECT n_a, n_b,
+           floor(s1_a / n_a) / 10000.0 AS mean_a,
+           floor(s1_b / n_b) / 10000.0 AS mean_b,
+           floor(
+               ((s1_a / n_a - s1_b / n_b) * (s1_a / n_a - s1_b / n_b))
+               / ((s2_a - s1_a / n_a * s1_a) / (n_a - 1) / n_a
+                  + (s2_b - s1_b / n_b * s1_b) / (n_b - 1) / n_b)
+               * 1000000) / 1000000.0 AS welch_t2
+    FROM s
+    """,
+)
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split 50/50 by a deterministic
+    hash of user_id (the same leak-free assignment discipline as
+    train_val_test_split — a user's variant never changes as data
+    arrives), metric = per-user total purchase value, compared with a
+    Welch t-squared statistic. Everything upstream of the final
+    statistic is EXACT int64 (fixed-point per-user sums, their
+    squares, conditional count/sum/sum-of-squares), so both engines
+    feed identical integers into the identical double expression and
+    the floor-truncated t2 hash-matches — the engine-exactness recipe
+    applied to inferential statistics. Scale shape: one groupBy(user)
+    over purchases, one distinct-user pass, then conditional
+    aggregation to a SINGLE row — two corpus Exchanges total, output
+    O(1). The statistic is computed fully distributed from streaming-
+    friendly additive moments (n, sum, sum-of-squares per arm), the
+    same additive-state shape the serving tables maintain."""
+    ev = events_table(spark, sf_dir)
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint")).alias("x")
+        )
+    )
+    base = (
+        ev.select("user_id")
+        .distinct()
+        .join(pu, "user_id", "left")
+        .select(
+            F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(2)).alias(
+                "variant"
+            ),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    v = F.col("variant")
+    s = base.agg(
+        F.sum(F.when(v == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(v == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(v == 0, F.col("x")).otherwise(0)).alias("s1_a"),
+        F.sum(F.when(v == 1, F.col("x")).otherwise(0)).alias("s1_b"),
+        F.sum(F.when(v == 0, F.col("x") * F.col("x")).otherwise(0)).alias(
+            "s2_a"
+        ),
+        F.sum(F.when(v == 1, F.col("x") * F.col("x")).otherwise(0)).alias(
+            "s2_b"
+        ),
+    )
+    ma, mb = F.col("s1_a") / F.col("n_a"), F.col("s1_b") / F.col("n_b")
+    var_term = (
+        (F.col("s2_a") - ma * F.col("s1_a")) / (F.col("n_a") - 1) / F.col("n_a")
+        + (F.col("s2_b") - mb * F.col("s1_b")) / (F.col("n_b") - 1) / F.col("n_b")
+    )
+    t2 = F.floor((ma - mb) * (ma - mb) / var_term * 1000000) / F.lit(
+        1000000.0
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        (F.floor(ma) / F.lit(10000.0)).alias("mean_a"),
+        (F.floor(mb) / F.lit(10000.0)).alias("mean_b"),
+        t2.alias("welch_t2"),
+    )
+
+
+@query(
     "events_distinct_users",
     oracle="""
     SELECT event_type,

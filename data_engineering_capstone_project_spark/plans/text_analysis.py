@@ -1592,6 +1592,69 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "export_shards_manifest",
+    oracle="""
+    WITH n AS (
+        SELECT CAST(pow(2, ceil(log2(greatest(count(*) / 5000.0, 64.0))))
+                    AS BIGINT) AS n_shards
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               (doc_id * 2654435761 + 1 * 40503) % 1000000007 AS skey
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id,
+               CAST(skey % (SELECT n_shards FROM n) AS INTEGER) AS shard,
+               CAST(row_number() OVER (
+                        PARTITION BY skey % (SELECT n_shards FROM n)
+                        ORDER BY skey, doc_id) AS BIGINT) AS pos
+        FROM keyed
+    )
+    SELECT shard,
+           count(*) AS rows,
+           CAST(sum((doc_id * 1000003 + pos * 40503) % 1000000007)
+               AS BIGINT) AS checksum,
+           (min(pos) = 1 AND max(pos) = count(*)) AS contiguous
+    FROM placed
+    GROUP BY 1
+    """,
+)
+def export_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity manifest for the training-shard export: per shard, a
+    row count, an ORDER-INSENSITIVE content checksum (sum of a
+    deterministic per-(doc, pos) hash — commutative, so any engine and
+    any partitioning computes the identical value), and a density
+    check (positions form exactly 1..rows). Shipping 100 TB of
+    training shards without this is how silent truncation and
+    double-writes reach the trainer: the consumer re-derives the same
+    manifest from what it received and compares checksums shard by
+    shard. Built ON ``epoch_shuffle``'s placement, so the manifest
+    also pins the shuffle layout itself — any change to the shard
+    assignment or ordering arithmetic changes checksums and fails the
+    oracle. Scale shape: one groupBy(shard) over the placed frame
+    (shard count scales with corpus, ~5000 docs each); the checksum
+    addend stays under int64 at any realistic shard size
+    (5e3 x 1e9 = 5e12)."""
+    placed = epoch_shuffle(spark, sf_dir)
+    contrib = F.pmod(
+        F.col("doc_id") * F.lit(1000003) + F.col("pos") * F.lit(40503),
+        F.lit(1000000007),
+    )
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(contrib).alias("checksum"),
+            (
+                (F.min("pos") == 1) & (F.max("pos") == F.count("*"))
+            ).alias("contiguous"),
+        )
+    )
+
+
+@query(
     "phrase_search_positional",
     oracle=f"""
     WITH {_BIGRAM_OCC_CTES},

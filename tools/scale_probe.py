@@ -151,6 +151,14 @@ def _run_probes(k: int, out: str):
         "weekly_cohort_retention",  # (user,week) distinct + window cohort
         "contrastive_negatives",  # map-only arithmetic pair generator
         "bigram_fluency",        # bigram LM: distinct-pair aggs + model join
+        "phrase_search_positional",  # postings-restricted adjacency join
+        "kmv_distinct_users",    # distinct agg + WindowGroupLimit k-min
+        "trending_streamed_parity",  # 4 additive micro-batch merges + view
+        "drift_streamed_parity",  # same protocol, (day, bucket) grid
+        "train_val_test_split",  # map-only hash assignment (flat bar: scan)
+        "pq_encode_incremental",  # map-only batch encode (batch grows w/ K)
+        "export_shards_manifest",  # shard-keyed agg over the placed frame
+        "ab_test_report",        # two corpus aggs -> one-row statistic
         "prefix_filter_jaccard",  # exact set-sim join via prefix filtering
         "kmeans_refine",         # map-only Lloyd assign + (k x dim) agg
         "revenue_trend_by_nation",  # grouped OLS over month-grain partials
@@ -167,6 +175,7 @@ def _run_probes(k: int, out: str):
         "ann_pq_topk",           # map-only PQ encode + broadcast ADC join
         "ann_pq_rerank_topk",    # ADC shortlist + exact rerank of 64/query
         "ann_ivfpq_topk",        # IVF cell pruning + fused-encode ADC
+        "ann_ivfpq_topk_indexed",  # same, over the cell-partitioned index
         "ann_pq_topk_indexed",   # ADC over the MATERIALIZED codes table
         #   (first timed run pays the one-time ingest encode+write, like
         #   the bucketed probe; best-of-2 reports the steady-state
