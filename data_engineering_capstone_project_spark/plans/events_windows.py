@@ -745,7 +745,11 @@ def trending_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         trending_topk_view,
     )
 
-    serving = "/tmp/decps_trending_parity_serving"
+    import os
+
+    # pid-keyed scratch: a concurrently-running second process (bench,
+    # tests, driver) must never merge into this process's state.
+    serving = f"/tmp/decps_trending_parity_serving_{os.getpid()}"
     shutil.rmtree(serving, ignore_errors=True)
     ev = events_table(spark, sf_dir)
     batch_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
@@ -820,7 +824,9 @@ def drift_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         drift_view,
     )
 
-    serving = "/tmp/decps_drift_parity_serving"
+    import os
+
+    serving = f"/tmp/decps_drift_parity_serving_{os.getpid()}"
     shutil.rmtree(serving, ignore_errors=True)
     ev = events_table(spark, sf_dir)
     batch_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
