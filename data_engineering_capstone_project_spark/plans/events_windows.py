@@ -520,7 +520,14 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation to a SINGLE row — two corpus Exchanges total, output
     O(1). The statistic is computed fully distributed from streaming-
     friendly additive moments (n, sum, sum-of-squares per arm), the
-    same additive-state shape the serving tables maintain."""
+    same additive-state shape the serving tables maintain.
+
+    Overflow bound: the largest intermediate is a single x*x term
+    (x = per-user fixed-point purchase total), which exceeds int64 at
+    x ~ 3.03e9 — i.e. one user totalling ~$303k at 1e-4 precision;
+    the s2 sums then need the per-arm aggregate under 9.2e18. Past
+    that, coarsen the fixed point (1e-2 buys 100x headroom) or widen
+    the moments to DECIMAL. ANSI mode fails loudly, never silently."""
     ev = events_table(spark, sf_dir)
     pu = (
         ev.filter(F.col("event_type") == "purchase")
@@ -647,6 +654,7 @@ def views_converted_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS window_start,
                event_type
         FROM events, unnest(generate_series(0, 3)) g(j)
+        WHERE ts IS NOT NULL
     ),
     counted AS (
         SELECT window_start, event_type, count(*) AS events
@@ -702,6 +710,7 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS window_start,
                event_type
         FROM events, unnest(generate_series(0, 3)) g(j)
+        WHERE ts IS NOT NULL
     ),
     counted AS (
         SELECT window_start, event_type, count(*) AS events
@@ -737,37 +746,66 @@ def trending_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     once at the end. The per-call serving dir is rebuilt from empty
     (rmtree first), so the verification replays the full protocol
     every time instead of trusting leftover state."""
-    import shutil
-
     from data_engineering_capstone_project_spark.streaming.serving import (
-        apply_additive_batch,
         trending_increment,
         trending_topk_view,
     )
 
-    import os
-
-    # pid-keyed scratch: a concurrently-running second process (bench,
-    # tests, driver) must never merge into this process's state.
-    serving = f"/tmp/decps_trending_parity_serving_{os.getpid()}"
-    shutil.rmtree(serving, ignore_errors=True)
-    ev = events_table(spark, sf_dir)
-    batch_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
-    kw = dict(
+    serving = _run_streamed_parity(
+        spark,
+        sf_dir,
+        scratch_stem="decps_trending_parity_serving",
         inc_fn=trending_increment,
         keys=["window_start", "event_type"],
         sum_cols=["events"],
     )
-    for i in range(4):
-        batch = ev.filter(batch_of == i)
-        assert apply_additive_batch(spark, batch, i, serving, **kw) is True
-        if i == 1:
-            # crash-replay of an already-applied batch id: must no-op.
-            replayed = apply_additive_batch(spark, batch, 1, serving, **kw)
-            assert replayed is False, "batch-id guard failed to skip replay"
     return trending_topk_view(spark, serving, k=3).select(
         "window_start", "event_type", "events", "rnk"
     )
+
+
+def _run_streamed_parity(
+    spark: SparkSession,
+    sf_dir: str,
+    scratch_stem: str,
+    inc_fn,
+    keys: list[str],
+    sum_cols: list[str],
+) -> str:
+    """THE shared streamed-parity protocol (one definition, so the
+    trending and drift parities can never diverge on it): rebuild a
+    pid-keyed scratch serving dir from empty (a concurrently-running
+    second process — bench, tests, driver — must never merge into this
+    process's state), fold 4 deterministic micro-batches (user_id mod
+    4) through the real ``apply_additive_batch`` stage+publish merge,
+    and crash-replay batch 1 in the middle — the batch-id guard must
+    no-op it. Outcomes are checked with explicit raises, NOT bare
+    asserts: under ``python -O`` an assert's call expression is
+    compiled out, which would silently skip the entire protocol.
+    Returns the serving dir path for the caller's read-time view."""
+    import os
+    import shutil
+
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        apply_additive_batch,
+    )
+
+    serving = f"/tmp/{scratch_stem}_{os.getpid()}"
+    shutil.rmtree(serving, ignore_errors=True)
+    ev = events_table(spark, sf_dir)
+    batch_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
+    kw = dict(inc_fn=inc_fn, keys=keys, sum_cols=sum_cols)
+    for i in range(4):
+        batch = ev.filter(batch_of == i)
+        applied = apply_additive_batch(spark, batch, i, serving, **kw)
+        if applied is not True:
+            raise RuntimeError(f"batch {i} was not applied to fresh state")
+        if i == 1:
+            # crash-replay of an already-applied batch id: must no-op.
+            replayed = apply_additive_batch(spark, batch, 1, serving, **kw)
+            if replayed is not False:
+                raise RuntimeError("batch-id guard failed to skip replay")
+    return serving
 
 
 @query(
@@ -816,31 +854,19 @@ def drift_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge, NULL-key hygiene, read-time split — converges exactly to
     the from-scratch answer. Scale shape: each merge joins two
     O(days x 20) grids; no event is ever re-read after its batch."""
-    import shutil
-
     from data_engineering_capstone_project_spark.streaming.serving import (
-        apply_additive_batch,
         drift_histogram_increment,
         drift_view,
     )
 
-    import os
-
-    serving = f"/tmp/decps_drift_parity_serving_{os.getpid()}"
-    shutil.rmtree(serving, ignore_errors=True)
-    ev = events_table(spark, sf_dir)
-    batch_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
-    kw = dict(
+    serving = _run_streamed_parity(
+        spark,
+        sf_dir,
+        scratch_stem="decps_drift_parity_serving",
         inc_fn=drift_histogram_increment,
         keys=["day", "bucket"],
         sum_cols=["n"],
     )
-    for i in range(4):
-        batch = ev.filter(batch_of == i)
-        assert apply_additive_batch(spark, batch, i, serving, **kw) is True
-        if i == 1:
-            replayed = apply_additive_batch(spark, batch, 1, serving, **kw)
-            assert replayed is False, "batch-id guard failed to skip replay"
     return drift_view(spark, serving)
 
 
@@ -1002,7 +1028,9 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     e AS (
-        SELECT least(greatest(CAST(floor(value / 25) AS BIGINT), 0), 19)
+        SELECT CASE WHEN value IS NULL THEN NULL
+                    ELSE least(greatest(CAST(floor(value / 25) AS BIGINT), 0),
+                               19) END
                    AS bucket,
                CASE WHEN epoch_us(ts) <= (SELECT mid FROM b)
                     THEN 1 ELSE 0 END AS is_ref
@@ -1083,11 +1111,13 @@ def drift_value_bucket(value):
     ``event_value_drift`` query and the streaming
     ``drift_histogram_increment`` so the two reports can never
     desynchronize on bucket layout (a negative value buckets to 0 in
-    BOTH paths; the oracle applies the same greatest/least clamp).
-    The explicit ``when(isNotNull)`` wrapper matters because Spark's
-    greatest/least SKIP nulls — without it a NULL value would clamp
-    to a real bucket. Same single-definition discipline as
-    ``chi2_report``."""
+    BOTH paths; the oracle applies the same greatest/least clamp
+    inside an explicit ``CASE WHEN value IS NULL THEN NULL`` guard,
+    because DuckDB's least/greatest also IGNORE nulls and would fold
+    a NULL value into bucket 0). The Spark-side ``when(isNotNull)``
+    wrapper exists for the same reason — Spark's greatest/least SKIP
+    nulls. NULL value -> NULL bucket in BOTH engines. Same
+    single-definition discipline as ``chi2_report``."""
     clamped = F.least(
         F.lit(19),
         F.greatest(F.lit(0), F.floor(value / 25)).cast("long"),

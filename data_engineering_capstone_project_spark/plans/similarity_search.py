@@ -1021,7 +1021,17 @@ def pq_codes_table(
     vectors; stale same-source tables from older fingerprints are
     dropped, and a leftover unregistered warehouse directory is
     cleared before writing (a fresh metastore meeting an old dir
-    otherwise fails LOCATION_ALREADY_EXISTS)."""
+    otherwise fails LOCATION_ALREADY_EXISTS).
+
+    Concurrency contract (same as the bucketed pair): SINGLE WRITER
+    per warehouse. This sandbox runs in-memory catalogs, so a second
+    process cannot see the first's table registration at all — it will
+    clear the fingerprint directory and re-encode, which is
+    destructive to a concurrent reader of that dir. Production needs
+    what coordination-free parquet cannot give: a shared metastore (or
+    a table format with a transaction log — Delta/Iceberg) so the
+    'exists' check and the publish are one atomic catalog operation.
+    That limit is documented, not worked around, here."""
     import re as _re
     import shutil
     from pathlib import Path
@@ -1248,17 +1258,22 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pq_corpus_codes(
         spark, sf_dir, source=with_cells, extra_cols=("cell_id",)
     )
-    return _ivfpq_score(spark, sf_dir, codes)
+    return _ivfpq_score(spark, sf_dir, codes, cents=cents)
 
 
 def _ivfpq_score(
-    spark: SparkSession, sf_dir: str, codes: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    codes: DataFrame,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVFPQ scoring tail over a (vec_id, cell_id, s, code) frame:
     broadcast the (query x probed-cell x codeword) probe, ADC-sum per
     (query, neighbor), per-query top-3. Shared by ``ann_ivfpq_topk``
-    (inline fused encode) and ``ann_ivfpq_topk_indexed`` (codes read
-    from the materialized cell-partitioned index)."""
+    (inline fused encode — passes its already-built ``cents`` so the
+    8-centroid collect job runs once per query, not twice) and
+    ``ann_ivfpq_topk_indexed`` (codes read from the materialized
+    cell-partitioned index; derives the quantizer here)."""
     from pyspark.sql.window import Window
 
     from data_engineering_capstone_project_spark.operators.vector_index import (
@@ -1267,7 +1282,8 @@ def _ivfpq_score(
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = sampled_centroids(emb, n_cells=8)
+    if cents is None:
+        cents = sampled_centroids(emb, n_cells=8)
     # Queries: probed cells x codeword distances, joined into one tiny
     # broadcast frame (queries x 2 cells x 8 subspaces x 10 codewords).
     qcells = assign_cells(

@@ -1712,7 +1712,13 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = top.select(
         F.explode(F.array_distinct(F.array("w1", "w2"))).alias("tok")
     )
-    post = pos.join(broadcast(words), "tok")
+    # The restricted postings frame is TINY (two words' occurrences)
+    # but derives from a full tokenize+posexplode corpus pass — stage
+    # it, or the adjacency self-join's two sides re-tokenize the
+    # corpus once each (3 passes total with the top-bigram agg).
+    post = scoped_persist(
+        pos.join(broadcast(words), "tok"), "phrase_search.post"
+    )
     return (
         post.alias("a")
         .join(broadcast(top), F.col("a.tok") == F.col("w1"))

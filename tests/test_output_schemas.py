@@ -10,9 +10,12 @@ matched DuckDB under the repo's own comparator. The house rule
 (plans/relational.py, customer_order_keys) is to exchange arrays as
 CSV strings — "engines render arrays differently; strings hash
 identically". This test turns that convention into a pre-commit
-contract: it BUILDS every registered query's DataFrame (no execution
-beyond any plan-build-time step the query already does) and asserts
-the output schema is flat.
+contract: it BUILDS every registered query's DataFrame and asserts
+the output schema is flat. Building is cheap for most queries but NOT
+free for all: the index queries run their one-time encode and the
+streamed-parity queries run their full micro-batch protocol at
+plan-build time, so this suite costs minutes — the price of checking
+the real registered callables instead of a hand-maintained list.
 
 Companion to tests/test_oracle_types.py, which guards the oracle side
 of the same contract (no DuckDB HUGEINT output column).

@@ -209,56 +209,31 @@ def _run_probes(k: int, out: str):
 
     # Mutating operators (not in queries()): probed with their own
     # setup (untimed) + run (timed) pair so the measurement is the
-    # merge/apply itself, not the one-off base-table write.
-    for name, setup, run in (
-        ("scd2_apply", None, _run_scd2),
-        ("merge_upsert_partitioned", _setup_merge, _run_merge),
-        ("delete_keys_partitioned", _setup_merge, _run_delete),
+    # merge/apply itself, not the one-off base-table write. Operators
+    # whose timed run CONSUMES its input (compaction rewrites the dir;
+    # publish renames the staged dir away) set per_run=True: setup
+    # re-runs before EVERY timed run, so each measurement is the real
+    # operation on fresh state — best-of-2 of an already-compacted dir
+    # would time a no-op-ish rewrite and best-of-2 of publish would
+    # fail on the missing staged dir.
+    for name, setup, run, per_run in (
+        ("scd2_apply", None, _run_scd2, False),
+        ("merge_upsert_partitioned", _setup_merge, _run_merge, False),
+        ("delete_keys_partitioned", _setup_merge, _run_delete, False),
+        ("compact_parquet_atomic", _setup_fragmented, _run_compact, True),
+        ("publish_swap", _setup_publish, _run_publish, True),
     ):
         if only and name not in only:
             continue
         times = {}
         for label, d in (("1x", SF_DIR), (f"{k}x", out)):
             scratch = f"{out}/_probe_{name}_{label}"
-            if setup:
+            if setup and not per_run:
                 setup(spark, d, scratch)
             best = float("inf")
             for _ in range(2):
-                t0 = time.time()
-                run(spark, d, scratch)
-                best = min(best, time.time() - t0)
-            times[label] = round(best, 3)
-        print(
-            json.dumps(
-                {
-                    "query": name,
-                    "sec_1x": times["1x"],
-                    f"sec_{k}x": times[f"{k}x"],
-                    "ratio": round(times[f"{k}x"] / max(times["1x"], 1e-9), 2),
-                    "k": k,
-                }
-            )
-        )
-
-
-    # Maintenance/publish operators whose timed run CONSUMES its input
-    # (compaction rewrites the dir; publish renames the staged dir
-    # away): setup must re-run before EVERY timed run, so each
-    # measurement is the real operation on fresh state — best-of-2 of
-    # an already-compacted dir would time a no-op-ish rewrite and
-    # best-of-2 of publish would fail on the missing staged dir.
-    for name, per_run_setup, run in (
-        ("compact_parquet_atomic", _setup_fragmented, _run_compact),
-        ("publish_swap", _setup_publish, _run_publish),
-    ):
-        if only and name not in only:
-            continue
-        times = {}
-        for label, d in (("1x", SF_DIR), (f"{k}x", out)):
-            scratch = f"{out}/_probe_{name}_{label}"
-            best = float("inf")
-            for _ in range(2):
-                per_run_setup(spark, d, scratch)
+                if setup and per_run:
+                    setup(spark, d, scratch)
                 t0 = time.time()
                 run(spark, d, scratch)
                 best = min(best, time.time() - t0)
