@@ -54,6 +54,7 @@ _DRIVER_SAMPLE_FIRST = [
     "ann_ivfpq_topk_indexed",
     "export_shards_manifest",
     "ab_test_report",
+    "snapshot_diff",
     # round-5: bucket expression changed (shared helper) — re-verify
     "event_value_drift",
     # round-4 rows kept for breadth (sampled green r4)

@@ -2918,3 +2918,84 @@ def revenue_by_segment_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("orders"),
         (F.sum("price_fp") / F.lit(100.0)).alias("revenue"),
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 100 = 7
+                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) + 100
+                    ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS v
+        FROM orders WHERE o_orderkey % 100 <> 13
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders WHERE o_orderkey % 100 = 21
+    )
+    SELECT COALESCE(old.k, new.k) AS o_orderkey,
+           CASE WHEN old.k IS NULL THEN 'insert'
+                WHEN new.k IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+    WHERE old.k IS NULL OR new.k IS NULL OR old.v <> new.v
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style reconciliation between two table snapshots: which
+    keys were inserted, deleted, or changed — the diff every
+    migration/backfill/replication pipeline runs before trusting a
+    copy, and the audit log a merge pipeline emits. The "new" snapshot
+    is derived deterministically from orders (drop keys %100==13,
+    bump totalprice by $1 for %100==7, insert shifted copies of
+    %100==21) so both engines diff the same pair; rows that are
+    identical in both snapshots are filtered OUT before any
+    materialization — the diff's output is change-sized, not
+    table-sized.
+
+    Scale shape: one full-outer key join of the two snapshots (at
+    100 TB: co-partition or co-bucket both sides on the key — the
+    bucketed-pair machinery removes this Exchange entirely) with the
+    value comparison on a fixed-point row fingerprint; here the
+    fingerprint is the single business column, in general concat the
+    compared columns into one hash BEFORE the join so the shuffle
+    carries (key, hash), never wide rows. Output cardinality is the
+    change count — at a healthy 0.1% daily churn, 1000x smaller than
+    either input."""
+    orders = table(spark, sf_dir, "orders")
+    fp = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    old = orders.select(F.col("o_orderkey").alias("k"), fp.alias("v"))
+    mod = F.pmod(F.col("o_orderkey"), F.lit(100))
+    new = (
+        orders.filter(mod != 13)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(mod == 7, fp + 100).otherwise(fp).alias("v"),
+        )
+        .unionByName(
+            orders.filter(mod == 21).select(
+                (F.col("o_orderkey") + 10_000_000).alias("k"), fp.alias("v")
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    change = (
+        F.when(F.col("o.k").isNull(), F.lit("insert"))
+        .when(F.col("n.k").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return joined.filter(
+        F.col("o.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("o.v") != F.col("n.v"))
+    ).select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("o_orderkey"),
+        change.alias("change_type"),
+    )

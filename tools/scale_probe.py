@@ -159,6 +159,7 @@ def _run_probes(k: int, out: str):
         "pq_encode_incremental",  # map-only batch encode (batch grows w/ K)
         "export_shards_manifest",  # shard-keyed agg over the placed frame
         "ab_test_report",        # two corpus aggs -> one-row statistic
+        "snapshot_diff",         # full-outer key join, change-sized output
         "prefix_filter_jaccard",  # exact set-sim join via prefix filtering
         "kmeans_refine",         # map-only Lloyd assign + (k x dim) agg
         "revenue_trend_by_nation",  # grouped OLS over month-grain partials
