@@ -55,6 +55,7 @@ _DRIVER_SAMPLE_FIRST = [
     "export_shards_manifest",
     "ab_test_report",
     "snapshot_diff",
+    "co_ordered_parts",
     # round-5: bucket expression changed (shared helper) — re-verify
     "event_value_drift",
     # round-4 rows kept for breadth (sampled green r4)

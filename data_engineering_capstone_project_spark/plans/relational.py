@@ -2999,3 +2999,81 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("o.k"), F.col("n.k")).alias("o_orderkey"),
         change.alias("change_type"),
     )
+
+
+@query(
+    "co_ordered_parts",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pm AS (SELECT l_partkey, count(*) AS c FROM lp GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS co
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p1, p2, co,
+           floor((co * n.n_orders * 1000000) / (c1.c * c2.c))
+               / 1000000.0 AS lift
+    FROM pairs
+    CROSS JOIN n
+    JOIN pm c1 ON c1.l_partkey = p1
+    JOIN pm c2 ON c2.l_partkey = p2
+    ORDER BY co DESC, p1 ASC, p2 ASC
+    LIMIT 20
+    """,
+)
+def co_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket 2-itemset mining: the top-20 part pairs most
+    often ordered together, with their lift (observed co-rate over
+    the independence expectation) — the association-rule primitive
+    behind "frequently bought together". Lift is computed in exact
+    integer arithmetic (co x n_orders x 1e6, floor-divided by the
+    marginal product) so the ranking and values are engine-exact.
+
+    Scale shape: the pair explosion is a per-order self-join — cost
+    bounded by (lines per order choose 2), a CONSTANT per order (~21
+    at TPC-H's <=7 lines), never a cross of the part catalog; one
+    (p1, p2) Exchange carries partial co-counts; the part marginals
+    frame is catalog-sized and joins after aggregation; the final
+    top-20 plans as TakeOrderedAndProject. Overflow: co x n_orders x
+    1e6 needs co x n_orders under 9.2e12 — at 1e10 orders coarsen the
+    lift fixed point or compute lift on the top-k only (the rank
+    itself never overflows: it is a plain count)."""
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    # n_orders stays a 1-row FRAME joined in (broadcast), not a
+    # driver-side collect — no extra job at plan-build time.
+    n_frame = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pm = lp.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = lp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = lp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("co"))
+    )
+    lift = F.floor(
+        (F.col("co") * F.col("n_orders") * F.lit(1000000))
+        / (F.col("c1") * F.col("c2"))
+    ) / F.lit(1000000.0)
+    return (
+        pairs.join(broadcast(n_frame))
+        .join(
+            pm.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1")),
+            "p1",
+        )
+        .join(
+            pm.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2")),
+            "p2",
+        )
+        .select("p1", "p2", "co", lift.alias("lift"))
+        .orderBy(F.desc("co"), F.asc("p1"), F.asc("p2"))
+        .limit(20)
+    )
