@@ -56,6 +56,8 @@ _DRIVER_SAMPLE_FIRST = [
     "ab_test_report",
     "snapshot_diff",
     "co_ordered_parts",
+    "span_corruption_examples",
+    "user_counts_streamed_parity",
     # round-5: bucket expression changed (shared helper) — re-verify
     "event_value_drift",
     # round-4 rows kept for breadth (sampled green r4)

@@ -809,6 +809,41 @@ def _run_streamed_parity(
 
 
 @query(
+    "user_counts_streamed_parity",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+               AS value_fp
+    FROM events
+    GROUP BY 1
+    """,
+)
+def user_counts_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORIGINAL serving table (per-user totals — the feature-store
+    shape) through the same driver-verified streamed-parity protocol
+    as trending/drift: 4 micro-batches + crash-replay via
+    ``apply_additive_batch``, final state vs a from-scratch per-user
+    aggregate oracle. With this, all three additive serving tables
+    have a driver row exercising the real merge path every round."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        _user_counts_increment,
+    )
+
+    serving = _run_streamed_parity(
+        spark,
+        sf_dir,
+        scratch_stem="decps_user_counts_parity_serving",
+        inc_fn=_user_counts_increment,
+        keys=["user_id"],
+        sum_cols=["n_events", "value_fp"],
+    )
+    return spark.read.parquet(serving).select(
+        "user_id", "n_events", "value_fp"
+    )
+
+
+@query(
     "drift_streamed_parity",
     oracle="""
     WITH e AS (

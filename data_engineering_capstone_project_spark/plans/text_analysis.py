@@ -1592,6 +1592,99 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_corruption_examples",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    b AS (
+        SELECT doc_id, toks,
+               CAST(ceil(len(toks) / 3.0) AS BIGINT) AS nb
+        FROM t
+    )
+    SELECT doc_id,
+           array_to_string(flatten(list_transform(
+               generate_series(0, nb - 1), blk ->
+               CASE WHEN blk % 5 = doc_id % 5
+                    THEN ['<extra_id_' || CAST(blk // 5 AS VARCHAR) || '>']
+                    ELSE list_slice(toks, blk * 3 + 1, blk * 3 + 3) END
+           )), ' ') AS input_text,
+           COALESCE(array_to_string(list_transform(
+               list_filter(generate_series(0, nb - 1),
+                           blk -> blk % 5 = doc_id % 5),
+               blk -> '<extra_id_' || CAST(blk // 5 AS VARCHAR) || '>'
+                      || ' '
+                      || array_to_string(
+                             list_slice(toks, blk * 3 + 1, blk * 3 + 3), ' ')
+           ), ' '), '') AS target_text
+    FROM b
+    """,
+)
+def span_corruption_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pretraining examples: every 5th
+    3-token block (phase-shifted per doc by doc_id mod 5, so the mask
+    pattern varies across the corpus while staying fully
+    deterministic — no RNG state, same examples every run and every
+    engine) is replaced by a numbered sentinel in the INPUT, and the
+    TARGET is the sentinel-prefixed masked spans in order — the
+    (inputs, targets) pair a denoising LM trains on (Raffel et al.
+    2020, "C4/T5 span corruption"; deterministic block schedule in
+    place of the paper's random span sampling). ~20% of tokens are
+    masked in 3-token spans.
+
+    Scale shape: a pure map-side projection — tokenize, one
+    ``transform`` over the block-id sequence with array slices inside
+    whole-stage codegen, ZERO Exchange (asserted in
+    test_plan_shapes): corruption at 100 TB costs exactly one read
+    and one write. The mask schedule is position-stable: appending
+    documents never changes existing examples (the same
+    reproducibility contract as train_val_test_split)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = D.tokenize(F.col("text"))
+    nb = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    blocks = F.when(nb > 0, F.sequence(F.lit(0), nb - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    phase = F.pmod(F.col("doc_id"), F.lit(5))
+
+    def sentinel(blk):
+        return F.concat(
+            F.lit("<extra_id_"),
+            F.floor(blk / F.lit(5)).cast("int").cast("string"),
+            F.lit(">"),
+        )
+
+    def seg(blk):
+        return F.slice(toks, blk * 3 + 1, 3)
+
+    input_text = F.concat_ws(
+        " ",
+        F.flatten(
+            F.transform(
+                blocks,
+                lambda blk: F.when(
+                    F.pmod(blk, F.lit(5)) == phase, F.array(sentinel(blk))
+                ).otherwise(seg(blk)),
+            )
+        ),
+    )
+    target_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(blocks, lambda blk: F.pmod(blk, F.lit(5)) == phase),
+            lambda blk: F.concat(
+                sentinel(blk), F.lit(" "), F.concat_ws(" ", seg(blk))
+            ),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    )
+
+
+@query(
     "export_shards_manifest",
     oracle="""
     WITH n AS (

@@ -581,3 +581,11 @@ def test_phrase_search_restricts_postings_via_broadcast(spark):
     plan = _plan(QUERIES["phrase_search_positional"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_span_corruption_is_map_only(spark):
+    """Span corruption must be a pure per-row projection (tokenize +
+    block transform inside codegen): ZERO Exchange — at 100 TB the
+    corruption pass costs one read and one write."""
+    plan = _plan(QUERIES["span_corruption_examples"](spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
