@@ -58,6 +58,7 @@ _DRIVER_SAMPLE_FIRST = [
     "co_ordered_parts",
     "span_corruption_examples",
     "user_counts_streamed_parity",
+    "length_bucketed_batches",
     # round-5: bucket expression changed (shared helper) — re-verify
     "event_value_drift",
     # round-4 rows kept for breadth (sampled green r4)

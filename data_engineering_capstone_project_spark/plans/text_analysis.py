@@ -1592,6 +1592,93 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "length_bucketed_batches",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, tokens,
+               CAST(length(printf('%b', tokens)) AS INTEGER) AS bucket,
+               CAST(doc_id % 4 AS INTEGER) AS shard
+        FROM base WHERE tokens > 0
+    ),
+    placed AS (
+        SELECT bucket, shard, tokens, doc_id,
+               CAST((row_number() OVER (PARTITION BY bucket, shard
+                        ORDER BY tokens DESC, doc_id) - 1) // 8
+                   AS BIGINT) AS batch_id
+        FROM keyed
+    )
+    SELECT bucket, shard, batch_id,
+           count(*) AS docs,
+           CAST(max(tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+           floor((max(tokens) * count(*) - sum(tokens)) * 10000.0
+                 / (max(tokens) * count(*))) / 10000.0 AS pad_waste
+    FROM placed
+    GROUP BY 1, 2, 3
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed micro-batching for padded training: documents
+    group into power-of-two token-length buckets (bucket = bit length
+    of the token count — INTEGER arithmetic via the binary-string
+    length, no libm log2 whose last-ulp could flip a floor), then
+    form fixed-size batches of 8 within each (bucket, shard); the
+    report gives each batch's padding waste — the fraction of the
+    padded tensor that is padding, the thing length bucketing exists
+    to minimize (batching random-length docs together wastes
+    ~half the FLOPs of every step on pad tokens).
+
+    Scale shape: the batching window partitions by (bucket, shard),
+    NOT bucket alone — a handful of log2 buckets would serialize a
+    100 TB corpus into ~15 window tasks, so each bucket subdivides
+    into hash shards (4 here; corpus-scaled in production, the
+    epoch_shuffle rule) at the cost of at most one under-filled batch
+    per shard. One hash Exchange on the composite key; everything
+    else is map-side token counting and the per-batch aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        T.token_count_bpe_ish(F.col("text")).cast("bigint").alias("tokens"),
+    ).filter(F.col("tokens") > 0)
+    keyed = base.select(
+        "doc_id",
+        "tokens",
+        F.length(F.bin(F.col("tokens"))).cast("int").alias("bucket"),
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("shard"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("bucket", "shard").orderBy(
+        F.desc("tokens"), F.asc("doc_id")
+    )
+    placed = keyed.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / F.lit(8)).cast("bigint"),
+    )
+    padded = F.max("tokens") * F.count("*")
+    return (
+        placed.groupBy("bucket", "shard", "batch_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.max("tokens").alias("max_tokens"),
+            F.sum("tokens").alias("sum_tokens"),
+            (
+                F.floor(
+                    (padded - F.sum("tokens")) * 10000.0 / padded
+                )
+                / F.lit(10000.0)
+            ).alias("pad_waste"),
+        )
+    )
+
+
+@query(
     "span_corruption_examples",
     oracle=rf"""
     WITH t AS (
