@@ -1,0 +1,63 @@
+"""Mergeable sketch primitives.
+
+KMV (k-minimum-values) distinct sketch, Bar-Yossef et al. 2002: keep
+the k smallest values of a deterministic integer hash of the id; the
+k-th smallest estimates the distinct count as (k-1)*M/kth. Built on
+the repo's Knuth multiplicative hash, the WHOLE sketch — state and
+estimate — is bit-identical in any engine (unlike HLL, whose sketch
+is implementation-defined), and the k-min set is mergeable: union two
+sketches and re-take the k smallest.
+
+This module is THE single definition used by both the registered
+``kmv_distinct_users`` query and the property tests — a regression in
+the sketch cannot slip past a test that exercises a copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+KMV_K = 32
+KMV_M = 1000000007
+KMV_A = 2654435761
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group, kth, n): the per-group KMV state — the k smallest
+    distinct hash values' max (``kth``) and how many were kept
+    (``n`` < k means the group's full distinct set fit in the
+    sketch). One distinct agg over (group, hash) — partial map-side
+    dedup collapses the Zipf head — then the per-group k-smallest
+    runs as WindowGroupLimit (running top-k per partition, never a
+    full per-group sort)."""
+    hashes = df.select(
+        F.col(group_col).alias("g"),
+        F.pmod(F.col(id_col) * F.lit(KMV_A), F.lit(KMV_M)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy(F.asc("h"))
+    return (
+        hashes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .groupBy("g")
+        .agg(F.max("h").alias("kth"), F.count("*").alias("n"))
+        .withColumnRenamed("g", group_col)
+    )
+
+
+def kmv_estimate(k: int = KMV_K) -> Column:
+    """Distinct-count estimate from (kth, n) sketch state: exact n
+    when the group fit in the sketch, else the (k-1)*M/kth estimator
+    in pure int64 floor-division — engine-exact ((k-1)*M ~ 3.1e10,
+    far inside the bound)."""
+    return (
+        F.when(F.col("n") < k, F.col("n"))
+        .otherwise(F.expr(f"{(k - 1) * KMV_M} div kth"))
+        .cast("bigint")
+    )

@@ -429,30 +429,17 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, never a full sort); everything after is
     types-x-k-sized. Estimator arithmetic is pure int64 (31*M =
     3.1e10, far under the bound), floor-division in both engines."""
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
     ev = events_table(spark, sf_dir)
-    k, m = 32, 1000000007
-    hashes = (
-        ev.select(
-            "event_type",
-            F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(m)).alias("h"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
-    sk = (
-        hashes.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= k)
-        .groupBy("event_type")
-        .agg(F.max("h").alias("kth"), F.count("*").alias("n"))
-    )
+    sk = kmv_sketch(ev, "event_type", "user_id")
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("users_exact")
     )
-    est = (
-        F.when(F.col("n") < k, F.col("n"))
-        .otherwise(F.expr("31000000217 div kth"))
-        .cast("bigint")
-    )
+    est = kmv_estimate()
     return (
         sk.join(exact, "event_type")
         .select(
@@ -813,8 +800,8 @@ def _run_streamed_parity(
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
-               AS value_fp
+           COALESCE(CAST(sum(CAST(floor(value * 10000) AS BIGINT))
+                         AS BIGINT), 0) AS value_fp
     FROM events
     GROUP BY 1
     """,

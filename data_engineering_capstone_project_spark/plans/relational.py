@@ -2935,7 +2935,7 @@ def revenue_by_segment_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS v
         FROM orders WHERE o_orderkey % 100 <> 13
         UNION ALL
-        SELECT o_orderkey + 10000000 AS k,
+        SELECT o_orderkey + 500000000 AS k,
                CAST(floor(o_totalprice * 100) AS BIGINT) AS v
         FROM orders WHERE o_orderkey % 100 = 21
     )
@@ -2953,8 +2953,13 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     migration/backfill/replication pipeline runs before trusting a
     copy, and the audit log a merge pipeline emits. The "new" snapshot
     is derived deterministically from orders (drop keys %100==13,
-    bump totalprice by $1 for %100==7, insert shifted copies of
-    %100==21) so both engines diff the same pair; rows that are
+    bump totalprice by $1 for %100==7, insert 500M-shifted copies of
+    %100==21) so both engines diff the same pair. The 500M insert
+    shift sits far ABOVE every scale-probe replica stride (i x 10M,
+    i < 40): probe legs never collide inserted keys with a
+    neighboring replica's real keys — an earlier 10M shift made the
+    probe measure a diff whose insert leg had mostly cancelled
+    against the next replica. Rows that are
     identical in both snapshots are filtered OUT before any
     materialization — the diff's output is change-sized, not
     table-sized.
@@ -2980,7 +2985,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             orders.filter(mod == 21).select(
-                (F.col("o_orderkey") + 10_000_000).alias("k"), fp.alias("v")
+                (F.col("o_orderkey") + 500_000_000).alias("k"), fp.alias("v")
             )
         )
     )
@@ -3014,7 +3019,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT p1, p2, co,
-           floor((co * n.n_orders * 1000000) / (c1.c * c2.c))
+           ((co * n.n_orders * 1000000) // (c1.c * c2.c))
                / 1000000.0 AS lift
     FROM pairs
     CROSS JOIN n
@@ -3029,8 +3034,10 @@ def co_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     often ordered together, with their lift (observed co-rate over
     the independence expectation) — the association-rule primitive
     behind "frequently bought together". Lift is computed in exact
-    integer arithmetic (co x n_orders x 1e6, floor-divided by the
-    marginal product) so the ranking and values are engine-exact.
+    INTEGER division (``div`` in Spark, ``//`` in DuckDB — never a
+    double divide, whose 2^53 mantissa cliff would corrupt the floor
+    ~1000x below the int64 bound), so the ranking and values are
+    engine-exact all the way to the documented overflow limit.
 
     Scale shape: the pair explosion is a per-order self-join — cost
     bounded by (lines per order choose 2), a CONSTANT per order (~21
@@ -3059,10 +3066,10 @@ def co_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p1", "p2")
         .agg(F.count("*").alias("co"))
     )
-    lift = F.floor(
-        (F.col("co") * F.col("n_orders") * F.lit(1000000))
-        / (F.col("c1") * F.col("c2"))
-    ) / F.lit(1000000.0)
+    lift = (
+        F.expr("(co * n_orders * 1000000L) div (c1 * c2)")
+        / F.lit(1000000.0)
+    )
     return (
         pairs.join(broadcast(n_frame))
         .join(

@@ -1889,19 +1889,33 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = docs.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
     )
-    words = top.select(
+    return positional_phrase_hits(pos, top, persist_key="phrase_search.post")
+
+
+def positional_phrase_hits(
+    pos: DataFrame, phrase: DataFrame, persist_key: str | None = None
+) -> DataFrame:
+    """(doc_id, occurrences): adjacency intersection of positional
+    postings — THE shared core of ``phrase_search_positional`` and its
+    property test (one definition, so the test exercises the real
+    operator, never a copy). ``pos`` is (doc_id, pos, tok); ``phrase``
+    is a 1-row (w1, w2) frame. The postings are first restricted to
+    the phrase's words via a broadcast join (the index read), staged
+    when ``persist_key`` is given (the restricted frame is tiny but
+    derives from a full tokenize+posexplode pass — without staging the
+    self-join's two sides each recompute it), then self-joined on
+    (doc, pos+1 = pos) adjacency. Overlapping occurrences count
+    individually ('x x x' contains 'x x' twice); w1 == w2 works (the
+    restriction dedups the word list)."""
+    words = phrase.select(
         F.explode(F.array_distinct(F.array("w1", "w2"))).alias("tok")
     )
-    # The restricted postings frame is TINY (two words' occurrences)
-    # but derives from a full tokenize+posexplode corpus pass — stage
-    # it, or the adjacency self-join's two sides re-tokenize the
-    # corpus once each (3 passes total with the top-bigram agg).
-    post = scoped_persist(
-        pos.join(broadcast(words), "tok"), "phrase_search.post"
-    )
+    post = pos.join(broadcast(words), "tok")
+    if persist_key is not None:
+        post = scoped_persist(post, persist_key)
     return (
         post.alias("a")
-        .join(broadcast(top), F.col("a.tok") == F.col("w1"))
+        .join(broadcast(phrase), F.col("a.tok") == F.col("w1"))
         .join(
             post.alias("b"),
             (F.col("a.doc_id") == F.col("b.doc_id"))

@@ -39,10 +39,17 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
 
 def _user_counts_increment(batch_df: DataFrame) -> DataFrame:
     """One micro-batch's contribution to the per-user totals (count +
-    fixed-point value sum — both additive)."""
+    fixed-point value sum — both additive). The sum is coalesced to 0:
+    a user whose batch has only NULL values must contribute 0, not
+    NULL — the generic merge coalesces NULL state to 0 on the NEXT
+    merge anyway, so an uncoalesced increment would make the final
+    value depend on HOW MANY batches a user's rows spanned (NULL if
+    one, 0 if several). Additive state must be NULL-free from birth."""
     return batch_df.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.floor(F.col("value") * 10000).cast("bigint")).alias("value_fp"),
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint")), F.lit(0)
+        ).alias("value_fp"),
     )
 
 

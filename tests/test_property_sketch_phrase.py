@@ -1,18 +1,27 @@
-"""Property tests for the r5 sketch/search primitives: the KMV
-distinct estimator and the positional-adjacency phrase count must
-agree with direct Python reference implementations on arbitrary small
-inputs (ties, repeated tokens, overlapping phrase occurrences,
-fewer-than-k groups)."""
+"""Property tests for the r5 sketch/search primitives — exercising
+the PRODUCTION helpers (operators.sketches.kmv_sketch/kmv_estimate,
+plans.text_analysis.positional_phrase_hits), not inline copies, so a
+regression in the real operator fails here. References are direct
+Python reimplementations over arbitrary small inputs (ties, repeated
+tokens, overlapping phrase occurrences, fewer-than-k groups)."""
 
 from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from data_engineering_capstone_project_spark.operators.sketches import (
+    KMV_A,
+    KMV_K,
+    KMV_M,
+    kmv_estimate,
+    kmv_sketch,
+)
+from data_engineering_capstone_project_spark.plans.text_analysis import (
+    positional_phrase_hits,
+)
 
 _SETTINGS = dict(max_examples=12, deadline=None)
-
-K, M, A = 32, 1000000007, 2654435761
 
 
 @settings(**_SETTINGS)
@@ -28,29 +37,20 @@ def test_kmv_sketch_matches_python_reference(spark, users):
     the n < k exact branch, hash ties (same user repeated), and
     single-user groups."""
     df = spark.createDataFrame(users, "g string, user_id long")
-    hashes = df.select(
-        "g", F.pmod(F.col("user_id") * F.lit(A), F.lit(M)).alias("h")
-    ).distinct()
-    w = Window.partitionBy("g").orderBy(F.asc("h"))
-    sk = (
-        hashes.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= K)
-        .groupBy("g")
-        .agg(F.max("h").alias("kth"), F.count("*").alias("n"))
-    )
-    est = (
-        F.when(F.col("n") < K, F.col("n"))
-        .otherwise(F.expr(f"{(K - 1) * M} div kth"))
-        .cast("bigint")
-    )
-    got = {r.g: r.est for r in sk.select("g", est.alias("est")).collect()}
+    sk = kmv_sketch(df, "g", "user_id")
+    got = {
+        r.g: r.est
+        for r in sk.select("g", kmv_estimate().alias("est")).collect()
+    }
 
     expected = {}
     for g in {g for g, _ in users}:
-        hs = sorted({(u * A) % M for gg, u in users if gg == g})
-        kept = hs[:K]
+        hs = sorted({(u * KMV_A) % KMV_M for gg, u in users if gg == g})
+        kept = hs[:KMV_K]
         expected[g] = (
-            len(kept) if len(kept) < K else ((K - 1) * M) // kept[-1]
+            len(kept)
+            if len(kept) < KMV_K
+            else ((KMV_K - 1) * KMV_M) // kept[-1]
         )
     assert got == expected
 
@@ -65,29 +65,20 @@ def test_kmv_sketch_matches_python_reference(spark, users):
     w1=st.sampled_from(["x", "y"]),
     w2=st.sampled_from(["x", "z"]),
 )
-def test_positional_adjacency_matches_python_reference(spark, docs, w1, w2):
-    """The postings-intersection adjacency count (the core of
-    phrase_search_positional, with the phrase FIXED instead of
-    corpus-derived) must equal a direct scan — including overlapping
-    occurrences ('x x x' contains 'x x' twice) and w1 == w2."""
+def test_positional_phrase_hits_matches_python_reference(
+    spark, docs, w1, w2
+):
+    """The production adjacency-intersection operator (with the phrase
+    FIXED instead of corpus-derived) must equal a direct scan —
+    including overlapping occurrences ('x x x' contains 'x x' twice)
+    and w1 == w2."""
     rows = [(i, toks) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id int, toks array<string>")
     pos = df.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-    post = pos.filter(F.col("tok").isin([w1, w2]))
+    phrase = spark.createDataFrame([(w1, w2)], "w1 string, w2 string")
     got = {
-        r.doc_id: r.occ
-        for r in (
-            post.alias("a")
-            .filter(F.col("a.tok") == w1)
-            .join(
-                post.alias("b"),
-                (F.col("a.doc_id") == F.col("b.doc_id"))
-                & (F.col("b.pos") == F.col("a.pos") + 1),
-            )
-            .filter(F.col("b.tok") == w2)
-            .groupBy(F.col("a.doc_id").alias("doc_id"))
-            .agg(F.count("*").alias("occ"))
-        ).collect()
+        r.doc_id: r.occurrences
+        for r in positional_phrase_hits(pos, phrase).collect()
     }
 
     expected = {}
