@@ -31,14 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver samples the FIRST 50 entries in dict order. Round-5
-# priority: embedding_projection — the only query of 137 without an
-# ever-green driver row (r4: the driver's pandas canonicalizer can't
+# priority: embedding_projection — the only query of r4's 137 without
+# an ever-green driver row (the driver's pandas canonicalizer can't
 # sort an array cell; fixed by exchanging the projection as a CSV
 # string of fixed-point integers per the house rule, enforced
-# repo-wide by tests/test_output_schemas.py). Then the round-5
-# additions (never sampled), then event_value_drift (its bucket
-# expression changed this round — shared drift_value_bucket helper),
-# then r4's never-resampled tail for breadth.
+# repo-wide by tests/test_output_schemas.py). Then the 16 round-5
+# additions (never sampled — the ANN index lifecycle, streamed
+# parities, phrase search, KMV sketch, split/manifest/AB/diff/basket/
+# corruption/batching), then event_value_drift (its bucket expression
+# changed this round — shared drift_value_bucket helper), then r4's
+# never-resampled tail for breadth. 153 queries total, all with
+# oracles.
 _DRIVER_SAMPLE_FIRST = [
     # round-5: the one never-green row — must verify first
     "embedding_projection",
