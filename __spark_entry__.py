@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # parities, phrase search, KMV sketch, split/manifest/AB/diff/basket/
 # corruption/batching), then event_value_drift (its bucket expression
 # changed this round — shared drift_value_bucket helper), then r4's
-# never-resampled tail for breadth. 153 queries total, all with
+# never-resampled tail for breadth. 154 queries total, all with
 # oracles.
 _DRIVER_SAMPLE_FIRST = [
     # round-5: the one never-green row — must verify first
@@ -62,6 +62,7 @@ _DRIVER_SAMPLE_FIRST = [
     "span_corruption_examples",
     "user_counts_streamed_parity",
     "length_bucketed_batches",
+    "weak_label_votes",
     # round-5: bucket expression changed (shared helper) — re-verify
     "event_value_drift",
     # round-4 rows kept for breadth (sampled green r4)

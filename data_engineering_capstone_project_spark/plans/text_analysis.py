@@ -1592,6 +1592,59 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weak_label_votes",
+    oracle=r"""
+    WITH lf AS (
+        SELECT doc_id,
+               CASE WHEN regexp_matches(lower(text),
+                    '(query|scan|join|index|filter)') THEN 1 ELSE 0 END
+                   AS lf_topic,
+               CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         * 20 > length(text) THEN 1 ELSE 0 END AS lf_numeric,
+               CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS lf_long
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(lf_topic + lf_numeric + lf_long AS BIGINT) AS votes,
+           lf_topic + lf_numeric + lf_long >= 2 AS weak_label,
+           CAST(abs(2 * (lf_topic + lf_numeric + lf_long) - 3)
+               AS BIGINT) AS margin
+    FROM lf
+    """,
+)
+def weak_label_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Programmatic weak supervision (Snorkel-style, majority-vote
+    label model): three deterministic labeling functions — a keyword
+    heuristic, a digit-density heuristic, a length heuristic — vote
+    per document; the majority is the weak label and the vote margin
+    is the confidence a downstream loss can weight by. This is how
+    training labels get bootstrapped at 100 TB when human annotation
+    covers 0.001% of the corpus: cheap noisy heuristics, aggregated,
+    then distilled. The full label-model EM of the Snorkel paper
+    replaces the majority vote without changing this plan's shape.
+
+    Scale shape: pure map-side projection — every LF is a per-row
+    expression inside codegen, the vote is integer arithmetic, ZERO
+    Exchange (asserted in test_plan_shapes). Adding LFs adds
+    expressions, never passes."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    lf_topic = F.when(
+        F.lower(t).rlike("(query|scan|join|index|filter)"), 1
+    ).otherwise(0)
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    lf_numeric = F.when(digits * 20 > F.length(t), 1).otherwise(0)
+    lf_long = F.when(F.length(t) >= 200, 1).otherwise(0)
+    votes = (lf_topic + lf_numeric + lf_long).cast("bigint")
+    return docs.select(
+        "doc_id",
+        votes.alias("votes"),
+        (votes >= 2).alias("weak_label"),
+        F.abs(votes * 2 - 3).cast("bigint").alias("margin"),
+    )
+
+
+@query(
     "length_bucketed_batches",
     oracle=r"""
     WITH base AS (

@@ -554,7 +554,8 @@ def test_ann_ivfpq_corpus_side_stays_map_only(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["train_val_test_split", "pq_encode_incremental"]
+    "name",
+    ["train_val_test_split", "pq_encode_incremental", "weak_label_votes"],
 )
 def test_map_only_pipeline_ops_have_no_exchange(spark, name):
     """The split assignment and the incremental PQ encode are pure

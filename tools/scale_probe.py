@@ -163,6 +163,7 @@ def _run_probes(k: int, out: str):
         "co_ordered_parts",      # per-order pair explode, (p1,p2) agg
         "span_corruption_examples",  # map-only corruption (flat bar: scan)
         "length_bucketed_batches",  # (bucket, shard) window batching
+        "weak_label_votes",      # map-only LF votes (flat bar: scan)
         "prefix_filter_jaccard",  # exact set-sim join via prefix filtering
         "kmeans_refine",         # map-only Lloyd assign + (k x dim) agg
         "revenue_trend_by_nation",  # grouped OLS over month-grain partials
