@@ -696,3 +696,40 @@ def test_drift_view_single_day_bootstrap_is_null_not_error(spark, tmp_path):
     assert set(rows) == {3, 7}
     assert all(r.chi2 is None for r in rows.values())
     assert rows[3].n_cur == 10 and rows[3].n_ref == 0
+
+
+def test_user_counts_increment_null_values_contribute_zero(spark, tmp_path):
+    """A user whose batch has only NULL values must land with
+    value_fp = 0, not NULL — and the result must not depend on how
+    many batches the user's rows spanned (the coalesce-at-increment
+    contract; an uncoalesced increment made the final value NULL for
+    single-batch users but 0 for multi-batch users)."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        apply_user_counts_batch,
+    )
+
+    serving1 = str(tmp_path / "one_batch")
+    b = spark.createDataFrame(
+        [(1, None), (1, None), (2, 5.0)], "user_id long, value double"
+    )
+    assert apply_user_counts_batch(spark, b, 0, serving1)
+    got1 = {
+        r.user_id: (r.n_events, r.value_fp)
+        for r in spark.read.parquet(serving1).collect()
+    }
+    assert got1[1] == (2, 0)
+    assert got1[2] == (1, 50000)
+
+    # same rows split across two batches -> identical final state
+    serving2 = str(tmp_path / "two_batches")
+    b1 = spark.createDataFrame([(1, None)], "user_id long, value double")
+    b2 = spark.createDataFrame(
+        [(1, None), (2, 5.0)], "user_id long, value double"
+    )
+    assert apply_user_counts_batch(spark, b1, 0, serving2)
+    assert apply_user_counts_batch(spark, b2, 1, serving2)
+    got2 = {
+        r.user_id: (r.n_events, r.value_fp)
+        for r in spark.read.parquet(serving2).collect()
+    }
+    assert got2 == got1
