@@ -155,6 +155,7 @@ def _run_probes(k: int, out: str):
         "kmv_distinct_users",    # distinct agg + WindowGroupLimit k-min
         "trending_streamed_parity",  # 4 additive micro-batch merges + view
         "drift_streamed_parity",  # same protocol, (day, bucket) grid
+        "user_counts_streamed_parity",  # same protocol, per-user totals
         "train_val_test_split",  # map-only hash assignment (flat bar: scan)
         "pq_encode_incremental",  # map-only batch encode (batch grows w/ K)
         "export_shards_manifest",  # shard-keyed agg over the placed frame
