@@ -30,112 +30,88 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# The driver samples the FIRST 50 entries in dict order. Round-5
-# priority: embedding_projection — the only query of r4's 137 without
-# an ever-green driver row (the driver's pandas canonicalizer can't
-# sort an array cell; fixed by exchanging the projection as a CSV
-# string of fixed-point integers per the house rule, enforced
-# repo-wide by tests/test_output_schemas.py). Then the 16 round-5
-# additions (never sampled — the ANN index lifecycle, streamed
-# parities, phrase search, KMV sketch, split/manifest/AB/diff/basket/
-# corruption/batching), then event_value_drift (its bucket expression
-# changed this round — shared drift_value_bucket helper), then r4's
-# never-resampled tail for breadth. 154 queries total, all with
+# The driver samples the FIRST 50 entries in dict order. Standing
+# rotation rule (adopted r6): lead with queries that are NEW or whose
+# CODE CHANGED this round (they have no/stale evidence for the current
+# build), then the LEAST-RECENTLY-driver-verified queries, oldest
+# round first — so no query's driver row ever goes more than ~2 rounds
+# stale. Last-sampled rounds per query are the union of
+# CORRECTNESS_r01..r0N.json. This round that means: 1 new + 5 changed,
+# then the 17 queries last sampled in r1, then the 39 last sampled in
+# r2 (the first 27 of which fit the 50-row sample; the remaining 12
+# plus the r3 tail lead the r7 rotation). 155 queries total, all with
 # oracles.
 _DRIVER_SAMPLE_FIRST = [
-    # round-5: the one never-green row — must verify first
-    "embedding_projection",
-    # round-5 additions (never sampled yet)
-    "ann_pq_topk_indexed",
-    "ann_ivfpq_topk",
-    "trending_streamed_parity",
-    "pq_encode_incremental",
-    "train_val_test_split",
-    "phrase_search_positional",
-    "kmv_distinct_users",
-    "drift_streamed_parity",
-    "ann_ivfpq_topk_indexed",
-    "export_shards_manifest",
-    "ab_test_report",
-    "snapshot_diff",
-    "co_ordered_parts",
-    "span_corruption_examples",
-    "user_counts_streamed_parity",
-    "length_bucketed_batches",
-    "weak_label_votes",
-    # round-5: bucket expression changed (shared helper) — re-verify
-    "event_value_drift",
-    # round-4 rows kept for breadth (sampled green r4)
-    "priority_shipping_q12",
-    "doc_rarity",
-    "conversion_funnel",
-    "bigram_fluency",
-    "prefix_filter_jaccard",
-    "kmeans_refine",
-    "revenue_trend_by_nation",
-    "top_event_paths",
-    "doc_pagerank",
-    "bigram_collocations",
-    "hybrid_retrieval_rrf",
-    "fk_violations",
-    "segment_zscore_pandas",
-    "revenue_by_segment_salted",
-    "curation_funnel",
-    "event_rate_anomalies",
-    "ann_pq_topk",
-    "ann_pq_rerank_topk",
-    "doc_chunks",
-    "repeated_passages",
-    "bpe_pair_counts",
-    "nearest_centroid_assign",
-    "trending_event_types",
-    "weekly_cohort_retention",
-    "contrastive_negatives",
-    "star_schema_summary",
-    "bm25_topk",
-    "packing_efficiency",
-    "customer_spend_quartiles_distributed",
-    "epoch_shuffle",
-    "token_budget_select",
-    # round-3 additions
-    "volume_shipping_q7",
-    "market_share_q8",
-    "product_profit_q9",
-    "top_revenue_parts_q11",
-    "promo_revenue_q14",
-    "supplier_part_counts_q16",
-    "promo_part_suppliers_q20",
-    "sole_late_supplier_q21",
-    "revenue_by_priority_bucketed",
-    "sequence_packing",
-    "quality_weighted_sample",
-    "cheapest_supplier_q2",
-    "dedup_incremental",
-    "quality_threshold_per_lang",
-    "source_mixture_sample",
-    "lsh_pairs_jaccard_verified",
-    "doc_pii_scrub",
-    "top_bigrams",
-    "dedup_components",
-    "dedup_canonical",
-    "char_ngram_jaccard",
-    "top_tokens_per_lang",
-    "contamination_check",
-    "doc_repetition",
-    "events_resampled_5min",
-    "time_weighted_avg",
-    "events_distinct_users",
-    "views_converted_10min",
-    "ann_ivf_topk",
-    "label_centroids",
-    "embedding_stats",
-    "views_asof_purchase",
-    "orders_within_90d",
-    "media_meta",
-    "video_frame_plan",
-    "audio_levels",
-    "image_resize_plan",
-    "image_phash_dedup",
+    # round-6: new — the trending serving table maintained through the
+    # REAL Structured Streaming engine (readStream + foreachBatch +
+    # whole-job checkpoint replay), never sampled
+    "trending_engine_streamed_parity",
+    # round-6: code changed — re-verify on the current build
+    "co_ordered_parts",          # Apriori min-support prefilter added
+    "length_bucketed_batches",   # corpus-scaled shard count applied
+    "kmv_distinct_users",        # NULL ids filtered before hashing
+    "ab_test_report",            # variant hash mixed before mod-2
+    "snapshot_diff",             # insert shift raised to 10B
+    # last driver-sampled in r1 (stalest)
+    "ann_lsh_topk",
+    "cosine_topk",
+    "dedup_exact",
+    "doc_fingerprints",
+    "doc_quality",
+    "doc_split_counts",
+    "doc_token_stats",
+    "embedding_near_dups",
+    "events_sessionization",
+    "events_sliding_halfhour",
+    "events_tumbling_hourly",
+    "lang_id_confusion",
+    "lsh_bucket_histogram",
+    "minhash_lsh_pairs",
+    "near_dup_jaccard",
+    "simhash_near_dups",
+    "top_tokens",
+    # last driver-sampled in r2
+    "approx_distinct_parts",
+    "approx_percentile_check",
+    "big_orders_having",
+    "customer_order_keys",
+    "customer_order_progression",
+    "customer_order_reconciliation",
+    "customer_spend_quartiles",
+    "customer_spend_tiers",
+    "customers_no_orders",
+    "customers_rollup",
+    "disjunctive_revenue_q19",
+    "distinct_parts_by_flag",
+    "event_props_json",
+    "forecast_revenue_q6",
+    "lapsed_buyers_except",
+    "large_order_customers_q18",
+    "late_shipment_orders_q4",
+    "local_supplier_volume_q5",
+    "nations_with_suppliers",
+    "order_activity",
+    "order_priority_cube",
+    "order_status_pivot",
+    "order_status_unpivot",
+    "orders_moving_avg",
+    "orders_price_histogram",
+    "price_percentiles",
+    "quality_summary",
+    # --- 50-row sample boundary falls here; the rest of the r2 tail
+    # stays listed so the r7 rotation starts from a recorded order ---
+    "quantity_discount_corr",
+    "repeat_buyers_intersect",
+    "returned_revenue_q10",
+    "revenue_by_priority",
+    "rolling_revenue_7d",
+    "sas_dates",
+    "segment_nation_grouping_sets",
+    "shipping_priority_q3",
+    "small_quantity_revenue",
+    "surrogate_keys",
+    "top_supplier_q15",
+    "waiting_customers_q22",
 ]
 
 

@@ -36,11 +36,22 @@ def kmv_sketch(
     sketch). One distinct agg over (group, hash) — partial map-side
     dedup collapses the Zipf head — then the per-group k-smallest
     runs as WindowGroupLimit (running top-k per partition, never a
-    full per-group sort)."""
-    hashes = df.select(
-        F.col(group_col).alias("g"),
-        F.pmod(F.col(id_col) * F.lit(KMV_A), F.lit(KMV_M)).alias("h"),
-    ).distinct()
+    full per-group sort).
+
+    NULL ids are dropped BEFORE hashing: a NULL id is not a distinct
+    entity (count_distinct ignores it too), and a NULL hash is where
+    engines disagree — Spark's asc() sorts NULLS FIRST (the NULL
+    would displace a real hash from the k-min set) while DuckDB's
+    ASC sorts NULLS LAST, so an unfiltered sketch silently diverges
+    between engines for any group holding >= k hashes plus a NULL."""
+    hashes = (
+        df.where(F.col(id_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.pmod(F.col(id_col) * F.lit(KMV_A), F.lit(KMV_M)).alias("h"),
+        )
+        .distinct()
+    )
     w = Window.partitionBy("g").orderBy(F.asc("h"))
     return (
         hashes.withColumn("r", F.row_number().over(w))

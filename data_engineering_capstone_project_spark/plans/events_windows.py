@@ -379,7 +379,7 @@ def twa_over(ev: DataFrame) -> DataFrame:
     WITH h AS (
         SELECT DISTINCT event_type,
                (user_id * 2654435761) % 1000000007 AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     rk AS (
         SELECT event_type, h,
@@ -466,7 +466,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     base AS (
         SELECT u.user_id,
-               (u.user_id * 2654435761) % 2 AS variant,
+               ((u.user_id * 2654435761) % 1000000007) % 2 AS variant,
                COALESCE(pu.x, 0) AS x
         FROM (SELECT DISTINCT user_id FROM events) u
         LEFT JOIN pu USING (user_id)
@@ -528,9 +528,16 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(pu, "user_id", "left")
         .select(
-            F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(2)).alias(
-                "variant"
-            ),
+            # Mix through the Knuth modulus BEFORE reducing mod 2:
+            # (id * odd) % 2 collapses to id parity (the multiplier is
+            # odd), which any parity-structured id scheme — including
+            # this repo's own user_id % 4 micro-batch split — would be
+            # perfectly correlated with. The intermediate % M breaks
+            # that correlation, same recipe as the KMV hash.
+            F.pmod(
+                F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(1000000007)),
+                F.lit(2),
+            ).alias("variant"),
             F.coalesce(F.col("x"), F.lit(0)).alias("x"),
         )
     )
@@ -751,6 +758,25 @@ def trending_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parity_scratch_dir(scratch_stem: str) -> str:
+    """Fresh pid-keyed /tmp scratch dir for a parity run, registered
+    for removal at interpreter exit: without the atexit hook, every
+    bench/test/driver process left its three serving dirs behind
+    forever (they were only rmtree'd at the START of a same-pid
+    rerun, and pids don't repeat often). The dir must survive until
+    process exit — the returned DataFrames read it lazily, long after
+    the parity protocol returns — so cleanup cannot be a try/finally
+    around the fold loop."""
+    import atexit
+    import os
+    import shutil
+
+    serving = f"/tmp/{scratch_stem}_{os.getpid()}"
+    shutil.rmtree(serving, ignore_errors=True)
+    atexit.register(shutil.rmtree, serving, ignore_errors=True)
+    return serving
+
+
 def _run_streamed_parity(
     spark: SparkSession,
     sf_dir: str,
@@ -770,15 +796,11 @@ def _run_streamed_parity(
     asserts: under ``python -O`` an assert's call expression is
     compiled out, which would silently skip the entire protocol.
     Returns the serving dir path for the caller's read-time view."""
-    import os
-    import shutil
-
     from data_engineering_capstone_project_spark.streaming.serving import (
         apply_additive_batch,
     )
 
-    serving = f"/tmp/{scratch_stem}_{os.getpid()}"
-    shutil.rmtree(serving, ignore_errors=True)
+    serving = _parity_scratch_dir(scratch_stem)
     ev = events_table(spark, sf_dir)
     batch_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
     kw = dict(inc_fn=inc_fn, keys=keys, sum_cols=sum_cols)
@@ -793,6 +815,91 @@ def _run_streamed_parity(
             if replayed is not False:
                 raise RuntimeError("batch-id guard failed to skip replay")
     return serving
+
+
+@query(
+    "trending_engine_streamed_parity",
+    oracle="""
+    WITH expanded AS (
+        SELECT CAST(floor(floor(epoch(ts) / 900) * 900 - 900 * g.j) AS BIGINT)
+                   AS window_start,
+               event_type
+        FROM events, unnest(generate_series(0, 3)) g(j)
+        WHERE ts IS NOT NULL
+    ),
+    counted AS (
+        SELECT window_start, event_type, count(*) AS events
+        FROM expanded
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, events, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT window_start, event_type, events,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY events DESC, event_type ASC) AS rnk
+        FROM counted
+    )
+    WHERE rnk <= 3
+    """,
+)
+def trending_engine_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trending serving table maintained by the REAL Structured
+    Streaming engine — closing the one gap the hand-loop parities
+    (``trending_streamed_parity`` etc.) left open: those fold
+    micro-batches by calling ``apply_additive_batch`` directly, while
+    production wires that function into a ``foreachBatch`` query. Here
+    the events table is staged as 4 parquet files, read back through
+    ``spark.readStream`` with ``maxFilesPerTrigger=1`` (so the engine
+    delivers 4 genuine micro-batches with engine-assigned batch ids,
+    checkpointed offsets, availableNow termination), and drained by
+    ``maintain_trending_counts`` — the exact production entry point.
+    Then the WHOLE JOB IS REPLAYED against a fresh checkpoint: the
+    engine re-delivers every batch from offset zero, and the serving
+    table's batch-id guard must no-op all of them — the
+    at-least-once-to-exactly-once discipline exercised through the
+    engine's own redelivery machinery, not a hand-crafted replay. A
+    doubled count from a failed guard flips the oracle hash.
+
+    The oracle is the BATCH ``trending_event_types`` SQL: additive
+    state converges to the batch answer regardless of how the engine
+    happened to slice the files into batches, which is precisely the
+    property that makes the serving design replay-safe. Scale shape:
+    identical to the production path — each micro-batch merge joins
+    two aggregate-sized (window x type) grids; the stream is scanned
+    once per batch."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        maintain_trending_counts,
+        trending_topk_view,
+    )
+
+    stage = _parity_scratch_dir("decps_trending_engine_stage")
+    serving = _parity_scratch_dir("decps_trending_engine_serving")
+    ev = events_table(spark, sf_dir)
+    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1. Batch
+    # COMPOSITION is scheduler-dependent and deliberately does not
+    # matter: additive merge converges to the same state under any
+    # slicing (that is the claim being verified).
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    maintain_trending_counts(stream, serving, f"{stage}/_chk_first")
+    # Full-job replay with a FRESH checkpoint: the engine re-delivers
+    # batches 0..3; every one must hit the guard and no-op.
+    maintain_trending_counts(stream, serving, f"{stage}/_chk_replay")
+    applied = (
+        spark.read.parquet(serving).agg(F.max("applied_batch_id")).collect()[0][0]
+    )
+    if applied != 3:
+        raise RuntimeError(
+            f"expected 4 engine micro-batches (max applied id 3), got {applied}"
+        )
+    return trending_topk_view(spark, serving, k=3).select(
+        "window_start", "event_type", "events", "rnk"
+    )
 
 
 @query(

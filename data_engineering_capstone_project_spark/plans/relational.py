@@ -2935,7 +2935,7 @@ def revenue_by_segment_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS v
         FROM orders WHERE o_orderkey % 100 <> 13
         UNION ALL
-        SELECT o_orderkey + 500000000 AS k,
+        SELECT o_orderkey + 10000000000 AS k,
                CAST(floor(o_totalprice * 100) AS BIGINT) AS v
         FROM orders WHERE o_orderkey % 100 = 21
     )
@@ -2953,13 +2953,14 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     migration/backfill/replication pipeline runs before trusting a
     copy, and the audit log a merge pipeline emits. The "new" snapshot
     is derived deterministically from orders (drop keys %100==13,
-    bump totalprice by $1 for %100==7, insert 500M-shifted copies of
-    %100==21) so both engines diff the same pair. The 500M insert
-    shift sits far ABOVE every scale-probe replica stride (i x 10M,
-    i < 40): probe legs never collide inserted keys with a
-    neighboring replica's real keys — an earlier 10M shift made the
-    probe measure a diff whose insert leg had mostly cancelled
-    against the next replica. Rows that are
+    bump totalprice by $1 for %100==7, insert 10B-shifted copies of
+    %100==21) so both engines diff the same pair. The 10B insert
+    shift sits far ABOVE any plausible scale-probe replica stride
+    (i x 10M would need i > 1000; probes run i < 160): inserted keys
+    never collide with a neighboring replica's real keys — an
+    earlier 10M shift made the probe measure a diff whose insert leg
+    had mostly cancelled against the next replica, and the 500M
+    shift it was first raised to still collided from the 80x leg up. Rows that are
     identical in both snapshots are filtered OUT before any
     materialization — the diff's output is change-sized, not
     table-sized.
@@ -2985,7 +2986,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             orders.filter(mod == 21).select(
-                (F.col("o_orderkey") + 500_000_000).alias("k"), fp.alias("v")
+                (F.col("o_orderkey") + 10_000_000_000).alias("k"), fp.alias("v")
             )
         )
     )
@@ -3012,9 +3013,17 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
     pm AS (SELECT l_partkey, count(*) AS c FROM lp GROUP BY 1),
+    freq AS (
+        SELECT l_partkey FROM pm, n
+        WHERE c >= greatest(2, n_orders // 1000)
+    ),
+    lpf AS (
+        SELECT lp.l_orderkey, lp.l_partkey
+        FROM lp JOIN freq USING (l_partkey)
+    ),
     pairs AS (
         SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS co
-        FROM lp a JOIN lp b
+        FROM lpf a JOIN lpf b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
     )
@@ -3039,6 +3048,17 @@ def co_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1000x below the int64 bound), so the ranking and values are
     engine-exact all the way to the documented overflow limit.
 
+    Mining is restricted to FREQUENT parts — support >= max(2,
+    0.1% of orders), the standard Apriori prefilter, applied as a
+    broadcast semi-join on the catalog-sized frequent-part set
+    BEFORE the pair explosion (the oracle mirrors the identical
+    threshold). This is part of the query's declared semantics, not
+    an approximation of it: a part below min-support cannot anchor an
+    association rule worth acting on, and any pair containing it has
+    co < min-support by the subset bound. Pruning before the
+    self-join is what keeps the (p1, p2) grid from densifying as
+    orders accumulate over a fixed catalog.
+
     Scale shape: the pair explosion is a per-order self-join — cost
     bounded by (lines per order choose 2), a CONSTANT per order (~21
     at TPC-H's <=7 lines), never a cross of the part catalog; one
@@ -3054,10 +3074,20 @@ def co_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side collect — no extra job at plan-build time.
     n_frame = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     pm = lp.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a = lp.select(
+    # Apriori min-support prefilter: marginals stay the FULL counts
+    # (lift needs the true support), only the pairing input shrinks.
+    freq = (
+        pm.join(broadcast(n_frame))
+        .filter(
+            F.col("c") >= F.greatest(F.lit(2), F.expr("n_orders div 1000"))
+        )
+        .select("l_partkey")
+    )
+    lpf = lp.join(broadcast(freq), "l_partkey", "left_semi")
+    a = lpf.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
     )
-    b = lp.select(
+    b = lpf.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
     )
     pairs = (

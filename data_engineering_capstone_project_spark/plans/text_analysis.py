@@ -1647,7 +1647,12 @@ def weak_label_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "length_bucketed_batches",
     oracle=r"""
-    WITH base AS (
+    WITH n AS (
+        SELECT CAST(power(2, ceil(log2(greatest(count(*) / 5000.0, 64.0))))
+                    AS BIGINT) AS n_shards
+        FROM documents
+    ),
+    base AS (
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,
                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens
@@ -1656,7 +1661,7 @@ def weak_label_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed AS (
         SELECT doc_id, tokens,
                CAST(length(printf('%b', tokens)) AS INTEGER) AS bucket,
-               CAST(doc_id % 4 AS INTEGER) AS shard
+               CAST(doc_id % (SELECT n_shards FROM n) AS INTEGER) AS shard
         FROM base WHERE tokens > 0
     ),
     placed AS (
@@ -1690,11 +1695,18 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the batching window partitions by (bucket, shard),
     NOT bucket alone — a handful of log2 buckets would serialize a
     100 TB corpus into ~15 window tasks, so each bucket subdivides
-    into hash shards (4 here; corpus-scaled in production, the
-    epoch_shuffle rule) at the cost of at most one under-filled batch
-    per shard. One hash Exchange on the composite key; everything
-    else is map-side token counting and the per-batch aggregate."""
+    into hash shards whose count SCALES WITH THE CORPUS via the same
+    ``_corpus_shard_count`` rule sequence_packing and epoch_shuffle
+    use (~5000 docs/shard, power of two, floor 64; mirrored by the
+    oracle's scalar subquery). A fixed count would turn corpus growth
+    into per-(bucket, shard) sort growth — measured at ratio 4.4@40x
+    with the old fixed 4 shards, the exact trap the rule exists to
+    avoid — at the cost of at most one under-filled batch per
+    (bucket, shard). One hash Exchange on the composite key;
+    everything else is map-side token counting and the per-batch
+    aggregate."""
     docs = table(spark, sf_dir, "documents")
+    n_shards = _corpus_shard_count(spark, sf_dir)
     base = docs.select(
         "doc_id",
         T.token_count_bpe_ish(F.col("text")).cast("bigint").alias("tokens"),
@@ -1703,7 +1715,7 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "tokens",
         F.length(F.bin(F.col("tokens"))).cast("int").alias("bucket"),
-        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("shard"),
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
     )
     from pyspark.sql.window import Window as W
 

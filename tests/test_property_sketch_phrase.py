@@ -27,15 +27,21 @@ _SETTINGS = dict(max_examples=12, deadline=None)
 @settings(**_SETTINGS)
 @given(
     users=st.lists(
-        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 500)),
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.one_of(st.none(), st.integers(0, 500)),
+        ),
         min_size=1,
         max_size=120,
     )
 )
 def test_kmv_sketch_matches_python_reference(spark, users):
     """Per-group KMV over arbitrary (group, user) multisets — covers
-    the n < k exact branch, hash ties (same user repeated), and
-    single-user groups."""
+    the n < k exact branch, hash ties (same user repeated),
+    single-user groups, and NULL ids (dropped before hashing: a NULL
+    hash sorts NULLS FIRST in Spark but NULLS LAST in DuckDB, so an
+    unfiltered sketch would be engine-dependent; a group with only
+    NULL ids must vanish from the sketch entirely)."""
     df = spark.createDataFrame(users, "g string, user_id long")
     sk = kmv_sketch(df, "g", "user_id")
     got = {
@@ -45,7 +51,11 @@ def test_kmv_sketch_matches_python_reference(spark, users):
 
     expected = {}
     for g in {g for g, _ in users}:
-        hs = sorted({(u * KMV_A) % KMV_M for gg, u in users if gg == g})
+        hs = sorted(
+            {(u * KMV_A) % KMV_M for gg, u in users if gg == g and u is not None}
+        )
+        if not hs:
+            continue
         kept = hs[:KMV_K]
         expected[g] = (
             len(kept)

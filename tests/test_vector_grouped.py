@@ -141,6 +141,69 @@ def test_sign_lsh_finds_planted_twins(emb, spark):
         assert got[key] >= 0.9999, (key, got[key])
 
 
+def test_ivfpq_recall_floor(spark):
+    """The fused IVF+PQ query must retrieve a pinned fraction of the
+    TRUE exact-L2 top-3 — the oracle proves self-consistency between
+    engines, not retrieval quality, so without this floor a geometry
+    bug that still mirrors in SQL (wrong cell probed, scrambled
+    codebook) would sail through green. Measured 0.23 at sf0.01: the
+    compounding of 2-of-8 probed cells with raw-ADC ranking on
+    near-uniform synthetic vectors (distance concentration — the
+    hardest case for both stages; plain ADC alone measures ~0.13,
+    plain 2-probe IVF ~0.5). The floor is pinned at 0.1 — low enough
+    to absorb fixture regeneration, high enough that a broken stage
+    (recall ~ k/n ~ 0.006 at random) fails loudly. Production recall
+    comes from the rerank tier (test_pq_rerank_recall_floor, 0.6)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_engineering_capstone_project_spark.plans.registry import table
+    from data_engineering_capstone_project_spark.plans.similarity_search import (
+        ann_ivfpq_topk,
+    )
+
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivfpq_topk(spark, SF).collect()
+    }
+    emb = table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * 10000000
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("nid"))
+    exact = {
+        (r.qid, r.nid)
+        for r in q.crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", dist.alias("d"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .collect()
+    }
+    assert len(exact) == 30
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.1, f"recall {recall}"
+    # every query still returns exactly 3 ranked rows
+    per_q = {r.query_id for r in ann_ivfpq_topk(spark, SF).collect()}
+    assert len(per_q) == 10
+
+
 def test_pq_rerank_recall_floor(spark):
     """Two-stage PQ retrieval: the ADC-top-64 shortlist + exact rerank
     must recover a pinned fraction of the TRUE exact-L2 top-3. The
