@@ -36,16 +36,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 1 new + 5 changed,
+# CORRECTNESS_r01..r0N.json. This round that means: 6 new + 5 changed,
 # then the 17 queries last sampled in r1, then the 39 last sampled in
-# r2 (the first 27 of which fit the 50-row sample; the remaining 12
-# plus the r3 tail lead the r7 rotation). 155 queries total, all with
-# oracles.
+# r2 (the first 22 of which fit the 50-row sample; the rest plus the
+# r3 tail lead the r7 rotation). 160 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
-    # round-6: new — the trending serving table maintained through the
-    # REAL Structured Streaming engine (readStream + foreachBatch +
-    # whole-job checkpoint replay), never sampled
+    # round-6: new, never sampled — the trending serving table
+    # maintained through the REAL Structured Streaming engine
+    # (readStream + foreachBatch + whole-job checkpoint replay); the
+    # 4th serving table's (value histograms -> p95) parity; the KMV
+    # merge-equals-direct parity; TPC-H Q13 completing the 22/22
+    # suite; dense contiguous ids without a global sort; the
+    # heavy-hitter skew report
     "trending_engine_streamed_parity",
+    "percentile_streamed_parity",
+    "kmv_merge_parity",
+    "customer_distribution_q13",
+    "contiguous_doc_ids",
+    "heavy_hitter_custkeys",
     # round-6: code changed — re-verify on the current build
     "co_ordered_parts",          # Apriori min-support prefilter added
     "length_bucketed_batches",   # corpus-scaled shard count applied

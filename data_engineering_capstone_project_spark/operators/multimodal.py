@@ -71,7 +71,7 @@ def _parse_header(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def _require_real_backend(op: str):
-    # Re-checked round 5 (2026-08-14): PIL, cv2, soundfile, av,
+    # Re-checked rounds 5 and 6 (2026-08-14): PIL, cv2, soundfile, av,
     # imageio, librosa, torchvision, skimage and ffmpeg are all absent
     # from the container, so the real backend stays a documented seam
     # rather than an importable path.

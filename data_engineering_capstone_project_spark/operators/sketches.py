@@ -62,6 +62,61 @@ def kmv_sketch(
     )
 
 
+def kmv_partials(
+    df: DataFrame,
+    group_col: str,
+    slice_col: str,
+    id_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-(group, slice) PARTIAL sketches: the k smallest distinct
+    hash rows ``(group, slice, h)`` for every slice of the data (a
+    day, a shard, a micro-batch). This is the state you'd persist per
+    partition at 100 TB — k int64s per (group, slice) — and exactly
+    what ``kmv_merge`` consumes. One distinct agg over (group, slice,
+    hash); the per-cell k-smallest is WindowGroupLimit, same as the
+    direct sketch."""
+    hashes = (
+        df.where(F.col(id_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(slice_col).alias("slc"),
+            F.pmod(F.col(id_col) * F.lit(KMV_A), F.lit(KMV_M)).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("g", "slc").orderBy(F.asc("h"))
+    return (
+        hashes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(
+            F.col("g").alias(group_col), F.col("slc").alias(slice_col), "h"
+        )
+    )
+
+
+def kmv_merge(partials: DataFrame, group_col: str, k: int = KMV_K) -> DataFrame:
+    """Union-merge partial sketches back into one (group, kth, n)
+    sketch: pool every slice's k-min hash rows, drop duplicates
+    (hash collisions across slices), re-take the k smallest. The KMV
+    guarantee that makes this EXACT — not approximately-mergeable —
+    is that any of the global k smallest hashes ranks <= k within
+    its own slice, so it is guaranteed to be present in the pooled
+    rows; the merged sketch is therefore BIT-IDENTICAL to the sketch
+    a single pass over the union would build (driver-verified by
+    ``kmv_merge_parity`` against the direct-sketch oracle). Input is
+    slices x k rows per group — aggregate-sized, never corpus-sized."""
+    pooled = partials.select(F.col(group_col).alias("g"), "h").distinct()
+    w = Window.partitionBy("g").orderBy(F.asc("h"))
+    return (
+        pooled.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .groupBy("g")
+        .agg(F.max("h").alias("kth"), F.count("*").alias("n"))
+        .withColumnRenamed("g", group_col)
+    )
+
+
 def kmv_estimate(k: int = KMV_K) -> Column:
     """Distinct-count estimate from (kth, n) sketch state: exact n
     when the group fit in the sketch, else the (k-1)*M/kth estimator

@@ -455,6 +455,63 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_merge_parity",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               (user_id * 2654435761) % 1000000007 AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h ASC) AS r
+        FROM h
+    )
+    SELECT event_type, max(h) AS kth, CAST(count(*) AS BIGINT) AS n,
+           CAST(CASE WHEN count(*) < 32 THEN count(*)
+                     ELSE CAST(31000000217 AS BIGINT) // max(h)
+                END AS BIGINT) AS kmv_estimate
+    FROM rk WHERE r <= 32 GROUP BY 1
+    """,
+)
+def kmv_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch's MERGE path, driver-verified: the events table
+    is sliced 4 ways (user_id mod 4 — the same deterministic slicing
+    the streamed parities use), a PARTIAL sketch (k-min hash rows) is
+    built per (event_type, slice), and ``kmv_merge`` pools them back
+    into one sketch per type. The oracle computes the DIRECT global
+    sketch in one pass — so a green hash row proves merged ==
+    one-shot bit-for-bit, which is the entire value proposition of a
+    mergeable sketch (per-day/per-shard/per-batch sketches combine
+    across time and space without re-reading history; HLL can't make
+    this cross-engine claim because its sketch is
+    implementation-defined). NULL user_ids fold into slice 3 — and
+    are then dropped by the sketch's NULL-id filter, matching the
+    oracle's WHERE.
+
+    Scale shape: one corpus distinct over (type, slice, hash) with
+    WindowGroupLimit per cell; everything downstream of the partials
+    is (types x slices x k)-sized. Merging is itself expressible as
+    the same two operators (distinct + windowed k-min), so it runs
+    wherever the sketch does."""
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_partials,
+    )
+
+    ev = events_table(spark, sf_dir).withColumn(
+        "slc", F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
+    )
+    partials = kmv_partials(ev, "event_type", "slc", "user_id")
+    merged = kmv_merge(partials, "event_type")
+    return merged.select(
+        "event_type", "kth", "n", kmv_estimate().alias("kmv_estimate")
+    )
+
+
+@query(
     "ab_test_report",
     oracle="""
     WITH pu AS (
@@ -997,6 +1054,61 @@ def drift_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cols=["n"],
     )
     return drift_view(spark, serving)
+
+
+@query(
+    "percentile_streamed_parity",
+    oracle="""
+    WITH h AS (
+        SELECT user_id,
+               least(63, greatest(0, CAST(floor(value * 4) AS INTEGER)))
+                   AS bucket,
+               count(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT user_id, bucket,
+               sum(n) OVER (PARTITION BY user_id ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(n) OVER (PARTITION BY user_id) AS tot
+        FROM h
+    )
+    SELECT user_id, min(bucket) / 4.0 AS p95_value
+    FROM c WHERE cum * 10000 >= tot * 9500
+    GROUP BY user_id
+    """,
+)
+def percentile_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST of the four additive serving tables (per-user value
+    HISTOGRAMS — the mergeable percentile sketch) through the
+    driver-verified streamed-parity protocol: 4 micro-batches +
+    crash-replay via ``apply_additive_batch``, then
+    ``user_percentile_view`` reads the bucket-resolution p95 from the
+    maintained grid. The oracle recomputes the identical percentile
+    from the raw events, so a green row proves the full maintained
+    path — bucket clamping, NULL-value quarantine (NULL values occupy
+    a NULL bucket in the grid but contribute no mass to the
+    percentile), additive merge, cumulative read-time scan. With this
+    row, user_counts / trending / drift / value_histograms are ALL
+    re-verified through the real merge protocol every time they're
+    sampled. Scale shape: each merge joins two O(users x 64) grids;
+    the percentile window runs over <= 64 rows per user."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        user_percentile_view,
+        value_histogram_increment,
+    )
+
+    serving = _run_streamed_parity(
+        spark,
+        sf_dir,
+        scratch_stem="decps_percentile_parity_serving",
+        inc_fn=value_histogram_increment,
+        keys=["user_id", "bucket"],
+        sum_cols=["n"],
+    )
+    return user_percentile_view(spark, serving, p=0.95)
 
 
 @query(

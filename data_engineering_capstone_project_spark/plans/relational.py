@@ -1649,6 +1649,60 @@ def waiting_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q13 shape: distribution of per-customer order counts over a
+# FILTERED left outer join — completing the 22/22 TPC-H suite. The
+# canonical filter is a comment-pattern NOT LIKE; this testdata's
+# orders table carries no o_comment column, so the filter is adapted
+# to the available schema (exclude 1-URGENT orders) while keeping the
+# shape that makes Q13 interesting: the predicate must live in the
+# JOIN CONDITION, not a WHERE (a WHERE would silently turn the outer
+# join inner and drop the zero-order customers that anchor the
+# distribution's head).
+@query(
+    "customer_distribution_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 re-expression: how many customers placed 0, 1, 2, ...
+    qualifying orders. Two-level aggregate: per-customer counts over a
+    left outer join whose non-join predicate is pushed to the ORDERS
+    SIDE BEFORE the join (filter-then-join — Catalyst pushes it as a
+    scan filter on orders, so the shuffle carries only qualifying
+    orders), then the tiny count-of-counts. count(o_orderkey) — not
+    count(*) — makes the no-match customers count 0. Scale shape: one
+    shuffle of (filtered) orders on o_custkey against customers; the
+    second aggregate's domain is the max order count per customer,
+    ~dozens of rows. The distribution head (c_count = 0) is exactly
+    the anti-join population, which is why the filter must stay in
+    the join condition."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    qualifying = orders.filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.select("c_custkey")
+        .join(qualifying, cust.c_custkey == qualifying.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
 @query(
     "customer_spend_tiers",
     oracle="""
@@ -2917,6 +2971,52 @@ def revenue_by_segment_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("orders"),
         (F.sum("price_fp") / F.lit(100.0)).alias("revenue"),
+    )
+
+
+# Skew DIAGNOSIS companion to the salted-join operator: before
+# reaching for salting/AQE-skew-join, a pipeline owner needs to know
+# WHICH keys are hot and how much mass they carry.
+@query(
+    "heavy_hitter_custkeys",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, count(*) AS orders
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(orders) AS BIGINT) AS total FROM c)
+    SELECT o_custkey, orders,
+           (orders * 1000000 // t.total) / 10000.0 AS pct_of_rows
+    FROM c, t
+    ORDER BY orders DESC, o_custkey ASC
+    LIMIT 20
+    """,
+)
+def heavy_hitter_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hottest join keys with their share of total rows — the
+    skew report you run BEFORE deciding whether a join needs salting
+    (operators/skew.py) or AQE's skew split: a key carrying >1% of a
+    100 TB fact is a straggler task waiting to happen. Exact, not
+    sketched: one keyed count (map-side partial combine collapses the
+    hot keys by definition — the skew that makes the join slow makes
+    this diagnosis cheap), a broadcast 1-row total, and the top-20
+    plans as TakeOrderedAndProject (running top-k per partition,
+    never a global sort). Share arithmetic is int64 floor-division,
+    engine-exact."""
+    orders = table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.count("*").alias("orders"))
+    t = c.agg(F.sum("orders").cast("bigint").alias("total"))
+    return (
+        c.join(broadcast(t))
+        .select(
+            "o_custkey",
+            "orders",
+            (F.expr("orders * 1000000 div total") / F.lit(10000.0)).alias(
+                "pct_of_rows"
+            ),
+        )
+        .orderBy(F.desc("orders"), F.asc("o_custkey"))
+        .limit(20)
     )
 
 

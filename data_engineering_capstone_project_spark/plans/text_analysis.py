@@ -1592,6 +1592,61 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contiguous_doc_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+               AS global_id
+    FROM documents
+    """,
+)
+def contiguous_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense contiguous 0-based ids in key order WITHOUT a global
+    sort — the training-sample indexing primitive (epoch arithmetic,
+    resumable readers, and memory-mapped index files all want dense
+    [0, N) ids; ``monotonically_increasing_id`` is non-contiguous and
+    a global ``row_number()`` is the single-partition trap this repo
+    replaced in the quartiles query). Two-phase shape, the
+    distributed zipWithIndex re-expressed in pure DataFrame ops:
+    RANGE-shard by doc_id (shard = doc_id div width, so (shard,
+    doc_id) order IS doc_id order; width from a broadcast 1-row
+    max-aggregate, shard count corpus-scaled by the shared rule),
+    rank WITHIN each shard, then add per-shard offsets — prefix sums
+    over the GRID-SIZED shard-count frame (one window over n_shards
+    rows, the same bounded-grid exemption as event_rate_anomalies)
+    broadcast back onto the ranked rows. One corpus Exchange (the
+    shard hash), per-task sort depth constant as the corpus grows.
+    The oracle's global row_number proves the two-phase assembly is
+    EXACTLY the global order, which is the whole point."""
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    n_shards = _corpus_shard_count(spark, sf_dir)
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    sharded = docs.join(broadcast(mx)).select(
+        "doc_id",
+        F.expr(f"doc_id div (mx div {n_shards} + 1)").alias("shard"),
+    )
+    ranked = sharded.withColumn(
+        "r", F.row_number().over(W.partitionBy("shard").orderBy("doc_id"))
+    )
+    counts = sharded.groupBy("shard").agg(F.count("*").alias("c"))
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("shard", "off")
+    return ranked.join(broadcast(offsets), "shard").select(
+        "doc_id",
+        (F.col("off") + F.col("r") - 1).cast("bigint").alias("global_id"),
+    )
+
+
+@query(
     "weak_label_votes",
     oracle=r"""
     WITH lf AS (

@@ -590,3 +590,55 @@ def test_span_corruption_is_map_only(spark):
     corruption pass costs one read and one write."""
     plan = _plan(QUERIES["span_corruption_examples"](spark, SF_SMALL))
     assert "Exchange" not in plan, plan
+
+
+def test_co_ordered_parts_prefilter_is_broadcast_semi(spark):
+    """The Apriori min-support prefilter must reach the pairing input
+    as a broadcast LEFT SEMI join on the catalog-sized frequent-part
+    set — if it ever degrades to a shuffled join (or disappears), the
+    pair explosion runs over the unfiltered corpus again (the
+    measured 4.2@40x trap). The pair self-join itself must stay an
+    equi-join on l_orderkey, never a cartesian."""
+    plan = _plan(QUERIES["co_ordered_parts"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q13_filter_pushed_to_orders_scan(spark):
+    """Q13's non-join predicate must be pushed into the orders
+    parquet scan (PushedFilters) — NOT evaluated after the outer
+    join, where it would silently drop the zero-order customers that
+    anchor the distribution — and the join must remain an outer
+    join."""
+    df = QUERIES["customer_distribution_q13"](spark, SF_SMALL)
+    plan = _plan(df)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderpriority)" in plan or (
+        "1-URGENT" in plan.split("LeftOuter")[0]
+    ), plan
+    assert "LeftOuter" in plan or "LeftOuter" in optimized, plan
+
+
+def test_kmv_partials_and_merge_use_window_group_limit(spark):
+    """Both halves of the merge path — the per-(group, slice) partial
+    k-min and the pooled re-rank — must plan as WindowGroupLimit
+    (running top-k), never a full sort of the distinct-hash sets."""
+    plan = _plan(QUERIES["kmv_merge_parity"](spark, SF_SMALL))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_contiguous_ids_never_range_partition(spark):
+    """The dense-id assembly must stay two-phase (hash shard + grid
+    offsets): a global row_number would show up as a rangepartitioning
+    Exchange (the single-partition sort trap) — forbidden here."""
+    plan = _plan(QUERIES["contiguous_doc_ids"](spark, SF_SMALL))
+    assert "rangepartitioning" not in plan, plan
+    assert "SinglePartition" in plan  # the GRID-sized offsets window only
+
+
+def test_heavy_hitters_top20_is_take_ordered(spark):
+    """The skew report's top-20 must plan as TakeOrderedAndProject
+    (running top-k per partition), never a full sort of the key
+    counts."""
+    plan = _plan(QUERIES["heavy_hitter_custkeys"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -67,6 +67,41 @@ def test_kmv_sketch_matches_python_reference(spark, users):
 
 @settings(**_SETTINGS)
 @given(
+    users=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 4),  # arbitrary slice assignment
+            st.integers(0, 500),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_kmv_merge_equals_direct_sketch(spark, users):
+    """The mergeability law, property-tested through the PRODUCTION
+    helpers: per-slice partial sketches pooled by kmv_merge must be
+    BIT-IDENTICAL (kth and n, not just the estimate) to the direct
+    one-pass sketch over the union, under ANY slicing — including a
+    user appearing in several slices (duplicate hashes across
+    partials) and slices holding fewer than k users."""
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        kmv_merge,
+        kmv_partials,
+    )
+
+    df = spark.createDataFrame(users, "g string, slc int, user_id long")
+    merged = {
+        (r.g, r.kth, r.n)
+        for r in kmv_merge(kmv_partials(df, "g", "slc", "user_id"), "g").collect()
+    }
+    direct = {
+        (r.g, r.kth, r.n) for r in kmv_sketch(df, "g", "user_id").collect()
+    }
+    assert merged == direct
+
+
+@settings(**_SETTINGS)
+@given(
     docs=st.lists(
         st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=10),
         min_size=1,
