@@ -36,10 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 6 new + 5 changed,
+# CORRECTNESS_r01..r0N.json. This round that means: 7 new + 5 changed,
 # then the 17 queries last sampled in r1, then the 39 last sampled in
-# r2 (the first 22 of which fit the 50-row sample; the rest plus the
-# r3 tail lead the r7 rotation). 160 queries total, all with oracles.
+# r2 (the first 21 of which fit the 50-row sample; the rest plus the
+# r3 tail lead the r7 rotation). 161 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
     # round-6: new, never sampled — the trending serving table
     # maintained through the REAL Structured Streaming engine
@@ -54,6 +54,7 @@ _DRIVER_SAMPLE_FIRST = [
     "customer_distribution_q13",
     "contiguous_doc_ids",
     "heavy_hitter_custkeys",
+    "ann_pq_topk_after_delete",
     # round-6: code changed — re-verify on the current build
     "co_ordered_parts",          # Apriori min-support prefilter added
     "length_bucketed_batches",   # corpus-scaled shard count applied
@@ -100,14 +101,14 @@ _DRIVER_SAMPLE_FIRST = [
     "nations_with_suppliers",
     "order_activity",
     "order_priority_cube",
+    # --- 50-row sample boundary falls here; the rest of the r2 tail
+    # stays listed so the r7 rotation starts from a recorded order ---
     "order_status_pivot",
     "order_status_unpivot",
     "orders_moving_avg",
     "orders_price_histogram",
     "price_percentiles",
     "quality_summary",
-    # --- 50-row sample boundary falls here; the rest of the r2 tail
-    # stays listed so the r7 rotation starts from a recorded order ---
     "quantity_discount_corr",
     "repeat_buyers_intersect",
     "returned_revenue_q10",

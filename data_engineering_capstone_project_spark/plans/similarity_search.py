@@ -1133,6 +1133,69 @@ def ann_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_topk_after_delete",
+    oracle=f"""
+    WITH {_PQ_SCODE_CTES},
+    adc AS (
+        SELECT q.query_id, c2.vec_id AS neighbor_id,
+               CAST(sum(q.d) AS BIGINT) AS approx_d
+        FROM codes c2 JOIN qd q ON q.s = c2.s AND q.label = c2.code
+        WHERE q.query_id <> c2.vec_id AND c2.vec_id % 10 <> 7
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_d,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT query_id, neighbor_id, approx_d,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_d ASC, neighbor_id ASC)
+                   AS rnk
+        FROM adc
+    ) WHERE rnk <= 3
+    """,
+)
+def ann_pq_topk_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE half of the codes-table lifecycle (append is
+    ``pq_encode_incremental``): vectors with ``vec_id % 10 == 7``
+    stand in for a right-to-be-forgotten/expired-keys list, and the
+    index serves correct top-k WITHOUT re-encoding anything — the
+    tombstones are a broadcast LEFT ANTI join against the stored
+    codes at read time (the deletion-vector pattern Delta/Iceberg
+    use: logical delete now, physical rewrite at the next
+    compaction; ``delete_keys_partitioned`` is this repo's rewrite
+    path when the tombstone set warrants it). The oracle scores the
+    corpus minus the deleted ids from scratch, so a green row proves
+    the anti-join view is EXACTLY the re-encoded-minus-deleted index
+    — deleted vectors can never resurface as neighbors, while
+    deleted ids that are also query ids (7 here) keep querying, as a
+    caller holding an old query vector would.
+
+    Scale shape: identical to ``ann_pq_topk_indexed`` plus one
+    broadcast anti join against the key-only tombstone frame — the
+    codes scan, the ADC broadcast, and the WindowGroupLimit are
+    unchanged; cost of deletion at read time is O(tombstones) of
+    broadcast, zero corpus writes."""
+    from pyspark.sql.window import Window
+
+    codes = pq_codes_table(spark, sf_dir)
+    tombstones = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+    )
+    live = codes.join(broadcast(tombstones), "vec_id", "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d"), F.asc("neighbor_id")
+    )
+    return (
+        _pq_adc(spark, sf_dir, codes=live)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "approx_d", "rnk")
+    )
+
+
+@query(
     "pq_encode_incremental",
     oracle=f"""
     WITH {_PQ_SCODE_CTES}

@@ -1618,17 +1618,30 @@ def contiguous_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard hash), per-task sort depth constant as the corpus grows.
     The oracle's global row_number proves the two-phase assembly is
     EXACTLY the global order, which is the whole point."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return dense_ids(docs, "doc_id", _corpus_shard_count(spark, sf_dir))
+
+
+def dense_ids(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    """The two-phase dense-id assembly behind ``contiguous_doc_ids``
+    (one definition, shared with the property tests): range-shard by
+    the UNIQUE integer key, rank within shards, add grid-sized
+    prefix-sum offsets. Output: (key_col, global_id) with global_id
+    dense in [0, N) and ordered by key_col — for ANY key set (gaps,
+    negative keys, fewer keys than shards)."""
     from pyspark.sql.window import Window as W
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    n_shards = _corpus_shard_count(spark, sf_dir)
-    mx = docs.agg(F.max("doc_id").alias("mx"))
-    sharded = docs.join(broadcast(mx)).select(
-        "doc_id",
-        F.expr(f"doc_id div (mx div {n_shards} + 1)").alias("shard"),
+    mx = df.agg(F.max(key_col).alias("mx"), F.min(key_col).alias("mn"))
+    # Range width from the key SPAN (not max alone): negative or
+    # offset key ranges must still spread across ~n_shards shards.
+    sharded = df.join(broadcast(mx)).select(
+        key_col,
+        F.expr(
+            f"({key_col} - mn) div ((mx - mn) div {n_shards} + 1)"
+        ).alias("shard"),
     )
     ranked = sharded.withColumn(
-        "r", F.row_number().over(W.partitionBy("shard").orderBy("doc_id"))
+        "r", F.row_number().over(W.partitionBy("shard").orderBy(key_col))
     )
     counts = sharded.groupBy("shard").agg(F.count("*").alias("c"))
     offsets = counts.withColumn(
@@ -1641,7 +1654,7 @@ def contiguous_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("shard", "off")
     return ranked.join(broadcast(offsets), "shard").select(
-        "doc_id",
+        key_col,
         (F.col("off") + F.col("r") - 1).cast("bigint").alias("global_id"),
     )
 

@@ -642,3 +642,13 @@ def test_heavy_hitters_top20_is_take_ordered(spark):
     counts."""
     plan = _plan(QUERIES["heavy_hitter_custkeys"](spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pq_delete_tombstones_are_broadcast_anti(spark):
+    """Read-time index deletion must stay a broadcast LEFT ANTI join
+    of the key-only tombstone frame against the stored codes — a
+    shuffled anti join would move the whole index for a handful of
+    deletes, and a missing anti join would resurface deleted
+    vectors."""
+    plan = _plan(QUERIES["ann_pq_topk_after_delete"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -102,6 +102,31 @@ def test_kmv_merge_equals_direct_sketch(spark, users):
 
 @settings(**_SETTINGS)
 @given(
+    keys=st.sets(
+        st.integers(-1_000_000, 1_000_000), min_size=1, max_size=200
+    ),
+    n_shards=st.sampled_from([1, 2, 7, 64]),
+)
+def test_dense_ids_are_dense_and_key_ordered(spark, keys, n_shards):
+    """The two-phase dense-id assembly must produce EXACTLY
+    [0, N) in key order for ANY unique key set — gaps, negative
+    keys, single-key sets, fewer keys than shards — and any shard
+    count: shard boundaries are a parallelism choice that must never
+    leak into the ids."""
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        dense_ids,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: r.global_id for r in dense_ids(df, "k", n_shards).collect()
+    }
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
     docs=st.lists(
         st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=10),
         min_size=1,

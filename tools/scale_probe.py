@@ -194,6 +194,7 @@ def _run_probes(k: int, out: str):
         #   the merge itself is grid-sized — flat-ish bar expected.)
         "contiguous_doc_ids",    # two-phase dense ids, no rangepartitioning
         "heavy_hitter_custkeys",  # keyed count + TakeOrderedAndProject
+        "ann_pq_topk_after_delete",  # indexed ADC + broadcast anti tombstones
     ]
     only = set(sys.argv[3:])
     if only:
