@@ -3002,7 +3002,9 @@ def heavy_hitter_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     this diagnosis cheap), a broadcast 1-row total, and the top-20
     plans as TakeOrderedAndProject (running top-k per partition,
     never a global sort). Share arithmetic is int64 floor-division,
-    engine-exact."""
+    engine-exact; overflow needs a single key's count past 9.2e12
+    (orders x 1e6 under int64) — coarsen the fixed point before any
+    real table gets there."""
     orders = table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(F.count("*").alias("orders"))
     t = c.agg(F.sum("orders").cast("bigint").alias("total"))
