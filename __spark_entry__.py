@@ -36,10 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 7 new + 5 changed,
+# CORRECTNESS_r01..r0N.json. This round that means: 9 new + 5 changed,
 # then the 17 queries last sampled in r1, then the 39 last sampled in
-# r2 (the first 21 of which fit the 50-row sample; the rest plus the
-# r3 tail lead the r7 rotation). 161 queries total, all with oracles.
+# r2 (the first 19 of which fit the 50-row sample; the rest plus the
+# r3 tail lead the r7 rotation). 163 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
     # round-6: new, never sampled — the trending serving table
     # maintained through the REAL Structured Streaming engine
@@ -47,7 +47,8 @@ _DRIVER_SAMPLE_FIRST = [
     # 4th serving table's (value histograms -> p95) parity; the KMV
     # merge-equals-direct parity; TPC-H Q13 completing the 22/22
     # suite; dense contiguous ids without a global sort; the
-    # heavy-hitter skew report
+    # heavy-hitter skew report; index deletion; the SRM audit; the
+    # per-source distinctive-token report
     "trending_engine_streamed_parity",
     "percentile_streamed_parity",
     "kmv_merge_parity",
@@ -55,6 +56,8 @@ _DRIVER_SAMPLE_FIRST = [
     "contiguous_doc_ids",
     "heavy_hitter_custkeys",
     "ann_pq_topk_after_delete",
+    "srm_check",
+    "source_distinctive_tokens",
     # round-6: code changed — re-verify on the current build
     "co_ordered_parts",          # Apriori min-support prefilter added
     "length_bucketed_batches",   # corpus-scaled shard count applied
@@ -99,10 +102,10 @@ _DRIVER_SAMPLE_FIRST = [
     "late_shipment_orders_q4",
     "local_supplier_volume_q5",
     "nations_with_suppliers",
-    "order_activity",
-    "order_priority_cube",
     # --- 50-row sample boundary falls here; the rest of the r2 tail
     # stays listed so the r7 rotation starts from a recorded order ---
+    "order_activity",
+    "order_priority_cube",
     "order_status_pivot",
     "order_status_unpivot",
     "orders_moving_avg",

@@ -629,6 +629,70 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "srm_check",
+    oracle="""
+    WITH v AS (
+        SELECT ((user_id * 2654435761) % 1000000007) % 2 AS variant
+        FROM (SELECT DISTINCT user_id FROM events)
+        WHERE user_id IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM v
+    )
+    SELECT n_a, n_b,
+           ((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b))
+               / 1000000.0 AS chi2,
+           (n_a - n_b) * (n_a - n_b) * 100000 >= 384146 * (n_a + n_b)
+               AS srm_flag
+    FROM s
+    """,
+)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit for the A/B split — the guardrail
+    every experimentation platform runs BEFORE reading a treatment
+    effect: if the 50/50 assignment didn't land 50/50, the experiment
+    is corrupted (logging loss, bot filtering, assignment bug) and
+    ``ab_test_report``'s statistic is meaningless. Uses the EXACT
+    assignment expression ab_test_report uses (mixed Knuth hash mod
+    2), so this audits the assignment actually in use, not a copy.
+    Chi-square for two cells at p=0.5 reduces to (n_a-n_b)^2/(n_a+n_b)
+    — computed in pure int64 with a fixed-point floor, and the
+    p<0.05 flag compares (n_a-n_b)^2 * 1e5 against 3.84146 * total
+    scaled to integers: both engines evaluate identical integer
+    predicates, no libm, no doubles until display. Scale shape: one
+    distinct-user pass, then O(1); overflow needs (n_a-n_b)^2 * 1e6
+    past int64 — a 3e6-user IMBALANCE — far beyond any sane SRM."""
+    ev = events_table(spark, sf_dir)
+    v = (
+        ev.select("user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .select(
+            F.pmod(
+                F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(1000000007)),
+                F.lit(2),
+            ).alias("variant")
+        )
+    )
+    s = v.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    tot = F.col("n_a") + F.col("n_b")
+    return s.select(
+        "n_a",
+        "n_b",
+        (F.expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)") / F.lit(1000000.0)).alias("chi2"),
+        (d * d * F.lit(100000) >= F.lit(384146) * tot).alias("srm_flag"),
+    )
+
+
+@query(
     "events_distinct_users",
     oracle="""
     SELECT event_type,

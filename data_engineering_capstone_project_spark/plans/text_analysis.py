@@ -1592,6 +1592,112 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_distinctive_tokens",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, tok
+        FROM (SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                         AS tok
+              FROM documents)
+        WHERE tok <> ''
+    ),
+    st AS (SELECT source, tok, count(*) AS a FROM tok GROUP BY 1, 2),
+    tt AS (SELECT tok, count(*) AS t FROM tok GROUP BY 1),
+    sa AS (SELECT source, count(*) AS src_total FROM tok GROUP BY 1),
+    g  AS (SELECT count(*) AS corpus_total FROM tok)
+    SELECT source, tok, a AS occurrences,
+           lift_fp / 1000.0 AS lift, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT st.source, st.tok, st.a,
+               ((st.a + 1) * (g.corpus_total - sa.src_total + 1) * 1000)
+                   // ((tt.t - st.a + 1) * (sa.src_total + 1)) AS lift_fp,
+               row_number() OVER (
+                   PARTITION BY st.source
+                   ORDER BY ((st.a + 1) * (g.corpus_total - sa.src_total + 1)
+                             * 1000)
+                            // ((tt.t - st.a + 1) * (sa.src_total + 1)) DESC,
+                            st.tok ASC) AS rank
+        FROM st
+        JOIN tt USING (tok)
+        JOIN sa USING (source)
+        CROSS JOIN g
+    )
+    WHERE rank <= 5
+    """,
+)
+def source_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which tokens DISTINGUISH each source from the rest of the
+    corpus — the boilerplate/template detector every curation pass
+    needs (a source whose top-distinctive tokens are navigation chrome
+    or licence headers gets a cleaning rule; one whose tokens are
+    topical is healthy). Score = add-1-smoothed relative-rate lift
+    P(tok|source)/P(tok|rest) = ((a+1)(T-A+1)) / ((t-a+1)(A+1)) with
+    a = in-source count, t = corpus count, A = source size, T =
+    corpus size — computed ENTIRELY in int64 with one fixed-point
+    floor (no log-odds: ln() is libm, whose last-ulp differences
+    across engines could flip a floor — the same reason the length
+    buckets use bit-length, not log2). Overflow bound: (a+1) x
+    (T-A+1) x 1000 must stay under 9.2e18 — safe to a ~1e7-token
+    source inside a ~1e8-token corpus; coarsen the fixed point past
+    that.
+
+    Scale shape: ONE corpus explode feeding the (source, token)
+    partial+final agg — the only corpus-sized Exchange, and the only
+    one that exists: the token totals, source sizes, and corpus size
+    are all derived FROM that aggregated grid (sums of ``a``), which
+    is scoped_persist-ed (the dedup-signature pattern) so the four
+    consumers share ONE computation of the explode+agg instead of
+    re-exploding the corpus per marginal (AQE's stage reuse does not
+    collapse these branches — verified on the executed plan, hence
+    the explicit persist). Then a vocab-grain join, two broadcast
+    aggregate frames, and a per-source WindowGroupLimit top-5."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    st = scoped_persist(
+        tok.groupBy("source", "tok").agg(F.count("*").alias("a")),
+        "source_distinctive_tokens.st",
+    )
+    tt = st.groupBy("tok").agg(F.sum("a").alias("t"))
+    sa = st.groupBy("source").agg(F.sum("a").alias("src_total"))
+    g = st.agg(F.sum("a").alias("corpus_total"))
+    lift_fp = F.expr(
+        "((a + 1) * (corpus_total - src_total + 1) * 1000)"
+        " div ((t - a + 1) * (src_total + 1))"
+    )
+    scored = (
+        st.join(tt, "tok")
+        .join(broadcast(sa), "source")
+        .join(broadcast(g))
+        .select(
+            "source",
+            "tok",
+            F.col("a").alias("occurrences"),
+            lift_fp.alias("lift_fp"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("lift_fp"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "source",
+            "tok",
+            "occurrences",
+            (F.col("lift_fp") / F.lit(1000.0)).alias("lift"),
+            "rank",
+        )
+    )
+
+
+@query(
     "contiguous_doc_ids",
     oracle="""
     SELECT doc_id,

@@ -652,3 +652,14 @@ def test_pq_delete_tombstones_are_broadcast_anti(spark):
     vectors."""
     plan = _plan(QUERIES["ann_pq_topk_after_delete"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_source_distinctive_single_corpus_aggregation(spark):
+    """The distinctive-token report's marginals must be derived from
+    the persisted (source, token) grid — the corpus explode+agg runs
+    ONCE (scoped_persist), and the top-5 plans as WindowGroupLimit.
+    Four independent re-explosions of the corpus would be the
+    re-scan trap the persist exists to avoid."""
+    plan = _plan(QUERIES["source_distinctive_tokens"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, plan
+    assert _cache_scans(plan, "a") >= 3, plan

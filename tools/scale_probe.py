@@ -195,6 +195,8 @@ def _run_probes(k: int, out: str):
         "contiguous_doc_ids",    # two-phase dense ids, no rangepartitioning
         "heavy_hitter_custkeys",  # keyed count + TakeOrderedAndProject
         "ann_pq_topk_after_delete",  # indexed ADC + broadcast anti tombstones
+        "srm_check",             # distinct-user pass -> O(1) chi-square
+        "source_distinctive_tokens",  # one (source,tok) Exchange + marginals
     ]
     only = set(sys.argv[3:])
     if only:
