@@ -1,0 +1,113 @@
+"""Plan census: one structural row per registered query — the
+whole-surface audit of the physical-plan properties that decide
+100 TB behavior, generated instead of hand-claimed.
+
+For every query (built at the smallest SF — these are PLAN
+properties, data-size independent) it records, from the executed
+plan string:
+
+* ``exchanges``   — shuffle count (hash/range/single-partition);
+  the per-query tests pin exact counts for the asserted plans, this
+  census shows the whole distribution at a glance.
+* ``range_part``  — rangepartitioning Exchanges (global sorts);
+  expected ONLY in the queries whose contract is a globally ordered
+  result (top-k via TakeOrderedAndProject does not count one).
+* ``cartesian``   — CartesianProduct / BroadcastNestedLoopJoin
+  nodes; expected ONLY in the declared brute-force verifier tier
+  and the tiny broadcast centroid/constant-frame joins.
+* ``wgl``         — WindowGroupLimit present (running top-k).
+* ``python``      — ArrowEvalPython / FlatMapGroupsInPandas /
+  MapInPandas nodes (the declared Arrow escape hatches; any OTHER
+  Python node would be a row-at-a-time regression).
+* ``take_ordered``— TakeOrderedAndProject present.
+
+Queries that RUN work at build time (the streamed parities, the
+codes-table builders) are skipped by default — their plan is the
+read-side view, and building them here would replay merge protocols
+just to print a string; pass --all to include them.
+
+Usage: python tools/plan_census.py [sf_dir] [--all] > PLAN_CENSUS.md
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+# Queries whose *construction* executes jobs (parity protocols fold
+# micro-batches; index builders encode-and-write on first touch).
+# Their scale posture is probed/asserted elsewhere; the census
+# documents the declarative tier.
+_EAGER = {
+    "trending_streamed_parity",
+    "drift_streamed_parity",
+    "user_counts_streamed_parity",
+    "percentile_streamed_parity",
+    "trending_engine_streamed_parity",
+    "star_schema_summary",
+    "revenue_by_priority_bucketed",
+    "ann_pq_topk_indexed",
+    "ann_ivfpq_topk_indexed",
+    "ann_pq_topk_after_delete",
+    "pq_codes_table",
+}
+
+
+def main() -> int:
+    sf_dir = "/root/testdata/sf0.001"
+    include_eager = "--all" in sys.argv
+    for a in sys.argv[1:]:
+        if not a.startswith("-"):
+            sf_dir = a
+
+    from data_engineering_capstone_project_spark.plans import QUERIES
+    from data_engineering_capstone_project_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-census", shuffle_partitions=8)
+
+    print(f"# Plan census ({len(QUERIES)} registered queries, sf={sf_dir})")
+    print()
+    print("| query | exchanges | reused | range_part | cartesian | wgl | python | take_ordered |")
+    print("|---|---|---|---|---|---|---|---|")
+    skipped = []
+    for name, fn in QUERIES.items():
+        if name in _EAGER and not include_eager:
+            skipped.append(name)
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — census must finish
+            print(f"| {name} | ERROR: {type(exc).__name__} | | | | | | |")
+            continue
+        # ReusedExchange nodes are reads of an already-computed
+        # shuffle, not new shuffles — count them separately.
+        reused = plan.count("ReusedExchange")
+        ex = plan.count("Exchange") - reused
+        rp = plan.count("rangepartitioning")
+        cart = plan.count("CartesianProduct") + plan.count(
+            "BroadcastNestedLoopJoin"
+        )
+        wgl = "y" if "WindowGroupLimit" in plan else ""
+        py = sum(
+            plan.count(n)
+            for n in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+        )
+        tops = "y" if "TakeOrderedAndProject" in plan else ""
+        print(
+            f"| {name} | {ex} | {reused or ''} | {rp} | {cart} | {wgl} |"
+            f" {py or ''} | {tops} |"
+        )
+    if skipped:
+        print()
+        print(
+            f"Skipped (eager build-time work; probed/asserted elsewhere): "
+            f"{', '.join(sorted(skipped))}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
