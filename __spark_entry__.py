@@ -36,10 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 9 new + 5 changed,
+# CORRECTNESS_r01..r0N.json. This round that means: 10 new + 5 changed,
 # then the 17 queries last sampled in r1, then the 39 last sampled in
-# r2 (the first 19 of which fit the 50-row sample; the rest plus the
-# r3 tail lead the r7 rotation). 163 queries total, all with oracles.
+# r2 (the first 18 of which fit the 50-row sample; the rest plus the
+# r3 tail lead the r7 rotation). 164 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
     # round-6: new, never sampled — the trending serving table
     # maintained through the REAL Structured Streaming engine
@@ -48,7 +48,8 @@ _DRIVER_SAMPLE_FIRST = [
     # merge-equals-direct parity; TPC-H Q13 completing the 22/22
     # suite; dense contiguous ids without a global sort; the
     # heavy-hitter skew report; index deletion; the SRM audit; the
-    # per-source distinctive-token report
+    # per-source distinctive-token report; the mergeable-sketch
+    # (KMV distinct) serving table
     "trending_engine_streamed_parity",
     "percentile_streamed_parity",
     "kmv_merge_parity",
@@ -58,6 +59,7 @@ _DRIVER_SAMPLE_FIRST = [
     "ann_pq_topk_after_delete",
     "srm_check",
     "source_distinctive_tokens",
+    "kmv_streamed_parity",
     # round-6: code changed — re-verify on the current build
     "co_ordered_parts",          # Apriori min-support prefilter added
     "length_bucketed_batches",   # corpus-scaled shard count applied
@@ -101,9 +103,9 @@ _DRIVER_SAMPLE_FIRST = [
     "large_order_customers_q18",
     "late_shipment_orders_q4",
     "local_supplier_volume_q5",
-    "nations_with_suppliers",
     # --- 50-row sample boundary falls here; the rest of the r2 tail
     # stays listed so the r7 rotation starts from a recorded order ---
+    "nations_with_suppliers",
     "order_activity",
     "order_priority_cube",
     "order_status_pivot",

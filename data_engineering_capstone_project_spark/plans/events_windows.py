@@ -512,6 +512,66 @@ def kmv_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_streamed_parity",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               (user_id * 2654435761) % 1000000007 AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h ASC) AS r
+        FROM h
+    )
+    SELECT event_type, max(h) AS kth, CAST(count(*) AS BIGINT) AS n,
+           CAST(CASE WHEN count(*) < 32 THEN count(*)
+                     ELSE CAST(31000000217 AS BIGINT) // max(h)
+                END AS BIGINT) AS kmv_estimate
+    FROM rk WHERE r <= 32 GROUP BY 1
+    """,
+)
+def kmv_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIFTH maintained serving table, and the first with
+    NON-ADDITIVE state: per-type distinct-user KMV sketches folded
+    incrementally through ``apply_kmv_batch`` (k-min rows merge
+    associatively where counters merge additively — the protocol
+    extended to the sketch class), with the same 4-micro-batch +
+    batch-1 crash-replay discipline as the other parities. The
+    oracle computes the direct one-pass sketch from the raw events,
+    so a green row proves the incrementally-maintained k-min set is
+    BIT-IDENTICAL to the sketch a full recompute would build — the
+    dashboard "distinct users, all time" metric served without ever
+    re-reading history. Scale shape: per batch, one scan of the
+    batch for its k-min rows; every merge unions two (types × k)
+    frames; state stays sketch-sized forever."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        apply_kmv_batch,
+        kmv_serving_view,
+    )
+
+    serving = _parity_scratch_dir("decps_kmv_parity_serving")
+    ev = events_table(spark, sf_dir)
+    batch_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
+    for i in range(4):
+        batch = ev.filter(batch_of == i)
+        applied = apply_kmv_batch(
+            spark, batch, i, serving, group_col="event_type", id_col="user_id"
+        )
+        if applied is not True:
+            raise RuntimeError(f"kmv batch {i} was not applied to fresh state")
+        if i == 1:
+            replayed = apply_kmv_batch(
+                spark, batch, 1, serving,
+                group_col="event_type", id_col="user_id",
+            )
+            if replayed is not False:
+                raise RuntimeError("kmv batch-id guard failed to skip replay")
+    return kmv_serving_view(spark, serving, "event_type")
+
+
+@query(
     "ab_test_report",
     oracle="""
     WITH pu AS (

@@ -393,3 +393,85 @@ def drift_view(spark: SparkSession, serving: str) -> DataFrame:
         )
     )
     return chi2_report(counts)
+
+
+def apply_kmv_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    serving: str,
+    group_col: str,
+    id_col: str,
+) -> bool:
+    """Idempotent MERGEABLE-SKETCH maintenance — the serving-table
+    protocol extended beyond additive state: a distinct count cannot
+    be kept as an additive counter (users repeat across batches), but
+    the KMV k-min set CAN be folded incrementally because k-min is
+    associative — k-min(state ∪ batch) = k-min(state ∪ k-min(batch)).
+    The maintained table holds at most k hash rows per group (plus
+    the applied-batch-id guard column), so every merge unions two
+    (groups × k)-sized frames, re-takes the k smallest per group, and
+    atomically publishes — the same stage+publish+batch-id-guard
+    discipline as ``apply_additive_batch``, applied to the sketch
+    class. Read-time: aggregate the rows to (kth, n) and apply
+    ``kmv_estimate`` — see ``kmv_serving_view``.
+
+    This is how a dashboard serves "distinct users per event type,
+    all time" without ever re-reading history: per batch the stream
+    is scanned once for its hash rows; state stays sketch-sized
+    forever (the HLL use case, with an engine-exact sketch)."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        KMV_K,
+        kmv_partials,
+    )
+
+    if _table_exists(spark, serving):
+        cur = spark.read.parquet(serving)
+        applied = cur.agg(F.max("applied_batch_id")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            return False
+        pooled = cur.select(group_col, "h")
+    else:
+        pooled = None
+
+    partial = kmv_partials(
+        batch_df.withColumn("_slc", F.lit(0)), group_col, "_slc", id_col
+    ).select(group_col, "h")
+    if pooled is not None:
+        pooled = pooled.unionByName(partial).distinct()
+    else:
+        pooled = partial.distinct()
+    w = Window.partitionBy(group_col).orderBy(F.asc("h"))
+    merged = (
+        pooled.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= KMV_K)
+        .select(group_col, "h")
+        .withColumn("applied_batch_id", F.lit(batch_id))
+    )
+    staged = serving + _STAGED
+    merged.write.mode("overwrite").parquet(staged)
+    publish_swap(spark, staged, serving)
+    return True
+
+
+def kmv_serving_view(
+    spark: SparkSession, serving: str, group_col: str
+) -> DataFrame:
+    """Read-time distinct-count estimates over the maintained k-min
+    rows: aggregate to (group, kth, n) and apply the shared
+    ``kmv_estimate`` — identical arithmetic to the batch sketch, so
+    the maintained table hash-matches a from-scratch sketch (the
+    ``kmv_streamed_parity`` driver row)."""
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        kmv_estimate,
+    )
+
+    rows = spark.read.parquet(serving)
+    sk = rows.groupBy(group_col).agg(
+        F.max("h").alias("kth"), F.count("*").alias("n")
+    )
+    return sk.select(
+        group_col, "kth", "n", kmv_estimate().alias("kmv_estimate")
+    )

@@ -197,6 +197,7 @@ def _run_probes(k: int, out: str):
         "ann_pq_topk_after_delete",  # indexed ADC + broadcast anti tombstones
         "srm_check",             # distinct-user pass -> O(1) chi-square
         "source_distinctive_tokens",  # one (source,tok) Exchange + marginals
+        "kmv_streamed_parity",   # mergeable-sketch serving: 4 k-min folds
     ]
     only = set(sys.argv[3:])
     if only:
