@@ -1,0 +1,119 @@
+"""Property tests for the serving-table merge protocols: fold an
+ARBITRARY slicing of a small event set — unbalanced batches, empty
+batches, single-batch, all-in-one-batch — through the PRODUCTION
+``apply_additive_batch`` / ``apply_kmv_batch`` and require the final
+state to equal the from-scratch answer. The registered parities pin
+one deterministic 4-way slicing with a crash-replay; these pin the
+protocol's convergence claim ("additive/mergeable state is
+independent of how the stream was sliced") over the slicings
+hypothesis invents — including the empty micro-batch a real
+availableNow run can deliver, which no modulo-split parity produces.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project_spark.operators.sketches import (
+    KMV_A,
+    KMV_K,
+    KMV_M,
+)
+from data_engineering_capstone_project_spark.streaming.serving import (
+    _user_counts_increment,
+    apply_additive_batch,
+    apply_kmv_batch,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+# (user_id, value, batch assignment 0..3) — values quantized to 1e-4
+# like the production fixed-point column.
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 20),
+        st.integers(-10000, 10000),  # value * 1e4 as int, exact
+        st.integers(0, 3),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(
+        [(u, v / 10000.0, b) for (u, v, b) in rows],
+        "user_id long, value double, b int",
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_additive_merge_is_slicing_independent(spark, rows, tmp_path_factory):
+    serving = str(tmp_path_factory.mktemp("serv")) + "/t"
+    shutil.rmtree(serving, ignore_errors=True)
+    df = _mkdf(spark, rows)
+    applied_any = False
+    for i in range(4):
+        # Empty batches included: apply_additive_batch must fold a
+        # zero-row increment without forking/corrupting state.
+        ok = apply_additive_batch(
+            spark,
+            df.filter(F.col("b") == i).drop("b"),
+            i,
+            serving,
+            _user_counts_increment,
+            keys=["user_id"],
+            sum_cols=["n_events", "value_fp"],
+        )
+        assert ok is True
+        applied_any = True
+    assert applied_any
+    got = {
+        r.user_id: (r.n_events, r.value_fp)
+        for r in spark.read.parquet(serving)
+        .select("user_id", "n_events", "value_fp")
+        .collect()
+    }
+    # From-scratch reference (pure python, exact ints).
+    want: dict[int, list[int]] = {}
+    import math
+
+    for u, v, _ in rows:
+        n, s = want.setdefault(u, [0, 0])
+        want[u][0] = n + 1
+        want[u][1] = s + math.floor((v / 10000.0) * 10000)
+    assert got == {u: (n, s) for u, (n, s) in want.items()}
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_kmv_fold_is_slicing_independent(spark, rows, tmp_path_factory):
+    serving = str(tmp_path_factory.mktemp("serv")) + "/k"
+    shutil.rmtree(serving, ignore_errors=True)
+    df = _mkdf(spark, rows).withColumn("event_type", F.lit("e"))
+    for i in range(4):
+        assert (
+            apply_kmv_batch(
+                spark,
+                df.filter(F.col("b") == i),
+                i,
+                serving,
+                group_col="event_type",
+                id_col="user_id",
+            )
+            is True
+        )
+    got = {
+        (r.event_type, r.kth, r.n)
+        for r in spark.read.parquet(serving)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth"), F.count("*").alias("n"))
+        .collect()
+    }
+    hs = sorted({(u * KMV_A) % KMV_M for u, _, _ in rows})[:KMV_K]
+    want = {("e", hs[-1], len(hs))} if hs else set()
+    assert got == want
