@@ -23,6 +23,20 @@ KMV_K = 32
 KMV_M = 1000000007
 KMV_A = 2654435761
 
+CMS_W = 256
+CMS_P = 1000000007
+# (a, b) pairs for the d=4 CMS rows: fixed multiplicative-hash
+# constants (xxhash/Knuth primes), all < 2^32. Overflow bound: the
+# largest intermediate is a*key + b < 2^32 * 2^30 ~ 2^62 < 2^63 for
+# any key below ~2^30 — same envelope as the KMV hash. ANSI mode
+# fails loudly past it.
+CMS_HASHES = (
+    (2654435761, 1),
+    (2246822519, 3),
+    (3266489917, 7),
+    (668265263, 31),
+)
+
 
 def kmv_sketch(
     df: DataFrame,
@@ -114,6 +128,78 @@ def kmv_merge(partials: DataFrame, group_col: str, k: int = KMV_K) -> DataFrame:
         .groupBy("g")
         .agg(F.max("h").alias("kth"), F.count("*").alias("n"))
         .withColumnRenamed("g", group_col)
+    )
+
+
+def _cms_bucket(key: Column, a: int, b: int) -> Column:
+    """Row hash ((a*key + b) mod P) mod w — pure int64, identical in
+    any engine (DuckDB writes it as the same arithmetic)."""
+    return F.pmod(
+        F.pmod(key.cast("bigint") * F.lit(a) + F.lit(b), F.lit(CMS_P)),
+        F.lit(CMS_W),
+    ).cast("int")
+
+
+def cms_cells(df: DataFrame, key_col: str, *, count_col: str | None = None) -> DataFrame:
+    """Count-Min sketch state (Cormode & Muthukrishnan 2005) over an
+    integer key column: d=4 rows x w=256 buckets of ADDITIVE counts
+    ``(r, b, cnt)`` — at most 1024 rows regardless of corpus size.
+    ONE corpus scan: each key fans out map-side to its d (row, bucket)
+    cells via a 4-element explode, then a partial-aggregating groupBy
+    collapses to the grid. Additivity is the point — cells from
+    slices, days, or micro-batches merge by plain summation, so the
+    sketch slots straight into the ``apply_additive_batch`` serving
+    protocol (unlike KMV, whose merge needs the k-min re-take).
+    NULL keys are dropped, same contract as ``kmv_sketch``.
+
+    ``count_col`` weights each input row by an integer column instead
+    of 1 (a pre-aggregated (key, cnt) frame folds in exactly)."""
+    weight = (
+        F.col(count_col).cast("bigint") if count_col else F.lit(1).cast("bigint")
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                _cms_bucket(F.col(key_col), a, b).alias("b"),
+            )
+            for r, (a, b) in enumerate(CMS_HASHES)
+        ]
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(structs).alias("rb"), weight.alias("wt"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.sum("wt").alias("cnt"))
+    )
+
+
+def cms_lookup(cells: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-query the sketch for every row of a SMALL ``keys`` frame:
+    recompute each key's d (row, bucket) pairs, join the (broadcast,
+    <=1024-row) cells grid, and take min(cnt) over the d rows — the
+    CMS estimate, which can only OVERESTIMATE the true count (each
+    cell holds the key's count plus non-negative collision mass).
+    Extra columns on ``keys`` pass through."""
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col(key_col), a, b).alias("b"),
+                    )
+                    for r, (a, b) in enumerate(CMS_HASHES)
+                ]
+            )
+        ).alias("rb"),
+    ).select("*", F.col("rb.r").alias("r"), F.col("rb.b").alias("b")).drop("rb")
+    passthrough = [c for c in keys.columns]
+    return (
+        probes.join(F.broadcast(cells), ["r", "b"], "left")
+        .groupBy(*passthrough)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )
 
 

@@ -571,6 +571,140 @@ def kmv_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_serving_view(spark, serving, "event_type")
 
 
+_CMS_HP_SQL = """hp(r, a, b) AS (
+        VALUES (0, CAST(2654435761 AS BIGINT), CAST(1 AS BIGINT)),
+               (1, CAST(2246822519 AS BIGINT), CAST(3 AS BIGINT)),
+               (2, CAST(3266489917 AS BIGINT), CAST(7 AS BIGINT)),
+               (3, CAST(668265263 AS BIGINT), CAST(31 AS BIGINT))
+    )"""
+
+
+@query(
+    "cms_user_event_counts",
+    oracle=f"""
+    WITH {_CMS_HP_SQL},
+    cells AS (
+        SELECT hp.r AS r,
+               ((e.user_id * hp.a + hp.b) % 1000000007) % 256 AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events e, hp WHERE e.user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_events
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    top AS (
+        SELECT user_id, exact_events FROM (
+            SELECT user_id, exact_events,
+                   row_number() OVER (ORDER BY exact_events DESC,
+                                      user_id ASC) AS rk
+            FROM exact
+        ) WHERE rk <= 10
+    )
+    SELECT t.user_id, t.exact_events,
+           CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
+           min(c.cnt) >= t.exact_events AS overestimates
+    FROM top t
+    JOIN hp ON TRUE
+    JOIN cells c
+      ON c.r = hp.r
+     AND c.b = ((t.user_id * hp.a + hp.b) % 1000000007) % 256
+    GROUP BY 1, 2
+    """,
+)
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) point queries,
+    the frequency counterpart to the KMV distinct sketch: per-user
+    event counts estimated from a d=4 x w=256 grid of additive
+    counters. Like KMV (and unlike HLL/approx_percentile), the sketch
+    is built from deterministic integer hashes, so state AND estimates
+    are bit-identical in any engine — the oracle rebuilds the same
+    grid in SQL and hash-matches. The report takes the top-10 users by
+    EXACT count (the standard heavy-hitter evaluation frame — ground
+    truth next to estimate) and pins the one hard CMS guarantee as a
+    column: ``overestimates`` (a cell holds the key's count plus
+    non-negative collision mass, so est >= exact always; a single
+    false would flip the oracle hash).
+
+    Scale shape: ONE corpus scan fanning each event map-side into its
+    4 (row, bucket) cells, partial-agg groupBy to a <=1024-row grid;
+    the lookup joins a broadcast grid to a 10-row frame. At 100 TB the
+    grid is still 1024 rows — that is the entire point; widen w for
+    tighter error (eps ~ e/w of total mass)."""
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        cms_cells,
+        cms_lookup,
+    )
+
+    ev = events_table(spark, sf_dir).where(F.col("user_id").isNotNull())
+    cells = cms_cells(ev, "user_id")
+    # orderBy().limit() executes as TakeOrderedAndProject — a
+    # distributed per-partition top-k plus a 10-row driver merge —
+    # never a single-partition global window over all users.
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_events"))
+        .orderBy(F.desc("exact_events"), F.asc("user_id"))
+        .limit(10)
+    )
+    return cms_lookup(cells, top, "user_id").select(
+        "user_id",
+        "exact_events",
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("exact_events")).alias("overestimates"),
+    )
+
+
+@query(
+    "cms_streamed_parity",
+    oracle=f"""
+    WITH {_CMS_HP_SQL}
+    SELECT hp.r AS r,
+           CAST(((e.user_id * hp.a + hp.b) % 1000000007) % 256 AS INTEGER)
+               AS b,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events e, hp WHERE e.user_id IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def cms_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIXTH maintained serving table: the Count-Min grid folded
+    incrementally through the standard ``apply_additive_batch``
+    stage+publish protocol (4 deterministic micro-batches + the
+    batch-1 crash-replay the batch-id guard must no-op). CMS cells are
+    plain ADDITIVE counters, so — unlike KMV, which needed the
+    protocol extended with a k-min re-take — the sketch drops into the
+    existing additive merge with ZERO new machinery: ``inc_fn`` is
+    just ``cms_cells`` over the batch. The oracle computes the
+    one-pass grid from raw events, so a green row proves the
+    incrementally-maintained sketch is BIT-IDENTICAL to a full
+    recompute — "top-user frequencies, all time" served without
+    re-reading history, in 1024 rows of state forever. A doubled cell
+    from a failed replay guard flips the hash.
+
+    Scale shape: per batch, one scan of the BATCH (map-side x4
+    fan-out, partial agg); every merge full-outer-joins two <=1024-row
+    grids. State size is O(d x w), independent of volume and of how
+    the stream was sliced."""
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        cms_cells,
+    )
+
+    serving = _run_streamed_parity(
+        spark,
+        sf_dir,
+        "decps_cms_parity_serving",
+        inc_fn=lambda b: cms_cells(b, "user_id"),
+        keys=["r", "b"],
+        sum_cols=["cnt"],
+    )
+    return (
+        spark.read.parquet(serving)
+        .select("r", F.col("b").cast("int").alias("b"), "cnt")
+    )
+
+
 @query(
     "ab_test_report",
     oracle="""

@@ -161,3 +161,83 @@ def test_positional_phrase_hits_matches_python_reference(
         if n:
             expected[i] = n
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(
+        st.one_of(st.none(), st.integers(0, 5000)),
+        min_size=1,
+        max_size=150,
+    )
+)
+def test_cms_cells_match_python_reference(spark, keys):
+    """The CMS grid over an arbitrary key multiset must equal a direct
+    Python computation of every (row, bucket) count — covering hash
+    collisions (small key range forces them), repeated keys, and NULL
+    keys (dropped, same contract as kmv_sketch; an all-NULL input
+    yields an empty grid)."""
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        CMS_HASHES,
+        CMS_P,
+        CMS_W,
+        cms_cells,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    got = {
+        (r.r, r.b): r.cnt for r in cms_cells(df, "user_id").collect()
+    }
+
+    expected: dict[tuple[int, int], int] = {}
+    for k in keys:
+        if k is None:
+            continue
+        for r, (a, b) in enumerate(CMS_HASHES):
+            cell = (r, ((k * a + b) % CMS_P) % CMS_W)
+            expected[cell] = expected.get(cell, 0) + 1
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(st.integers(0, 300), min_size=1, max_size=120),
+    split=st.integers(0, 119),
+)
+def test_cms_additivity_and_overestimate(spark, keys, split):
+    """The two properties the registered queries rely on: (1) cells
+    built on two arbitrary slices SUM to the cells of the union —
+    additivity, the reason the sketch drops into apply_additive_batch
+    unchanged; (2) cms_lookup can only OVERESTIMATE the exact count of
+    any key (min over rows of count-plus-collision-mass)."""
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        cms_cells,
+        cms_lookup,
+    )
+
+    left, right = keys[:split], keys[split:]
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    direct = {
+        (r.r, r.b): r.cnt for r in cms_cells(df, "user_id").collect()
+    }
+    summed: dict[tuple[int, int], int] = {}
+    for part in (left, right):
+        if not part:
+            continue
+        pdf = spark.createDataFrame([(k,) for k in part], "user_id long")
+        for r in cms_cells(pdf, "user_id").collect():
+            summed[(r.r, r.b)] = summed.get((r.r, r.b), 0) + r.cnt
+    assert summed == direct
+
+    exact: dict[int, int] = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+    probe = spark.createDataFrame([(k,) for k in exact], "user_id long")
+    cells = cms_cells(df, "user_id")
+    est = {
+        r.user_id: r.cms_estimate
+        for r in cms_lookup(cells, probe, "user_id").collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k]
