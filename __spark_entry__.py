@@ -36,12 +36,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 10 new + 5 changed,
+# CORRECTNESS_r01..r0N.json. This round that means: 16 new + 5 changed,
 # then the 17 queries last sampled in r1, then the 39 last sampled in
 # r2 (the first 18 of which fit the 50-row sample; the rest plus the
-# r3 tail lead the r7 rotation). 164 queries total, all with oracles.
+# r3 tail lead the r7 rotation). 170 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
-    # round-6: new, never sampled — the trending serving table
+    # round-6 second half: new, never sampled -- the Count-Min sketch
+    # point queries + its additive serving table (6th maintained
+    # table); the bucketed interval-overlap join; the per-column
+    # profiler; robust MAD outliers; degree-oriented triangle counting
+    "cms_user_event_counts",
+    "cms_streamed_parity",
+    "concurrent_sessions_by_hour",
+    "orders_profile",
+    "event_value_mad_outliers",
+    "copurchase_triangles",
+    # round-6 first half: new, never sampled — the trending serving table
     # maintained through the REAL Structured Streaming engine
     # (readStream + foreachBatch + whole-job checkpoint replay); the
     # 4th serving table's (value histograms -> p95) parity; the KMV
@@ -97,14 +107,14 @@ _DRIVER_SAMPLE_FIRST = [
     "customers_rollup",
     "disjunctive_revenue_q19",
     "distinct_parts_by_flag",
+    # --- 50-row sample boundary falls here; the rest of the r2 tail
+    # stays listed so the r7 rotation starts from a recorded order ---
     "event_props_json",
     "forecast_revenue_q6",
     "lapsed_buyers_except",
     "large_order_customers_q18",
     "late_shipment_orders_q4",
     "local_supplier_volume_q5",
-    # --- 50-row sample boundary falls here; the rest of the r2 tail
-    # stays listed so the r7 rotation starts from a recorded order ---
     "nations_with_suppliers",
     "order_activity",
     "order_priority_cube",

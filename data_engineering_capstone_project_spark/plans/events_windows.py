@@ -130,6 +130,89 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "concurrent_sessions_by_hour",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 600
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE ts IS NOT NULL
+    ),
+    tagged AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS s_ep,
+               CAST(floor(epoch(max(ts))) AS BIGINT) AS e_ep
+        FROM tagged GROUP BY user_id, session_id
+    ),
+    hours AS (
+        SELECT user_id,
+               unnest(generate_series(
+                   CAST(floor(s_ep / 3600) * 3600 AS BIGINT), e_ep,
+                   3600)) AS hour_start
+        FROM s
+    )
+    SELECT hour_start,
+           CAST(count(*) AS BIGINT) AS active_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM hours GROUP BY 1
+    """,
+)
+def concurrent_sessions_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap JOIN against the hour calendar, the concurrency
+    metric ("how many sessions were active during each hour") — the
+    query class Spark has no native range-join for. The naive plan is
+    an inequality join (sessions x hours ON s.start < h.end AND s.end
+    >= h.start), which Spark executes as BroadcastNestedLoopJoin —
+    every session tested against every hour. This plan replaces it
+    with the BUCKETED-INTERVAL pattern: each session explodes map-side
+    into exactly the hour buckets it covers (``sequence`` over epoch
+    longs — the fan-out is bounded by session duration, itself bounded
+    by the 10-minute-gap rule: a k-hour session emits k+1 rows), and
+    the overlap join becomes a plain partial-aggregating groupBy on
+    hour_start. ZERO inequality joins, zero nested loops; the same
+    trick extends to big x big interval joins by bucketing BOTH sides
+    and equi-joining on bucket.
+
+    Sessions reuse the exact ``events_sessionization`` semantics
+    (session_window, 10-min gap, end-exclusive) with [min ts, max ts]
+    as the interval; the oracle is the gaps-and-islands twin plus a
+    generate_series range join — DuckDB's IEJoin makes the naive form
+    fine at oracle scale, which is precisely the cross-check: two
+    different join algorithms, one answer."""
+    ev = events_table(spark, sf_dir).where(F.col("ts").isNotNull())
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.min("ts").cast("long").alias("s_ep"),
+            F.max("ts").cast("long").alias("e_ep"),
+        )
+    )
+    hours = sess.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr("CAST(floor(s_ep / 3600) * 3600 AS BIGINT)"),
+                F.col("e_ep"),
+                F.lit(3600).cast("bigint"),
+            )
+        ).alias("hour_start"),
+    )
+    return hours.groupBy("hour_start").agg(
+        F.count("*").alias("active_sessions"),
+        F.count_distinct("user_id").alias("active_users"),
+    )
+
+
 # The dense gap-filled 5-minute grid, shared by events_resampled_5min
 # and event_rate_anomalies (as CTE `resampled`).
 _RESAMPLE_CTES = """b AS (
@@ -1721,5 +1804,88 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev * dev > 9 * (12 * F.col("s2") - F.col("s1") * F.col("s1"))).alias(
                 "anomaly"
             ),
+        )
+    )
+
+
+@query(
+    "event_value_mad_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    d AS (
+        SELECT e.event_type, e.value, m.med
+        FROM events e JOIN m USING (event_type)
+        WHERE e.value IS NOT NULL
+    ),
+    md AS (
+        SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        FROM d GROUP BY 1
+    )
+    SELECT d.event_type,
+           floor(min(d.med) * 10000) / 10000.0 AS med,
+           floor(min(md.mad) * 10000) / 10000.0 AS mad,
+           CAST(sum(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * md.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM d JOIN md USING (event_type)
+    GROUP BY 1
+    """,
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) instead of mean / stddev — the estimator a
+    data-cleaning pass actually wants, because ONE corrupt reading
+    shifts a mean arbitrarily but moves a median by at most one rank
+    (z-score flagging breaks down exactly when outliers are present;
+    ``segment_zscore_pandas`` is the non-robust twin). Flags values
+    beyond 3 robust sigmas (MAD x 1.4826, the normal-consistency
+    constant).
+
+    Engine-exactness: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` compute the same linear interpolation
+    digit-for-digit (pinned by price_percentiles since r2), both
+    engines then feed the identical doubles through the identical
+    threshold expression; displayed medians are floor-truncated to
+    4dp per the house float rule, while the COMPARISON runs at full
+    precision in both engines.
+
+    Scale shape: three passes over events (median, MAD, count), each
+    one partial-aggregating Exchange on event_type, with the
+    types-sized median/MAD frames broadcast back — no corpus joins.
+    At 100 TB swap the exact percentiles for approx_percentile
+    (mergeable sketch, one pass for p50) and keep the flagging pass —
+    same accuracy/cost dial as orders_profile's distinct counts."""
+    ev = events_table(spark, sf_dir).where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = ev.join(broadcast(med), "event_type")
+    mad = d.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    return (
+        d.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.floor(F.min("med") * 10000) / F.lit(10000.0)).alias("med"),
+            (F.floor(F.min("mad") * 10000) / F.lit(10000.0)).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+            F.col("n").cast("bigint").alias("n"),
         )
     )

@@ -16,7 +16,7 @@ the group keys; all filters are plain parquet-pushdown predicates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
@@ -3215,4 +3215,247 @@ def co_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2", "co", lift.alias("lift"))
         .orderBy(F.desc("co"), F.asc("p1"), F.asc("p2"))
         .limit(20)
+    )
+
+
+# Per-column canonical profile expressions for orders_profile: numeric
+# min/max are fixed-pointed to 2 decimals and rendered as integer
+# strings, timestamps as epoch-second strings — the repo's
+# engine-exactness recipe applied to a profile (a raw CAST(double AS
+# STRING) renders differently in Spark vs DuckDB).
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_canon_sql(col: str, kind: str, agg: str) -> str:
+    if kind == "num":
+        return f"CAST(CAST(floor({agg}({col}) * 100) AS BIGINT) AS VARCHAR)"
+    if kind == "ts":
+        return f"strftime({agg}({col}), '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({agg}({col}) AS VARCHAR)"
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {_profile_canon_sql(c, k, 'min')} AS min_val,
+           {_profile_canon_sql(c, k, 'max')} AS max_val
+    FROM orders"""
+    for c, k in _PROFILE_COLS
+)
+
+
+def _profile_canon(col: str, kind: str, fn) -> Column:
+    if kind == "num":
+        return F.floor(fn(F.col(col)) * 100).cast("bigint").cast("string")
+    if kind == "ts":
+        # NTZ-safe calendar rendering: date_format reads the naive
+        # fields directly — no tz cast, so the value is identical
+        # whatever timezone the (plain) driver session runs in.
+        return F.date_format(fn(F.col(col)), "yyyy-MM-dd HH:mm:ss")
+    if kind == "int":
+        return fn(F.col(col)).cast("bigint").cast("string")
+    return fn(F.col(col)).cast("string")
+
+
+@query("orders_profile", oracle=_PROFILE_ORACLE)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (the Deequ/Great-Expectations shape the
+    reference's data_quality.py checks by hand, generalized): for
+    every column of orders — null count, exact distinct count, and
+    canonicalized min/max — one row per column, the frame a quality
+    dashboard or schema-drift monitor consumes. Min/max are rendered
+    through the engine-exact canon (fixed-point integers for numerics,
+    epoch seconds for timestamps) so the profile hash-matches DuckDB.
+
+    Scale shape: ONE wide aggregate over the table computes all 6x4
+    statistics — the multiple count_distincts run as a single
+    expand-based pass (6x map-side row fan-out, partial aggs, one
+    Exchange), NOT one scan per column like a naive profiler; the
+    1-row aggregate is then unpivoted driver-free via a 6-element
+    explode. At 100 TB swap count_distinct for approx_count_distinct
+    (HLL: one pass, no expand, mergeable) and keep the frame shape —
+    the documented accuracy/cost dial, same trade as
+    approx_distinct_parts vs kmv_distinct_users."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c, k in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            _profile_canon(c, k, F.min).alias(f"mn_{c}"),
+            _profile_canon(c, k, F.max).alias(f"mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+@query(
+    "copurchase_triangles",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pm AS (SELECT l_partkey, count(*) AS c FROM lp GROUP BY 1),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    freq AS (
+        SELECT pm.l_partkey FROM pm, n
+        WHERE c >= greatest(2, n_orders // 1000)
+    ),
+    lpf AS (SELECT lp.* FROM lp JOIN freq USING (l_partkey)),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS co
+        FROM lpf a JOIN lpf b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT p1, p2 FROM pairs WHERE co >= 2),
+    deg AS (
+        SELECT p, count(*) AS d FROM (
+            SELECT p1 AS p FROM edges UNION ALL SELECT p2 FROM edges
+        ) GROUP BY 1
+    ),
+    oe AS (
+        SELECT CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.p1 < e.p2)
+                    THEN e.p1 ELSE e.p2 END AS u,
+               CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.p1 < e.p2)
+                    THEN e.p2 ELSE e.p1 END AS v
+        FROM edges e
+        JOIN deg d1 ON d1.p = e.p1
+        JOIN deg d2 ON d2.p = e.p2
+    ),
+    tri AS (
+        SELECT o1.u AS a, o1.v AS b, o2.v AS c
+        FROM oe o1
+        JOIN oe o2 ON o1.u = o2.u AND o1.v < o2.v
+        JOIN edges e ON e.p1 = o1.v AND e.p2 = o2.v
+    )
+    SELECT part, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS part FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY 1
+    ORDER BY n_triangles DESC, part ASC
+    LIMIT 10
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph — the clustering
+    primitive behind community detection and recommender diversity
+    ("parts bought together in cliques, not just pairs"). Nodes are
+    frequent parts, edges are pairs co-ordered in >= 2 orders (the
+    ``co_ordered_parts`` min-support discipline, so the graph stays
+    catalog-sparse as orders accumulate); reports the top-10 parts by
+    triangle participation.
+
+    The algorithm is DEGREE-ORIENTED wedge closing (Chiba-Nishizeki /
+    the MapReduce formulation of Suri & Vassilvitskii 2011): each
+    edge is directed from its lower-degree endpoint (id tiebreak),
+    which makes the orientation acyclic with per-node out-degree
+    O(sqrt(E)) — so the wedge self-join (u,v)x(u,w) is bounded by
+    sum-of-squared-OUT-degrees, immune to the hub-node blowup that
+    kills id-oriented counting on skewed graphs (a degree-10^6 hub
+    oriented by id creates 10^12 wedges; oriented by degree it
+    creates ~E). Each triangle has exactly ONE node with two
+    out-edges within it, so the wedge-close join counts every
+    triangle exactly once, no division by 3 needed.
+
+    Scale shape: edge building reuses the per-order self-join bound
+    (lines-per-order choose 2, constant per order); the wedge join
+    and the closing equi-join Exchange on edge keys — edges-sized,
+    never catalog x catalog; degrees are a catalog-sized broadcast;
+    top-10 plans as TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    n_frame = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pm = lp.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    freq = (
+        pm.join(broadcast(n_frame))
+        .filter(
+            F.col("c") >= F.greatest(F.lit(2), F.expr("n_orders div 1000"))
+        )
+        .select("l_partkey")
+    )
+    lpf = lp.join(broadcast(freq), "l_partkey")
+    a = lpf.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = lpf.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    # The edge list feeds FOUR consumers (both degree projections, the
+    # orientation, and the closing join): without a persist the whole
+    # per-order self-join subtree is recomputed once per reference —
+    # 4-6x the corpus work, silently. scoped_persist caches it once,
+    # edges-sized (the dedup-signature convention).
+    edges = scoped_persist(
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= 2)
+        .select("p1", "p2"),
+        "copurchase_edges",
+    )
+    deg = (
+        edges.select(F.col("p1").alias("p"))
+        .unionAll(edges.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("d"))
+    )
+    lower_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    oe = (
+        edges.join(
+            broadcast(deg.select(F.col("p").alias("p1"), F.col("d").alias("d1"))),
+            "p1",
+        )
+        .join(
+            broadcast(deg.select(F.col("p").alias("p2"), F.col("d").alias("d2"))),
+            "p2",
+        )
+        .select(
+            F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+            F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+        )
+    )
+    o1 = oe.select("u", F.col("v").alias("v1"))
+    o2 = oe.select("u", F.col("v").alias("v2"))
+    tri = (
+        o1.join(o2, "u")
+        .filter(F.col("v1") < F.col("v2"))
+        .join(
+            edges,
+            (F.col("v1") == F.col("p1")) & (F.col("v2") == F.col("p2")),
+        )
+        .select(F.col("u").alias("a"), F.col("v1").alias("b"), F.col("v2").alias("c"))
+    )
+    part = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return (
+        part.groupBy("part")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("part"))
+        .limit(10)
     )

@@ -663,3 +663,53 @@ def test_source_distinctive_single_corpus_aggregation(spark):
     plan = _plan(QUERIES["source_distinctive_tokens"](spark, SF_SMALL))
     assert "WindowGroupLimit" in plan, plan
     assert _cache_scans(plan, "a") >= 3, plan
+
+
+def test_concurrent_sessions_avoids_inequality_join(spark):
+    """The interval-overlap query must run as bounded bucket fan-out
+    (explode + partial-agg groupBy), NEVER the naive inequality join
+    — whose physical plan would be BroadcastNestedLoopJoin (every
+    session tested against every hour). Generate must appear (the
+    sequence explode), nested loops and cartesians must not."""
+    plan = _plan(QUERIES["concurrent_sessions_by_hour"](spark, SF_SMALL))
+    assert "Generate" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cms_lookup_broadcasts_grid_and_takes_ordered(spark):
+    """The CMS point-query must join the <=1024-row cells grid as
+    BROADCAST (a shuffled join would move the corpus-derived probe
+    side for a kilobyte of state) and plan the exact top-10 as
+    TakeOrderedAndProject, never a single-partition global window."""
+    plan = _plan(QUERIES["cms_user_event_counts"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "window(" not in plan.lower(), plan
+
+
+def test_orders_profile_single_expand_pass(spark):
+    """The profiler's 6 exact distinct counts must run as ONE
+    expand-based aggregate pass over orders (Expand in the plan),
+    not a scan per column; the unpivot is a driver-free explode."""
+    plan = _plan(QUERIES["orders_profile"](spark, SF_SMALL))
+    assert "Expand" in plan, plan
+    # one corpus leaf: the orders parquet is scanned exactly once
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_triangles_cache_edges_and_join_equi(spark):
+    """Triangle counting must (1) CACHE the edge list — it feeds four
+    consumers (degrees x2, orientation, closing join), and without
+    the persist the per-order self-join subtree is silently recomputed
+    per reference; (2) attach degrees via BROADCAST joins; (3) keep
+    the wedge and closing joins equi-joins — no cartesian. The only
+    nested-loop allowed is the declared 1-row n_orders broadcast
+    (same pattern as co_ordered_parts)."""
+    plan = _plan(QUERIES["copurchase_triangles"](spark, SF_SMALL))
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "n_orders" in line, line
