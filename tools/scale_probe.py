@@ -198,6 +198,14 @@ def _run_probes(k: int, out: str):
         "srm_check",             # distinct-user pass -> O(1) chi-square
         "source_distinctive_tokens",  # one (source,tok) Exchange + marginals
         "kmv_streamed_parity",   # mergeable-sketch serving: 4 k-min folds
+        "cms_user_event_counts",  # CMS grid (1 scan, x4 fan-out) + top-10
+        "cms_streamed_parity",   # CMS additive serving: 4 cell folds
+        "concurrent_sessions_by_hour",  # bucketed interval-overlap join
+        "orders_profile",        # single expand-pass profiler
+        "event_value_mad_outliers",  # 3-pass median/MAD, types-sized joins
+        "copurchase_triangles",  # degree-oriented wedge closing
+        "bloom_semi_join_orders",  # broadcast bit-probe, zero fact shuffle
+        "join_size_estimate",    # keyed-count join, fact rows never joined
     ]
     only = set(sys.argv[3:])
     if only:
