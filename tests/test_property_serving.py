@@ -117,3 +117,49 @@ def test_kmv_fold_is_slicing_independent(spark, rows, tmp_path_factory):
     hs = sorted({(u * KMV_A) % KMV_M for u, _, _ in rows})[:KMV_K]
     want = {("e", hs[-1], len(hs))} if hs else set()
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_cms_fold_is_slicing_independent(spark, rows, tmp_path_factory):
+    """The CMS serving table (6th maintained table) under arbitrary
+    slicings: folding any 4-way split of the events — empty batches
+    included — through the PRODUCTION apply_additive_batch with the
+    cms_cells increment must land on the exact grid a one-pass build
+    produces (cell-wise: CMS state is a plain additive counter
+    vector, which is the entire reason it needs no protocol
+    extension)."""
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        CMS_HASHES,
+        CMS_P,
+        CMS_W,
+        cms_cells,
+    )
+
+    serving = str(tmp_path_factory.mktemp("serv_cms")) + "/t"
+    shutil.rmtree(serving, ignore_errors=True)
+    df = _mkdf(spark, rows)
+    for i in range(4):
+        ok = apply_additive_batch(
+            spark,
+            df.filter(F.col("b") == i).drop("b"),
+            i,
+            serving,
+            lambda b: cms_cells(b, "user_id"),
+            keys=["r", "b"],
+            sum_cols=["cnt"],
+        )
+        assert ok is True
+    got = {
+        (row.r, row.b): row.cnt
+        for row in spark.read.parquet(serving)
+        .select("r", "b", "cnt")
+        .collect()
+    }
+
+    expected: dict[tuple[int, int], int] = {}
+    for u, _v, _b in rows:
+        for r, (a, bb) in enumerate(CMS_HASHES):
+            cell = (r, ((u * a + bb) % CMS_P) % CMS_W)
+            expected[cell] = expected.get(cell, 0) + 1
+    assert got == expected
