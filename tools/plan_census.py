@@ -6,8 +6,14 @@ For every query (built at the smallest SF — these are PLAN
 properties, data-size independent) it records, from the executed
 plan string:
 
-* ``exchanges``   — shuffle count (hash/range/single-partition);
-  the per-query tests pin exact counts for the asserted plans, this
+* ``exchanges``   — DISTINCT structural shuffle count
+  (hash/range/single-partition): counted on expression-id-stripped,
+  line-deduplicated plan text, because the textual plan prints a
+  cached (InMemoryTableScan) subtree once PER REFERENCE — a query
+  whose cached frame feeds 4 consumers would otherwise report the
+  subtree's shuffles 4+ times (and Spark's own ReusedExchange
+  collapses genuinely identical shuffles at runtime anyway). The
+  per-query tests pin exact counts for the asserted plans; this
   census shows the whole distribution at a glance.
 * ``range_part``  — rangepartitioning Exchanges (global sorts);
   expected ONLY in the queries whose contract is a globally ordered
@@ -31,11 +37,18 @@ Usage: python tools/plan_census.py [sf_dir] [--all] > PLAN_CENSUS.md
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
 _REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_REPO))
+
+_RE_ID = re.compile(r"#\d+L?|plan_id=\d+|cachedrdd_\d+")
+# Tree-drawing prefix (":  +- " etc.): the SAME structural node
+# prints with different indentation at each cached-subtree
+# reference, so dedup must ignore it.
+_RE_TREE = re.compile(r"^[\s:+*-]+")
 
 # Queries whose *construction* executes jobs (parity protocols fold
 # micro-batches; index builders encode-and-write on first touch).
@@ -53,6 +66,8 @@ _EAGER = {
     "ann_ivfpq_topk_indexed",
     "ann_pq_topk_after_delete",
     "pq_codes_table",
+    "kmv_streamed_parity",
+    "cms_streamed_parity",
 }
 
 
@@ -83,12 +98,20 @@ def main() -> int:
             print(f"| {name} | ERROR: {type(exc).__name__} | | | | | | |")
             continue
         # ReusedExchange nodes are reads of an already-computed
-        # shuffle, not new shuffles — count them separately.
-        reused = plan.count("ReusedExchange")
-        ex = plan.count("Exchange") - reused
-        rp = plan.count("rangepartitioning")
-        cart = plan.count("CartesianProduct") + plan.count(
-            "BroadcastNestedLoopJoin"
+        # shuffle, not new shuffles — count them separately. Dedup
+        # structural lines (expression ids stripped) first: cached
+        # subtrees print once per InMemoryTableScan reference, and
+        # identical shuffles are ReusedExchange-collapsed at runtime.
+        stripped = _RE_ID.sub("#x", plan)
+        lines = {
+            _RE_TREE.sub("", ln) for ln in stripped.splitlines()
+        }
+        reused = sum("ReusedExchange" in ln for ln in lines)
+        ex = sum("Exchange" in ln for ln in lines) - reused
+        rp = sum("rangepartitioning" in ln for ln in lines)
+        cart = sum(
+            ("CartesianProduct" in ln) or ("BroadcastNestedLoopJoin" in ln)
+            for ln in lines
         )
         wgl = "y" if "WindowGroupLimit" in plan else ""
         py = sum(
