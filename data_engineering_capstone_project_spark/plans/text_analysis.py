@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 from data_engineering_capstone_project_spark.functions import text as T
 from data_engineering_capstone_project_spark.operators import dedup as D
@@ -2723,3 +2724,247 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("2_near_dedup", keep_n))
         .unionByName(stage("3_quality", keep_q))
     )
+
+
+def _bpe_oracle_round(n: int) -> str:
+    """One unrolled BPE merge round of the DuckDB oracle: adjacency
+    via lead() over (word, pos), corpus-weighted pair argmax with
+    lexicographic tiebreak, greedy leftmost non-overlapping merge via
+    run parity (a match joins the previous match's run iff its pos IS
+    the previous match's second element; within a run, every
+    even-offset match merges), then consumed-row drop."""
+    k = n - 1
+    return f"""
+    adj{n} AS (
+        SELECT word, wf, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+               lead(pos) OVER (PARTITION BY word ORDER BY pos) AS nxt_pos
+        FROM wp{k}
+    ),
+    pc{n} AS (
+        SELECT sym, nxt, sum(wf) AS c
+        FROM adj{n} WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    m{n} AS (
+        SELECT sym AS l, nxt AS r, c FROM pc{n}
+        ORDER BY c DESC, sym ASC, nxt ASC LIMIT 1
+    ),
+    f{n} AS (
+        SELECT a.word, a.wf, a.pos, a.sym, a.nxt, a.nxt_pos,
+               (a.sym = m.l AND a.nxt = m.r) AS mt,
+               m.l || m.r AS ms
+        FROM adj{n} a CROSS JOIN m{n} m
+    ),
+    g{n} AS (
+        SELECT *,
+               sum(CASE WHEN mt THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY word ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS m_sofar,
+               last_value(CASE WHEN mt THEN nxt_pos END IGNORE NULLS)
+                   OVER (PARTITION BY word ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_mnxt
+        FROM f{n}
+    ),
+    h{n} AS (
+        SELECT *,
+               CASE WHEN mt AND (prev_mnxt IS NULL OR prev_mnxt <> pos)
+                    THEN TRUE ELSE FALSE END AS brk
+        FROM g{n}
+    ),
+    i{n} AS (
+        SELECT *,
+               last_value(CASE WHEN brk THEN m_sofar END IGNORE NULLS)
+                   OVER (PARTITION BY word ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS x_start
+        FROM h{n}
+    ),
+    j{n} AS (
+        SELECT *,
+               (mt AND (m_sofar - x_start) % 2 = 0) AS merged,
+               lag(mt AND (m_sofar - x_start) % 2 = 0) OVER (
+                   PARTITION BY word ORDER BY pos) AS prev_merged
+        FROM i{n}
+    ),
+    wp{n} AS (
+        SELECT word, wf, pos,
+               CASE WHEN merged THEN ms ELSE sym END AS sym
+        FROM j{n}
+        WHERE NOT coalesce(prev_merged, FALSE)
+    )"""
+
+
+_BPE_ORACLE = (
+    """
+    WITH w AS (
+        SELECT tok AS word, count(*) AS wf
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS tok
+              FROM documents)
+        GROUP BY tok
+    ),
+    wp0 AS (
+        SELECT word, wf, CAST(g.i AS INTEGER) AS pos,
+               substring(word, CAST(g.i AS INTEGER), 1) AS sym
+        FROM w, unnest(generate_series(1, length(word))) g(i)
+    ),"""
+    + ",".join(_bpe_oracle_round(n) for n in (1, 2, 3))
+    + """
+    SELECT * FROM (
+        SELECT 1 AS round, l AS left_sym, r AS right_sym,
+               CAST(c AS BIGINT) AS pair_count FROM m1
+        UNION ALL
+        SELECT 2, l, r, CAST(c AS BIGINT) FROM m2
+        UNION ALL
+        SELECT 3, l, r, CAST(c AS BIGINT) FROM m3
+    )
+    """
+)
+
+
+def bpe_merge_rounds(vocab: DataFrame, rounds: int = 3) -> DataFrame:
+    """The shared BPE training loop (used by the registered
+    ``bpe_learn_merges`` AND the property tests, one definition):
+    given a (word, wf) vocabulary, run ``rounds`` greedy merge rounds
+    and return the (round, left_sym, right_sym, pair_count) merge
+    table. See ``bpe_learn_merges`` for semantics and scale notes."""
+    wp = vocab.select(
+        "word",
+        "wf",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+    ).select("word", "wf", "pos", F.expr("substring(word, pos, 1)").alias("sym"))
+
+    w = Window.partitionBy("word").orderBy("pos")
+    w_cur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    merges = []
+    for rnd in range(1, rounds + 1):
+        # Each round's adjacency frame feeds TWO consumers (the pair
+        # argmax and the merge application) and is the base of every
+        # later round's chain: without a persist the corpus scan +
+        # vocab agg re-run once per reference (7 scans for 3 rounds,
+        # measured). The cache is vocab-sized — the Heaps'-law
+        # quantity — so this is the dedup-signature convention again.
+        adj = scoped_persist(
+            wp.select(
+                "word",
+                "wf",
+                "pos",
+                "sym",
+                F.lead("sym").over(w).alias("nxt"),
+                F.lead("pos").over(w).alias("nxt_pos"),
+            ),
+            f"bpe_adj_{rnd}",
+        )
+        m = (
+            adj.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("wf").alias("c"))
+            .orderBy(F.desc("c"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .select(
+                F.col("sym").alias("l"),
+                F.col("nxt").alias("r"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        merges.append(
+            m.select(
+                F.lit(rnd).alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("pair_count").cast("bigint").alias("pair_count"),
+            )
+        )
+        f = adj.join(broadcast(m.select("l", "r"))).select(
+            "*",
+            ((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r"))).alias(
+                "mt"
+            ),
+            F.concat(F.col("l"), F.col("r")).alias("ms"),
+        )
+        g = f.select(
+            "*",
+            F.sum(F.when(F.col("mt"), 1).otherwise(0)).over(w_cur).alias(
+                "m_sofar"
+            ),
+            F.last(F.when(F.col("mt"), F.col("nxt_pos")), ignorenulls=True)
+            .over(w_prev)
+            .alias("prev_mnxt"),
+        )
+        h = g.select(
+            "*",
+            (
+                F.col("mt")
+                & (
+                    F.col("prev_mnxt").isNull()
+                    | (F.col("prev_mnxt") != F.col("pos"))
+                )
+            ).alias("brk"),
+        )
+        i = h.select(
+            "*",
+            F.last(F.when(F.col("brk"), F.col("m_sofar")), ignorenulls=True)
+            .over(w_cur)
+            .alias("x_start"),
+        )
+        j = i.select(
+            "*",
+            (
+                F.col("mt")
+                & (F.pmod(F.col("m_sofar") - F.col("x_start"), F.lit(2)) == 0)
+            ).alias("merged"),
+        ).select("*", F.lag("merged").over(w).alias("prev_merged"))
+        wp = j.filter(~F.coalesce(F.col("prev_merged"), F.lit(False))).select(
+            "word",
+            "wf",
+            "pos",
+            F.when(F.col("merged"), F.col("ms")).otherwise(F.col("sym")).alias(
+                "sym"
+            ),
+        )
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out
+
+
+@query("bpe_learn_merges", oracle=_BPE_ORACLE)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), three merge
+    rounds end-to-end — the iterative step ``bpe_pair_counts`` only
+    statistics: each round takes the corpus-weighted argmax adjacent
+    symbol pair (count desc, lexicographic tiebreak) and applies it
+    greedily left-to-right without overlaps ("aaa" + merge (a,a) →
+    ["aa","a"], never ["a","aa"]), exactly the reference algorithm's
+    semantics.
+
+    The representation is the whole trick: words stay EXPLODED as
+    (word, wf, pos, sym) rows, so "merge pair (l, r)" is pure window
+    arithmetic — adjacency via lead(), the greedy non-overlap rule
+    via run parity (a match chains onto the previous match iff its
+    pos IS that match's second element; within a chain, even offsets
+    merge — computed with two stacked last_value-ignore-nulls
+    expressions over the SAME (word, pos) window spec, no extra
+    partitioning key, no per-row recursion, no UDF). The oracle
+    unrolls the identical three rounds in SQL, so every engine-exact
+    rule — argmax tiebreak, chain parity, consumed-row drop — is
+    hash-checked.
+
+    Scale shape (the Heaps'-law leverage stated at bpe_pair_counts,
+    now cashed in): the CORPUS is touched once (explode+agg to the
+    distinct-word frequency table); all three rounds run over the
+    vocab-sized symbol frame — one Exchange on word, then each round
+    is in-partition window work over that same partitioning plus an
+    aggregate-sized pair argmax (broadcast back as a 1-row frame, the
+    n_orders pattern). Training more rounds extends the same plan;
+    the corpus pass never repeats."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    return bpe_merge_rounds(vocab, rounds=3)

@@ -241,3 +241,70 @@ def test_cms_additivity_and_overestimate(spark, keys, split):
     assert set(est) == set(exact)
     for k, e in est.items():
         assert e >= exact[k]
+
+
+def _bpe_reference(words, rounds=3):
+    """Direct Python BPE: argmax adjacent pair (count desc, lexico
+    tiebreak) over corpus-weighted word frequencies, greedy leftmost
+    non-overlapping merge — the Sennrich reference semantics."""
+    from collections import Counter
+
+    freq = Counter(words)
+    syms = {w: list(w) for w in freq}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pc = Counter()
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += freq[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), c = best
+        merges.append((rnd, l, r, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bpe_merge_rounds_match_python_reference(spark, words):
+    """The window-arithmetic BPE trainer must equal the direct
+    sequential reference on ARBITRARY corpora — the tiny 'abc'
+    alphabet forces the hard cases: overlapping runs ('aaaa' merging
+    (a,a) must yield [aa, aa], never [a, aa, a]), merged symbols
+    re-pairing in later rounds ('aa'+'a'), ties broken
+    lexicographically, and single-char words contributing nothing."""
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        bpe_merge_rounds,
+    )
+
+    vocab_rows = {}
+    for w in words:
+        vocab_rows[w] = vocab_rows.get(w, 0) + 1
+    vocab = spark.createDataFrame(
+        [(w, c) for w, c in vocab_rows.items()], "word string, wf long"
+    )
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_rounds(vocab, 3)
+        .orderBy("round")
+        .collect()
+    ]
+    expected = _bpe_reference(words, 3)
+    assert got == expected

@@ -206,6 +206,7 @@ def _run_probes(k: int, out: str):
         "copurchase_triangles",  # degree-oriented wedge closing
         "bloom_semi_join_orders",  # broadcast bit-probe, zero fact shuffle
         "join_size_estimate",    # keyed-count join, fact rows never joined
+        "bpe_learn_merges",      # corpus agg once, 3 vocab-sized merge rounds
     ]
     only = set(sys.argv[3:])
     if only:
