@@ -36,9 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 19 new + 5 changed,
-# then the 17 queries last sampled in r1, then the first 9 of the 39
-# last sampled in r2 (the rest plus the r3 tail lead the r7 rotation). 173 queries total, all with oracles.
+# CORRECTNESS_r01..r0N.json. This round that means: 20 new + 5 changed,
+# then the 17 queries last sampled in r1, then the first 8 of the 39
+# last sampled in r2 (the rest plus the r3 tail lead the r7 rotation). 174 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
     # round-6 second half: new, never sampled -- the Count-Min sketch
     # point queries + its additive serving table (6th maintained
@@ -46,6 +46,7 @@ _DRIVER_SAMPLE_FIRST = [
     # profiler; robust MAD outliers; degree-oriented triangle
     # counting; the bloom semi-join prefilter; join-size pre-flight
     "bpe_learn_merges",
+    "name_ed1_blocking",
     "bloom_semi_join_orders",
     "join_size_estimate",
     "cms_user_event_counts",
@@ -106,9 +107,9 @@ _DRIVER_SAMPLE_FIRST = [
     "customer_order_reconciliation",
     "customer_spend_quartiles",
     "customer_spend_tiers",
-    "customers_no_orders",
     # --- 50-row sample boundary falls here; the rest of the r2 tail
     # stays listed so the r7 rotation starts from a recorded order ---
+    "customers_no_orders",
     "customers_rollup",
     "disjunctive_revenue_q19",
     "distinct_parts_by_flag",

@@ -59,7 +59,8 @@ def main():
     marker = Path(out) / "_replication_meta.json"
     if marker.exists():
         meta = json.loads(marker.read_text())
-        if meta.get("k") == k and meta.get("sf_dir") == SF_DIR:
+        if (meta.get("k") == k and meta.get("sf_dir") == SF_DIR
+                and meta.get("rev") == 2):
             print(f"reusing replicated tables in {out} (k={k})", file=sys.stderr)
             return _run_probes(k, out)
         print(
@@ -73,7 +74,26 @@ def main():
         spark, "orders", out, k,
         {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     )
-    replicate(spark, "customer", out, k, {"c_custkey": 1_000_000})
+    # Customer names must be DISTINCT per replica (serial-format
+    # preserved, replica tag differing in >=2 positions so no
+    # cross-replica ED-1 pairs appear): cloned names would give every
+    # deletion-neighborhood bucket k copies of each name — a k^2 join
+    # blow-up no real customer growth produces (same artifact class
+    # as the documents token-prefix note below).
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    creps = []
+    for i in range(k):
+        creps.append(
+            cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 1_000_000))
+            .withColumn(
+                "c_name",
+                F.concat(F.lit(f"{i:03d}{i:03d}"), F.col("c_name")),
+            )
+        )
+    cd = creps[0]
+    for r in creps[1:]:
+        cd = cd.unionByName(r)
+    cd.write.mode("overwrite").parquet(f"{out}/customer.parquet")
     # Events: more users over the same time range (how traffic grows).
     replicate(spark, "events", out, k, {"user_id": 1_000})
     # Embeddings: k-times corpus; query vectors stay the replica-0 ten.
@@ -107,7 +127,7 @@ def main():
         else:
             shutil.copy(src, dst)
 
-    marker.write_text(json.dumps({"k": k, "sf_dir": SF_DIR}))
+    marker.write_text(json.dumps({"k": k, "sf_dir": SF_DIR, "rev": 2}))
     return _run_probes(k, out)
 
 
@@ -207,6 +227,7 @@ def _run_probes(k: int, out: str):
         "bloom_semi_join_orders",  # broadcast bit-probe, zero fact shuffle
         "join_size_estimate",    # keyed-count join, fact rows never joined
         "bpe_learn_merges",      # corpus agg once, 3 vocab-sized merge rounds
+        "name_ed1_blocking",     # deletion-neighborhood fuzzy equi-join
     ]
     only = set(sys.argv[3:])
     if only:
