@@ -27,6 +27,10 @@ from data_engineering_capstone_project_spark.plans.registry import (
 )
 
 _FIXED_SUM_SQL = "sum(CAST(floor(value * 10000) AS BIGINT)) / 10000.0"
+# Fixed-point partial WITHOUT the final divide — for oracles that
+# merge the integer partials further (rollup_cascade_daily) before
+# dividing once at the end.
+_FIXED_SUM_FP_SQL = "sum(CAST(floor(value * 10000) AS BIGINT))"
 
 
 def _fixed_sum(col, alias):
@@ -1450,6 +1454,169 @@ def percentile_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cols=["n"],
     )
     return user_percentile_view(spark, serving, p=0.95)
+
+
+@query(
+    "user_daily_streaks",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS grp
+        FROM act
+    ),
+    s AS (
+        SELECT user_id, grp, count(*) AS len, min(d) AS start_d
+        FROM isl GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT user_id, len, start_d,
+               sum(len) OVER (PARTITION BY user_id) AS active_days,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, start_d ASC) AS rk
+        FROM s
+    )
+    SELECT user_id,
+           CAST(active_days AS BIGINT) AS active_days,
+           CAST(len AS BIGINT) AS best_streak,
+           CAST(start_d AS BIGINT) AS streak_start_day
+    FROM b WHERE rk = 1
+    """,
+)
+def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern at day grain (engagement/retention's
+    "current streak" metric; the sessionization twin where the gap
+    unit is a calendar day, not an idle timeout). Island id is the
+    classic ``day - row_number()`` constant-per-run trick; the
+    longest island per user (ties broken to the earliest start) plus
+    the user's total active-day count come out of one more
+    window pass. Days are epoch arithmetic (epoch // 86400), portable
+    across engines like the cohort query's week rule.
+
+    Scale shape: one distinct on (user, day) is the only corpus-sized
+    Exchange — everything after operates on the (users x active-days)
+    frame, at least ~1000x smaller than raw events at day grain. Both
+    user-partitioned windows and the (user, grp) aggregate reuse that
+    frame's user partitioning; no further corpus pass exists."""
+    from pyspark.sql.window import Window as W
+
+    ev = events_table(spark, sf_dir)
+    act = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / F.lit(86400)).alias("d"),
+    ).distinct()
+    isl = act.withColumn(
+        "grp",
+        F.col("d")
+        - F.row_number().over(W.partitionBy("user_id").orderBy("d")),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("d").alias("start_d")
+    )
+    best = (
+        streaks.withColumn(
+            "active_days", F.sum("len").over(W.partitionBy("user_id"))
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.desc("len"), F.asc("start_d")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return best.select(
+        "user_id",
+        F.col("active_days").cast("bigint").alias("active_days"),
+        F.col("len").cast("bigint").alias("best_streak"),
+        F.col("start_d").cast("bigint").alias("streak_start_day"),
+    )
+
+
+@query(
+    "rollup_cascade_daily",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                   AS bucket_start,
+               event_type, count(*) AS events, {_FIXED_SUM_FP_SQL} AS vs
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT)
+                   AS bucket_start,
+               event_type, count(*) AS events, {_FIXED_SUM_FP_SQL} AS vs
+        FROM events GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, bucket_start, event_type,
+           CAST(events AS BIGINT) AS events,
+           vs / 10000.0 AS value_sum,
+           floor(vs / events) / 10000.0 AS value_avg
+    FROM h
+    UNION ALL
+    SELECT 'day', bucket_start, event_type, CAST(events AS BIGINT),
+           vs / 10000.0, floor(vs / events) / 10000.0
+    FROM d
+    """,
+)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading time-grain rollup (the hypertable "continuous
+    aggregate" hierarchy): raw events are aggregated ONCE at minute
+    grain, then each coarser grain — hour, day — re-aggregates the
+    previous grain's output, never the raw table. Sums and counts
+    merge exactly (sum of sums, count of counts); the average is
+    derived from the merged (sum, count) pair at read time, which is
+    WHY rollup state stores moments rather than averages. The oracle
+    computes hour and day directly from raw events, so oracle
+    equality proves the cascade's re-aggregation is exact — the whole
+    point of the pattern. Buckets are epoch arithmetic
+    (epoch // grain * grain), portable across engines; value sums use
+    the house fixed-point rule, whose integer partials are precisely
+    what makes the cascade order- and stage-independent.
+
+    Scale shape: ONE corpus-sized Exchange (the minute grain, which
+    Catalyst partial-aggregates map-side). The hour pass shuffles the
+    minute table (~60x smaller than events at scale), the day pass
+    the hour table (~3600x smaller) — geometrically collapsing work,
+    vs. the naive form's two independent full scans of raw. At 100 TB
+    this is the difference between maintaining dashboards from a
+    61 GB minute table and re-reading 100 TB per grain."""
+    ev = events_table(spark, sf_dir)
+    ts_s = F.col("ts").cast("long")
+    minute = ev.groupBy(
+        (F.floor(ts_s / F.lit(60)) * 60).alias("b"), "event_type"
+    ).agg(
+        F.count("*").alias("events"),
+        F.sum(F.floor(F.col("value") * 10000)).alias("vs"),
+    )
+    hour = minute.groupBy(
+        (F.floor(F.col("b") / F.lit(3600)) * 3600).alias("b"), "event_type"
+    ).agg(F.sum("events").alias("events"), F.sum("vs").alias("vs"))
+    day = hour.groupBy(
+        (F.floor(F.col("b") / F.lit(86400)) * 86400).alias("b"), "event_type"
+    ).agg(F.sum("events").alias("events"), F.sum("vs").alias("vs"))
+
+    def emit(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col("b").cast("bigint").alias("bucket_start"),
+            "event_type",
+            F.col("events").cast("bigint").alias("events"),
+            (F.col("vs") / F.lit(10000.0)).alias("value_sum"),
+            (F.floor(F.col("vs") / F.col("events")) / F.lit(10000.0)).alias(
+                "value_avg"
+            ),
+        )
+
+    return emit(hour, "hour").unionByName(emit(day, "day"))
 
 
 @query(

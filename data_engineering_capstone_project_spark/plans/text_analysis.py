@@ -2204,6 +2204,96 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_sample_exact",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang,
+               (doc_id * 2654435761) % 1000000007 AS hv
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY hv, doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM h
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank
+    FROM r WHERE rk <= CAST(ceil(0.2 * n) AS BIGINT)
+    """,
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified sampling: per language stratum, exactly
+    ceil(20% of the stratum) documents, chosen as the stratum's
+    k-smallest deterministic id-hashes — the eval-set builder's
+    contract ("exactly 2,000 per language") that hash-threshold
+    splits (train_val_test_split) can only hit in expectation.
+    Deterministic like the split (same Knuth mix, no RNG state), and
+    STABLE under corpus growth in the k-min-hash sense: a document
+    leaves the sample only when a new smaller-hash document enters
+    its stratum.
+
+    Exactness needs a per-stratum RANK, and the naive form is a
+    single-partition sort per language — five partitions doing all
+    the work at 100 TB (the global-ntile trap the quartiles query
+    documents). This is instead the two-phase grid-offset assembly
+    (contiguous_doc_ids's mechanism, applied per stratum): RANGE-shard
+    the hash domain (shard = hv div width, so (shard, hv) order IS hv
+    order), rank within (lang, shard) in parallel, then add per-shard
+    prefix-sum offsets from the (langs x shards) grid — a bounded
+    window, the usual grid exemption — broadcast back. One corpus
+    Exchange on (lang, shard); per-task sort depth is n/shards,
+    constant as shards scale with the corpus (the shared
+    _corpus_shard_count rule). The oracle's flat per-lang row_number
+    proves the assembly equals the global per-stratum rank exactly."""
+    from pyspark.sql.window import Window as W
+
+    n_shards = _corpus_shard_count(spark, sf_dir)
+    width = (1_000_000_007 // n_shards) + 1
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn(
+            "hv",
+            F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000_007)),
+        )
+        .withColumn("shard", F.expr(f"hv div {width}"))
+    )
+    ranked = d.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("lang", "shard").orderBy("hv", "doc_id")
+        ),
+    )
+    counts = d.groupBy("lang", "shard").agg(F.count("*").alias("c"))
+    offs = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                W.partitionBy("lang")
+                .orderBy("shard")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("lang", "shard", "off")
+    quota = counts.groupBy("lang").agg(
+        F.ceil(F.lit(0.2) * F.sum("c")).alias("k")
+    )
+    return (
+        ranked.join(broadcast(offs), ["lang", "shard"])
+        .join(broadcast(quota), "lang")
+        .withColumn("sample_rank", F.col("off") + F.col("r"))
+        .filter(F.col("sample_rank") <= F.col("k"))
+        .select(
+            "lang",
+            "doc_id",
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        )
+    )
+
+
+@query(
     "token_budget_select",
     oracle="""
     WITH base AS (
