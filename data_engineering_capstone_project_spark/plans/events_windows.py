@@ -2056,3 +2056,98 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n"),
         )
     )
+
+
+@query(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH o AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts) / 300) * 300) AS BIGINT)
+                   AS bucket_start,
+               count(*) AS c,
+               sum(CAST(floor(value * 10000) AS BIGINT)) AS vs
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi
+        FROM o GROUP BY 1
+    ),
+    g AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, 300)) AS bucket_start
+        FROM s
+    ),
+    f AS (
+        SELECT g.event_type, g.bucket_start, o.c,
+               CAST(floor(o.vs / o.c) AS BIGINT) AS avg_fp
+        FROM g LEFT JOIN o
+          ON g.event_type = o.event_type
+         AND g.bucket_start = o.bucket_start
+    )
+    SELECT event_type, bucket_start,
+           CAST(c IS NOT NULL AS INTEGER) AS observed,
+           CAST(coalesce(c, 0) AS BIGINT) AS events,
+           last_value(avg_fp IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / 10000.0 AS value_locf
+    FROM f
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series gap fill with last-observation-carried-forward: each
+    event type gets a dense 5-minute grid over ITS observed span, and
+    empty buckets inherit the most recent observed bucket-average —
+    the `locf()` interpolation every time-series store ships
+    (monitoring dashboards, feature pipelines feeding models that
+    cannot take NaN). Differs from events_resampled_5min in both
+    dimensions: the grid is per-series, and gaps carry the last VALUE
+    forward rather than zero-filling. The carried quantity is the
+    fixed-point integer bucket average (floor(vs/c), exact int64 in
+    both engines), divided once at the end — so the LOCF chain is
+    bit-identical however it is computed.
+
+    Scale shape: ONE corpus-sized Exchange (the (type, bucket) partial
+    +final agg). The spans agg, grid explode, gap-fill join, and LOCF
+    window all operate on the bucket-grain frame, whose size is
+    types x time-range — it grows with the CLOCK, not the corpus (the
+    drift grid's exemption). The LOCF window sorts within one event
+    type of that grid; sequence() explodes computationally, no shuffle
+    to build the grid."""
+    ev = events_table(spark, sf_dir)
+    bucket = ((F.col("ts").cast("long") / 300).cast("long") * 300).alias(
+        "bucket_start"
+    )
+    obs = (
+        ev.select("event_type", bucket, "value")
+        .groupBy("event_type", "bucket_start")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.floor(F.col("value") * 10000)).alias("vs"),
+        )
+    )
+    spans = obs.groupBy("event_type").agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(300))).alias("bucket_start"),
+    )
+    filled = grid.join(obs, ["event_type", "bucket_start"], "left").withColumn(
+        "avg_fp", F.floor(F.col("vs") / F.col("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "event_type",
+        "bucket_start",
+        F.col("c").isNotNull().cast("int").alias("observed"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("events"),
+        (F.last("avg_fp", ignorenulls=True).over(w) / F.lit(10000.0)).alias(
+            "value_locf"
+        ),
+    )

@@ -3740,3 +3740,173 @@ def name_ed1_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("i").alias("diff_pos"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH chg AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 6 = 3
+    ),
+    scd AS (
+        SELECT c_custkey, c_mktsegment, 9000 AS valid_from,
+               10500 AS valid_to, FALSE AS is_current
+        FROM chg
+        UNION ALL
+        SELECT c_custkey, 'PROMO', 10500, NULL, TRUE FROM chg
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, 9000, NULL, TRUE
+        FROM customer WHERE c_custkey % 6 <> 3
+    ),
+    o AS (
+        SELECT o_custkey,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS od,
+               o_totalprice
+        FROM orders
+    )
+    SELECT s.c_mktsegment AS segment,
+           CAST(s.is_current AS INTEGER) AS from_current_version,
+           count(*) AS orders,
+           sum(CAST(floor(o.o_totalprice * 10000) AS BIGINT)) / 10000.0
+               AS revenue
+    FROM o
+    JOIN scd s
+      ON o.o_custkey = s.c_custkey
+     AND o.od >= s.valid_from
+     AND (s.valid_to IS NULL OR o.od < s.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against a REAL SCD2 dimension: the
+    query every history-preserving warehouse runs ("revenue by the
+    segment the customer was in WHEN they ordered") and the reason SCD2
+    exists at all — the reference's full-refresh dimensions
+    (dag_immigration.py:191-331) cannot answer it. This drives the
+    actual ``scd2_init``/``scd2_apply`` operators (operators/scd.py)
+    end-to-end: a base snapshot effective day 9000 (before the first
+    order), then an update snapshot effective day 10500 (mid order
+    range) that re-segments custkey%3==0 customers to 'PROMO' — except
+    custkey%6==0, whose update is attribute-identical and must be a
+    NO-OP (the idempotence branch). Each order then joins to the ONE
+    version whose [valid_from, valid_to) interval contains its order
+    day. The oracle constructs the post-apply SCD table directly in
+    SQL, so equality proves scd2_apply's close-out/open/no-op routing
+    AND the interval containment: pre-cutoff orders of changed
+    customers must land on the CLOSED version (from_current_version=0),
+    post-cutoff on the open 'PROMO' one.
+
+    Scale shape: SCD2 apply is one full-outer join on the business key
+    (dim-sized); the PIT join is an equi-join on custkey with the
+    interval predicate as a residual filter — NOT a range join, since
+    versions-per-key is small and bounded (<= snapshots applied), the
+    equi-join fans out by at most that constant. One corpus-sized
+    Exchange on o_custkey; at 100 TB AQE picks shuffle vs broadcast by
+    the dim's actual post-apply size."""
+    from data_engineering_capstone_project_spark.operators.scd import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = cust.withColumn("effective_day", F.lit(9000).cast("bigint"))
+    scd0 = scd2_init(
+        base, ["c_custkey"], ["c_mktsegment"], effective_col="effective_day"
+    )
+    upd = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(
+                F.col("c_custkey") % 6 == 0, F.col("c_mktsegment")
+            ).otherwise(F.lit("PROMO")),
+        )
+        .withColumn("effective_day", F.lit(10500).cast("bigint"))
+    )
+    scd = scd2_apply(
+        scd0, upd, ["c_custkey"], ["c_mktsegment"], effective_col="effective_day"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    od = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    pit = (
+        orders.withColumn("od", od)
+        .join(scd, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (F.col("od") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to")))
+        )
+    )
+    return pit.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("is_current").cast("int").alias("from_current_version"),
+    ).agg(
+        F.count("*").alias("orders"),
+        _fixed_sum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+@query(
+    "part_price_skyline",
+    oracle="""
+    SELECT a.p_partkey, a.p_size,
+           floor(a.p_retailprice * 10000) / 10000.0 AS price
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_size >= a.p_size
+          AND b.p_retailprice <= a.p_retailprice
+          AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice)
+    )
+    """,
+)
+def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator: the parts not DOMINATED by
+    any other part — nothing is both cheaper-or-equal AND
+    bigger-or-equal with one strict — i.e. the efficient frontier of
+    (minimize p_retailprice, maximize p_size). Multi-criteria shortlist
+    queries ("best trade-offs, not one weighted score") are a classic
+    operator class (Borzsony et al., "The Skyline Operator", ICDE'01)
+    that SQL engines lack natively; the naive form is the quadratic
+    self-join the ORACLE deliberately uses, so oracle equality proves
+    the fast plan against an independent brute-force formulation
+    (ties included: equal (price, size) points do not dominate each
+    other and all survive).
+
+    The fast plan exploits the 2-D structure: a point survives iff its
+    price equals the MIN price of its own size (no same-size strict
+    undercut) AND is strictly below the min price over all LARGER
+    sizes (no dominating bigger part). So: one corpus-sized hash agg to
+    (size -> min price) — a grid bounded by the SIZE DOMAIN (~50
+    values), not the corpus — then a running-min window over that tiny
+    grid (the usual bounded-grid exemption for its single-partition
+    sort), broadcast back for a map-side semi-filter. Total corpus
+    cost: one partial+final agg and one broadcast join probe — vs the
+    oracle's O(n^2). At 100 TB the grid is still ~50 rows."""
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    gmin = part.groupBy("p_size").agg(F.min("p_retailprice").alias("m"))
+    # Min price over STRICTLY larger sizes: order the ~50-row size grid
+    # descending and take the running min of the preceding rows.
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_sizes = gmin.withColumn("suff", F.min("m").over(w)).filter(
+        F.col("suff").isNull() | (F.col("m") < F.col("suff"))
+    )
+    return (
+        part.join(broadcast(sky_sizes), "p_size")
+        .filter(F.col("p_retailprice") == F.col("m"))
+        .select(
+            "p_partkey",
+            "p_size",
+            (F.floor(F.col("p_retailprice") * 10000) / F.lit(10000.0)).alias(
+                "price"
+            ),
+        )
+    )

@@ -750,3 +750,44 @@ def test_join_size_estimate_never_joins_facts(spark):
     # BELOW the SortMergeJoin/ShuffledHashJoin inputs, so the payload
     # is (key, count), never lineitem rows
     assert "HashAggregate" in plan, plan
+
+
+def test_skyline_filters_corpus_via_broadcast(spark):
+    """part_price_skyline's corpus pass must be ONE hash agg to the
+    size grid plus a broadcast probe back — never a sort or shuffle of
+    the part table on anything but the grid agg, and never the
+    oracle's quadratic self-join."""
+    plan = _plan(QUERIES["part_price_skyline"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # The only window runs over the ~50-row size grid (single
+    # partition is the documented bounded-grid exemption); the part
+    # table itself is never globally sorted.
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_scd2_pit_join_is_equi_not_range(spark):
+    """The point-in-time join must be an equi-join on the business key
+    with the interval containment as a residual filter — a range/theta
+    join on the date would blow up at scale."""
+    plan = _plan(QUERIES["scd2_point_in_time"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [
+        line
+        for line in plan.splitlines()
+        if "Join" in line and "custkey" in line
+    ]
+    assert joins, f"no custkey equi-join found:\n{plan}"
+
+
+def test_gap_fill_single_corpus_exchange(spark):
+    """events_gap_fill_locf: the (type, bucket) agg is the only
+    corpus-sized Exchange; grid build, gap-fill join and LOCF window
+    all run at bucket grain."""
+    df = QUERIES["events_gap_fill_locf"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # sequence() grid is generated, not shuffled into existence.
+    assert "Generate explode" in plan or "Generate" in plan
