@@ -2151,3 +2151,63 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_locf"
         ),
     )
+
+
+@query(
+    "time_decayed_user_scores",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+               CAST(floor(value * 10000) AS BIGINT) AS v
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    a AS (SELECT max(d) AS anchor FROM d)
+    SELECT user_id,
+           sum(d.v >> CAST(a.anchor - d.d AS INTEGER)) / 10000.0
+               AS decayed_score,
+           count(*) AS events,
+           CAST(min(a.anchor - d.d) AS BIGINT) AS freshest_age_days
+    FROM d, a
+    GROUP BY user_id
+    """,
+)
+def time_decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity score per user — the
+    recency-weighted ranking primitive (feeds/trending/churn scores)
+    where an event's weight halves per day of age: score =
+    sum(value * 0.5^age_days) anchored at the corpus's latest day.
+    The decay multiply is a RIGHT SHIFT of the house fixed-point
+    integer (v >> age — exact floor(v/2^age) in any engine, no libm
+    pow whose last-ulp rounding differs between JVM and C), so the
+    score is order-independent, mergeable (shift-then-sum distributes
+    over any partitioning of the events), and bit-identical in Spark
+    and DuckDB. Events older than ~44 days shift to zero — the
+    documented horizon of a 1-day half-life at 1e-4 resolution, not a
+    loss: their true weight is below the output's fixed-point floor.
+
+    Scale shape: one corpus-sized partial+final agg on user_id; the
+    anchor is a one-row broadcast (scalar agg cross-joined in, the
+    bounded-grid exemption). Mergeability is the production story: the
+    shifted partials can be maintained incrementally by the additive
+    serving protocol and re-anchored at read time by one more shift
+    (score(T') = score(T) >> (T'-T))."""
+    ev = events_table(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    d = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / F.lit(86400)).alias("d"),
+        F.floor(F.col("value") * 10000).alias("v"),
+    )
+    anchor = d.agg(F.max("d").alias("anchor"))
+    return (
+        d.crossJoin(broadcast(anchor))
+        .withColumn("age", (F.col("anchor") - F.col("d")).cast("int"))
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.expr("shiftright(v, age)")) / F.lit(10000.0)).alias(
+                "decayed_score"
+            ),
+            F.count("*").alias("events"),
+            F.min("age").cast("bigint").alias("freshest_age_days"),
+        )
+    )

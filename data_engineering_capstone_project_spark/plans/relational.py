@@ -3910,3 +3910,134 @@ def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "merge_upsert_parity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year
+        FROM orders WHERE o_orderkey % 100 < 50
+    ),
+    upd AS (
+        SELECT o_orderkey, 'U' AS status, o_totalprice + 1000 AS price,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year
+        FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    merged AS (
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        UNION ALL
+        SELECT * FROM upd
+    )
+    SELECT o_year, status, count(*) AS orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           sum(CAST(floor(price * 10000) AS BIGINT)) / 10000.0 AS revenue
+    FROM merged GROUP BY 1, 2
+    """,
+)
+def merge_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verified parity run for the row-level MERGE operator
+    (sources/writers.py merge_upsert_partitioned), previously exercised
+    only by the local test suite: seed a hive-partitioned parquet table
+    (orders with o_orderkey%100<50, partitioned by order year), then
+    MERGE a deterministic changeset (every o_orderkey%10==3 order,
+    re-statused 'U' with price+1000) — which both REPLACES existing
+    keys (%100<50) and INSERTS new ones (%100>=50) — and apply the SAME
+    changeset a second time, which must be a no-op on the final state
+    (replacing rows with identical rows). The result is the merged
+    table's per-(year, status) row count, exact key checksum, and
+    fixed-point revenue; the oracle computes the merged state
+    set-algebraically (base minus updated keys, union changeset), so
+    equality proves the operator's anti-join/union/dynamic-overwrite
+    mechanics AND its idempotence under replay.
+
+    Scale shape: the operator reads ONLY the partitions the changeset
+    touches (broadcast IN-filter -> partition pruning), anti-joins the
+    updated keys, and dynamically overwrites just those partitions —
+    at 100 TB a merge touching one day rewrites one day. The parity
+    table here is order-scale, written to a pid-keyed scratch dir
+    reclaimed at interpreter exit."""
+    from data_engineering_capstone_project_spark.plans.events_windows import (
+        _parity_scratch_dir,
+    )
+    from data_engineering_capstone_project_spark.sources.writers import (
+        merge_upsert_partitioned,
+    )
+
+    path = _parity_scratch_dir("decps_merge_upsert_parity")
+    orders = table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate").cast("int").alias("o_year")
+    base = orders.filter(F.col("o_orderkey") % 100 < 50).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        year,
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.lit("U").alias("status"),
+        (F.col("o_totalprice") + F.lit(1000)).alias("price"),
+        year,
+    )
+    base.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    merge_upsert_partitioned(spark, path, upd, ["o_orderkey"], ["o_year"])
+    # Replay: merging the identical changeset must leave the state fixed.
+    merge_upsert_partitioned(spark, path, upd, ["o_orderkey"], ["o_year"])
+    merged = spark.read.parquet(path)
+    return merged.groupBy(
+        F.col("o_year").cast("int").alias("o_year"), "status"
+    ).agg(
+        F.count("*").alias("orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+        _fixed_sum(F.col("price"), "revenue"),
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               count(*) AS group_n
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey,
+           c_mktsegment,
+           bal_bucket,
+           group_n
+    FROM g WHERE group_n < 5
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release pipeline runs before shipping "anonymized"
+    records: any combination of quasi-identifier values shared by
+    FEWER than k individuals is a re-identification risk (Sweeney,
+    "k-Anonymity", 2002: 87% of the US population is unique on
+    {ZIP, birth date, sex}). Here the quasi-identifier tuple is
+    (nation, market segment, account-balance-to-the-$1000), k=5, and
+    the output is exactly the risky groups with their sizes — the
+    worklist a suppression/generalization pass would consume.
+
+    Scale shape: one partial+final hash aggregation on the
+    quasi-identifier tuple (map-side combine collapses the corpus
+    before the Exchange), then a grid-sized HAVING filter. The output
+    is bounded by the quasi-identifier domain, not the corpus; no
+    joins, no windows, no second pass at 100 TB."""
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "bal_bucket"
+            ),
+        )
+        .agg(F.count("*").alias("group_n"))
+        .filter(F.col("group_n") < 5)
+    )

@@ -791,3 +791,21 @@ def test_gap_fill_single_corpus_exchange(spark):
     assert "CartesianProduct" not in plan
     # sequence() grid is generated, not shuffled into existence.
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_time_decayed_scores_single_agg_broadcast_anchor(spark):
+    """time_decayed_user_scores: one corpus agg on user_id; the anchor
+    day arrives as a one-row broadcast, never a shuffle or sort."""
+    plan = _plan(QUERIES["time_decayed_user_scores"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_k_anonymity_is_one_hash_agg(spark):
+    """k_anonymity_audit: partial+final hash agg on the
+    quasi-identifier tuple — no joins, no windows, no sorts."""
+    plan = _plan(QUERIES["k_anonymity_audit"](spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "Sort" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
