@@ -228,6 +228,18 @@ def _run_probes(k: int, out: str):
         "join_size_estimate",    # keyed-count join, fact rows never joined
         "bpe_learn_merges",      # corpus agg once, 3 vocab-sized merge rounds
         "name_ed1_blocking",     # deletion-neighborhood fuzzy equi-join
+        "user_daily_streaks",    # (user,day) distinct + user-partition windows
+        "rollup_cascade_daily",  # minute agg once, hour/day re-aggregate it
+        "stratified_sample_exact",  # per-stratum grid-offset exact rank
+        "scd2_point_in_time",    # SCD2 apply + interval-residual equi-join
+        # part_price_skyline is NOT probed: its only input is the part
+        # table, which this harness holds fixed (dim tier) — the bar
+        # would be a trivial 1.0. Its scale story is the plan pin
+        # (one corpus agg to the ~50-row size grid + broadcast probe).
+        "events_gap_fill_locf",  # (type,bucket) agg; grid sized by clock
+        "merge_upsert_parity",   # seed write + 2 partition-pruned merges
+        "k_anonymity_audit",     # one QI-tuple hash agg, grid-sized output
+        "time_decayed_user_scores",  # shift-decay agg + 1-row broadcast anchor
     ]
     only = set(sys.argv[3:])
     if only:
