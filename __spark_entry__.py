@@ -36,10 +36,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 20 new + 5 changed,
-# then the 17 queries last sampled in r1, then the first 8 of the 39
-# last sampled in r2 (the rest plus the r3 tail lead the r7 rotation). 174 queries total, all with oracles.
+# CORRECTNESS_r01..r0N.json. This round that means: 29 new + 5 changed,
+# then 16 of the 17 queries last sampled in r1 (the 17th plus the
+# r2/r3 tail lead the r7 rotation). 183 queries total, all with
+# oracles.
 _DRIVER_SAMPLE_FIRST = [
+    # round-6 third batch: new, never sampled — streaks, rollup
+    # cascade, exact stratified sampling, SCD2 point-in-time, skyline,
+    # LOCF gap fill, merge-upsert parity, k-anonymity, decayed scores
+    "user_daily_streaks",
+    "rollup_cascade_daily",
+    "stratified_sample_exact",
+    "scd2_point_in_time",
+    "part_price_skyline",
+    "events_gap_fill_locf",
+    "merge_upsert_parity",
+    "k_anonymity_audit",
+    "time_decayed_user_scores",
     # round-6 second half: new, never sampled -- the Count-Min sketch
     # point queries + its additive serving table (6th maintained
     # table); the bucketed interval-overlap join; the per-column
