@@ -36,11 +36,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 29 new + 5 changed,
-# then 16 of the 17 queries last sampled in r1 (the 17th plus the
-# r2/r3 tail lead the r7 rotation). 183 queries total, all with
+# CORRECTNESS_r01..r0N.json. This round that means: 32 new + 5 changed,
+# then 13 of the 17 queries last sampled in r1 (the rest plus the
+# r2/r3 tail lead the r7 rotation). 186 queries total, all with
 # oracles.
 _DRIVER_SAMPLE_FIRST = [
+    # round-6 fourth batch: new, never sampled — DAU/WAU stickiness,
+    # seasonal hour-of-day deviation report, LSH blocking quality
+    "dau_wau_stickiness",
+    "hourly_seasonal_anomalies",
+    "blocking_quality_report",
     # round-6 third batch: new, never sampled — streaks, rollup
     # cascade, exact stratified sampling, SCD2 point-in-time, skyline,
     # LOCF gap fill, merge-upsert parity, k-anonymity, decayed scores

@@ -2211,3 +2211,185 @@ def time_decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("age").cast("bigint").alias("freshest_age_days"),
         )
     )
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+    cover AS (
+        SELECT DISTINCT user_id, d + g.g AS cd
+        FROM ud, (SELECT unnest(generate_series(0, 6)) AS g) AS g
+    ),
+    wau AS (SELECT cd, count(*) AS wau FROM cover GROUP BY 1)
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           floor(dau.dau * 10000.0 / wau.wau) / 10000.0 AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.cd
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the engagement ratio every growth dashboard
+    leads with: for each active day, the distinct users that day (DAU)
+    over the distinct users in the TRAILING 7 days (WAU), as a
+    fixed-point ratio. The trailing-window DISTINCT is the part plain
+    windowing can't do (count(distinct) over a range frame is
+    unsupported and would re-scan per day anyway); the classic
+    re-expression is COVERAGE EXPLOSION: each (user, day) activity row
+    covers that user's membership in the 7 windows ENDING on days
+    d..d+6, so WAU(day) = |distinct (user, cover_day = day)| — turning
+    a windowed distinct into two ordinary distinct aggregations.
+
+    Scale shape: the corpus collapses to (user, day) in one Exchange;
+    the coverage explode is x7 on that day-grain frame (still ~1000x
+    smaller than raw events), deduped and counted in a second
+    day-grain Exchange. No windows, no per-day rescans; both engines
+    compute the ratio as floor(dau*10000/wau) on exact int64 counts."""
+    ev = events_table(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    ud = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / F.lit(86400)).alias("d"),
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + F.lit(6))
+            ).alias("cd"),
+        )
+        .distinct()
+    )
+    wau = cover.groupBy("cd").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, dau.d == wau.cd)
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            (
+                F.floor(F.col("dau") * F.lit(10000.0) / F.col("wau"))
+                / F.lit(10000.0)
+            ).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "hourly_seasonal_anomalies",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+               CAST(floor(floor(epoch(ts)) / 3600) % 24 AS BIGINT) AS hod,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    span AS (SELECT min(d) AS mn, max(d) AS mx FROM c),
+    grid AS (
+        SELECT t.event_type, g.d, h.hod
+        FROM (SELECT DISTINCT event_type FROM c) t,
+             (SELECT unnest(generate_series(mn, mx)) AS d FROM span) g,
+             (SELECT unnest(generate_series(0, 23)) AS hod) h
+    ),
+    dense AS (
+        SELECT grid.event_type, grid.d, grid.hod,
+               coalesce(c.cnt, 0) AS cnt
+        FROM grid LEFT JOIN c
+          ON grid.event_type = c.event_type
+         AND grid.d = c.d AND grid.hod = c.hod
+    ),
+    stats AS (
+        SELECT event_type, hod,
+               count(*) AS n, sum(cnt) AS s, sum(cnt * cnt) AS ss
+        FROM dense GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT d.event_type, d.d, d.hod, d.cnt, s.n, s.s, s.ss,
+               row_number() OVER (
+                   PARTITION BY d.event_type, d.hod
+                   ORDER BY d.cnt DESC, d.d ASC) AS rk
+        FROM dense d JOIN stats s
+          ON d.event_type = s.event_type AND d.hod = s.hod
+    )
+    SELECT event_type, hod, d AS peak_day, cnt AS peak_events,
+           floor(s * 10000.0 / n) / 10000.0 AS hod_mean,
+           CAST(cnt * n > s
+                AND (cnt * n - s) * (cnt * n - s) > 9 * n * (n * ss - s * s)
+                AS INTEGER) AS is_3sigma
+    FROM ranked WHERE rk = 1
+    """,
+)
+def hourly_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline deviation report: for every (type, hour-of-
+    day) profile, the PEAK day's count against the same-hour-of-day
+    baseline, with an exact-integer 3-sigma flag — the diurnal twin of
+    event_rate_anomalies' trailing-window rule (traffic at 3am is
+    compared to other 3ams, not to noon; the seasonal profile is what
+    makes "quiet hour spike" detectable at all). Reporting the
+    per-profile peak rather than only super-threshold cells keeps the
+    output non-empty and hash-checkable on ANY corpus (the synthetic
+    events are near-uniform Poisson, so a bare >3-sigma filter proves
+    nothing by matching empty sets); the flag carries the detection
+    semantics. The test is the house exact-integer form: with n cells
+    per profile, (cnt*n - s)^2 > 9*n*(n*ss - s^2) multiplies the
+    3-sigma comparison through by n^2 so no division or sqrt ever
+    happens — bit-identical in any engine. Baselines use the DENSE
+    grid (zero-count cells included via a generated type x day x hour
+    frame) so silent hours depress the mean instead of vanishing.
+
+    Scale shape: one corpus-sized Exchange (the (type, day, hour)
+    partial+final agg); the dense grid, profile stats, peak window and
+    flag join are all clock-sized (types x days x 24), the drift
+    grid's exemption. The profile join broadcasts (types x 24 rows)."""
+    ev = events_table(spark, sf_dir)
+    ts_s = F.col("ts").cast("long")
+    c = ev.select(
+        "event_type",
+        F.floor(ts_s / F.lit(86400)).alias("d"),
+        F.pmod(F.floor(ts_s / F.lit(3600)), F.lit(24)).alias("hod"),
+    ).groupBy("event_type", "d", "hod").agg(F.count("*").alias("cnt"))
+    span = c.agg(F.min("d").alias("mn"), F.max("d").alias("hx_mx"))
+    days = span.select(
+        F.explode(F.sequence("mn", "hx_mx")).alias("d")
+    )
+    hods = spark.range(24).select(F.col("id").cast("bigint").alias("hod"))
+    types = c.select("event_type").distinct()
+    grid = types.crossJoin(broadcast(days)).crossJoin(broadcast(hods))
+    dense = grid.join(c, ["event_type", "d", "hod"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    stats = dense.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    dev = F.col("cnt") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    rk = F.row_number().over(
+        Window.partitionBy("event_type", "hod").orderBy(
+            F.desc("cnt"), F.asc("d")
+        )
+    )
+    return (
+        dense.join(broadcast(stats), ["event_type", "hod"])
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "hod",
+            F.col("d").alias("peak_day"),
+            F.col("cnt").alias("peak_events"),
+            (
+                F.floor(F.col("s") * F.lit(10000.0) / F.col("n"))
+                / F.lit(10000.0)
+            ).alias("hod_mean"),
+            ((dev > 0) & (dev * dev > 9 * F.col("n") * var_n2))
+            .cast("int")
+            .alias("is_3sigma"),
+        )
+    )

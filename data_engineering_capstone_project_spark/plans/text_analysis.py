@@ -3058,3 +3058,116 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("wf"))
     )
     return bpe_merge_rounds(vocab, rounds=3)
+
+
+@query(
+    "blocking_quality_report",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS doc, unnest({_SHINGLES}) AS sh
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc,
+               min(substr(md5('0:' || sh),  1, 8)) AS mh_0,
+               min(substr(md5('0:' || sh),  9, 8)) AS mh_1,
+               min(substr(md5('0:' || sh), 17, 8)) AS mh_2,
+               min(substr(md5('0:' || sh), 25, 8)) AS mh_3,
+               min(substr(md5('1:' || sh),  1, 8)) AS mh_4,
+               min(substr(md5('1:' || sh),  9, 8)) AS mh_5,
+               min(substr(md5('1:' || sh), 17, 8)) AS mh_6,
+               min(substr(md5('1:' || sh), 25, 8)) AS mh_7
+        FROM sh GROUP BY doc
+    ),
+    b AS (
+        SELECT 0 AS band, doc,
+               md5(concat_ws('|', '0', mh_0, mh_1)) AS band_h FROM sig
+        UNION ALL
+        SELECT 1, doc, md5(concat_ws('|', '1', mh_2, mh_3)) FROM sig
+        UNION ALL
+        SELECT 2, doc, md5(concat_ws('|', '2', mh_4, mh_5)) FROM sig
+        UNION ALL
+        SELECT 3, doc, md5(concat_ws('|', '3', mh_6, mh_7)) FROM sig
+    ),
+    bk AS (SELECT band, band_h, count(*) AS c FROM b GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM sig)
+    SELECT bk.band,
+           count(*) AS n_buckets,
+           max(bk.c) AS max_bucket,
+           CAST(sum(bk.c * (bk.c - 1)) // 2 AS BIGINT) AS candidate_pairs,
+           CAST(n.n_docs AS BIGINT) AS n_docs,
+           floor((1.0 - (sum(bk.c * (bk.c - 1)) // 2)
+                        / (n.n_docs * (n.n_docs - 1) // 2)) * 10000)
+               / 10000.0 AS reduction_ratio
+    FROM bk, n
+    GROUP BY bk.band, n.n_docs
+    """,
+)
+def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality pre-flight for the MinHash-LSH dedup pipeline —
+    the entity-resolution REDUCTION RATIO report (Christen, "Data
+    Matching", ch. 7) computed WITHOUT materializing a single
+    candidate pair: per band, the bucket count, the largest bucket
+    (the skew that decides whether `max_bucket` capping will bite),
+    the implied candidate-pair workload sum(c·(c-1)/2), and the
+    fraction of the naive n·(n-1)/2 comparison space the blocking
+    eliminates. This is the dial an operator reads BEFORE launching
+    the pair join at 100 TB: a reduction ratio drifting down or a
+    max_bucket exploding means re-tune bands/rows or the cap — the
+    same role join_size_estimate plays for equi-joins, specialized to
+    the self-join blocking ladder.
+
+    Scale shape: signatures are the usual single corpus scan (explode
+    shingles, aggregate 8 mins); the band frame is 4 rows per doc, the
+    bucket histogram one hash agg on (band, band_h), and the report a
+    4-row aggregate of THAT — candidate counts come from bucket-size
+    arithmetic (c·(c-1)/2), never from generating pairs. The doc count
+    joins in as a one-row broadcast."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", D.tokenize(F.col("text")).alias("toks")
+    )
+    sigs = D.minhash_signatures(
+        docs,
+        id_col="doc_id",
+        shingle_col=D.word_shingles(F.col("toks"), 3),
+        num_hashes=8,
+    )
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(str(b)), F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}")
+            )
+        )
+        for b in range(4)
+    ]
+    banded = sigs.select(
+        F.posexplode(F.array(*band_hashes)).alias("band", "band_h")
+    )
+    bk = banded.groupBy("band", "band_h").agg(F.count("*").alias("c"))
+    n = sigs.agg(F.count("*").alias("n_docs"))
+    per_band = bk.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("c").alias("max_bucket"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("p2"),
+    )
+    return (
+        per_band.crossJoin(broadcast(n))
+        .select(
+            "band",
+            "n_buckets",
+            "max_bucket",
+            F.expr("p2 div 2").alias("candidate_pairs"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            (
+                F.floor(
+                    (
+                        F.lit(1.0)
+                        - F.expr("p2 div 2")
+                        / F.expr("n_docs * (n_docs - 1) div 2")
+                    )
+                    * 10000
+                )
+                / F.lit(10000.0)
+            ).alias("reduction_ratio"),
+        )
+    )

@@ -809,3 +809,33 @@ def test_k_anonymity_is_one_hash_agg(spark):
     assert "Join" not in plan
     assert "Sort" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dau_wau_never_windows(spark):
+    """dau_wau_stickiness: the trailing-window distinct is re-expressed
+    as coverage explosion + two distinct aggs — no Window operator, no
+    per-day rescans, no cartesian."""
+    plan = _plan(QUERIES["dau_wau_stickiness"](spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_seasonal_anomalies_grid_broadcasts(spark):
+    """hourly_seasonal_anomalies: one corpus agg; the dense grid and
+    profile stats join back as broadcasts (clock-sized frames)."""
+    plan = _plan(QUERIES["hourly_seasonal_anomalies"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_blocking_report_never_generates_pairs(spark):
+    """blocking_quality_report: candidate counts come from bucket-size
+    arithmetic — the plan must contain NO self-join of the banded
+    frame (no join at all except the one-row doc-count broadcast)."""
+    plan = _plan(QUERIES["blocking_quality_report"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert all("BroadcastNestedLoopJoin" in j or "BroadcastHashJoin" in j
+               for j in joins), joins
