@@ -112,6 +112,9 @@ _DRIVER_SAMPLE_FIRST = [
     "events_tumbling_hourly",
     "lang_id_confusion",
     "lsh_bucket_histogram",
+    # --- 50-row sample boundary falls here (32 new + 5 changed + 13
+    # r1-stale); the rest stays listed so the r7 rotation starts from
+    # a recorded order ---
     "minhash_lsh_pairs",
     "near_dup_jaccard",
     "simhash_near_dups",
@@ -125,8 +128,6 @@ _DRIVER_SAMPLE_FIRST = [
     "customer_order_reconciliation",
     "customer_spend_quartiles",
     "customer_spend_tiers",
-    # --- 50-row sample boundary falls here; the rest of the r2 tail
-    # stays listed so the r7 rotation starts from a recorded order ---
     "customers_no_orders",
     "customers_rollup",
     "disjunctive_revenue_q19",
