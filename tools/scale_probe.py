@@ -240,6 +240,9 @@ def _run_probes(k: int, out: str):
         "merge_upsert_parity",   # seed write + 2 partition-pruned merges
         "k_anonymity_audit",     # one QI-tuple hash agg, grid-sized output
         "time_decayed_user_scores",  # shift-decay agg + 1-row broadcast anchor
+        "dau_wau_stickiness",    # coverage-explode windowed distinct
+        "hourly_seasonal_anomalies",  # corpus agg + clock-sized profile grid
+        "blocking_quality_report",  # signature scan + bucket-size arithmetic
     ]
     only = set(sys.argv[3:])
     if only:
