@@ -1504,13 +1504,20 @@ def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, at least ~1000x smaller than raw events at day grain. Both
     user-partitioned windows and the (user, grp) aggregate reuse that
     frame's user partitioning; no further corpus pass exists."""
-    from pyspark.sql.window import Window as W
-
     ev = events_table(spark, sf_dir)
     act = ev.select(
         "user_id",
         F.floor(F.col("ts").cast("long") / F.lit(86400)).alias("d"),
     ).distinct()
+    return daily_streaks(act)
+
+
+def daily_streaks(act: DataFrame) -> DataFrame:
+    """Gaps-and-islands streak assembly over a DISTINCT (user_id, d)
+    activity frame (property-tested against a sequential Python
+    reference in tests/test_property_round6c.py)."""
+    from pyspark.sql.window import Window as W
+
     isl = act.withColumn(
         "grp",
         F.col("d")
@@ -2254,12 +2261,19 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(F.col("ts").cast("long") / F.lit(86400)).alias("d"),
     ).distinct()
+    return dau_wau_from_activity(ud)
+
+
+def dau_wau_from_activity(ud: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU/WAU assembly over a DISTINCT (user_id, d) activity frame via
+    coverage explosion (property-tested against a brute trailing-window
+    Python reference in tests/test_property_round6c.py)."""
     dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
     cover = (
         ud.select(
             "user_id",
             F.explode(
-                F.sequence(F.col("d"), F.col("d") + F.lit(6))
+                F.sequence(F.col("d"), F.col("d") + F.lit(window_days - 1))
             ).alias("cd"),
         )
         .distinct()

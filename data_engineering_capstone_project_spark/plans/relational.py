@@ -3890,25 +3890,39 @@ def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").select(
         "p_partkey", "p_size", "p_retailprice"
     )
-    gmin = part.groupBy("p_size").agg(F.min("p_retailprice").alias("m"))
-    # Min price over STRICTLY larger sizes: order the ~50-row size grid
-    # descending and take the running min of the preceding rows.
-    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+    return pareto_frontier_2d(
+        part, maximize_col="p_size", minimize_col="p_retailprice"
+    ).select(
+        "p_partkey",
+        "p_size",
+        (F.floor(F.col("p_retailprice") * 10000) / F.lit(10000.0)).alias(
+            "price"
+        ),
+    )
+
+
+def pareto_frontier_2d(
+    df: DataFrame, maximize_col: str, minimize_col: str
+) -> DataFrame:
+    """2-D skyline: rows not dominated under (maximize ``maximize_col``,
+    minimize ``minimize_col``); equal points do not dominate each other
+    and all survive. One corpus hash agg to the maximize-domain grid, a
+    running-min window over that grid, and a broadcast semi-filter back
+    (property-tested against a brute-force dominance check in
+    tests/test_property_round6c.py)."""
+    gmin = df.groupBy(maximize_col).agg(F.min(minimize_col).alias("m"))
+    # Min of the minimize axis over STRICTLY larger maximize values:
+    # order the grid descending, running min of the preceding rows.
+    w = Window.orderBy(F.desc(maximize_col)).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    sky_sizes = gmin.withColumn("suff", F.min("m").over(w)).filter(
+    sky_keys = gmin.withColumn("suff", F.min("m").over(w)).filter(
         F.col("suff").isNull() | (F.col("m") < F.col("suff"))
     )
     return (
-        part.join(broadcast(sky_sizes), "p_size")
-        .filter(F.col("p_retailprice") == F.col("m"))
-        .select(
-            "p_partkey",
-            "p_size",
-            (F.floor(F.col("p_retailprice") * 10000) / F.lit(10000.0)).alias(
-                "price"
-            ),
-        )
+        df.join(broadcast(sky_keys), maximize_col)
+        .filter(F.col(minimize_col) == F.col("m"))
+        .drop("m", "suff")
     )
 
 

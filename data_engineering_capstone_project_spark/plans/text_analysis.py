@@ -2246,8 +2246,6 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant as shards scale with the corpus (the shared
     _corpus_shard_count rule). The oracle's flat per-lang row_number
     proves the assembly equals the global per-stratum rank exactly."""
-    from pyspark.sql.window import Window as W
-
     n_shards = _corpus_shard_count(spark, sf_dir)
     width = (1_000_000_007 // n_shards) + 1
     d = (
@@ -2257,39 +2255,59 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hv",
             F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000_007)),
         )
-        .withColumn("shard", F.expr(f"hv div {width}"))
     )
-    ranked = d.withColumn(
-        "r",
-        F.row_number().over(
-            W.partitionBy("lang", "shard").orderBy("hv", "doc_id")
-        ),
+    ranked = grid_offset_stratum_rank(
+        d, stratum_col="lang", hash_col="hv", id_col="doc_id", width=width
     )
-    counts = d.groupBy("lang", "shard").agg(F.count("*").alias("c"))
-    offs = counts.withColumn(
-        "off",
-        F.coalesce(
-            F.sum("c").over(
-                W.partitionBy("lang")
-                .orderBy("shard")
-                .rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("lang", "shard", "off")
-    quota = counts.groupBy("lang").agg(
-        F.ceil(F.lit(0.2) * F.sum("c")).alias("k")
+    quota = d.groupBy("lang").agg(
+        F.ceil(F.lit(0.2) * F.count("*")).alias("k")
     )
     return (
-        ranked.join(broadcast(offs), ["lang", "shard"])
-        .join(broadcast(quota), "lang")
-        .withColumn("sample_rank", F.col("off") + F.col("r"))
+        ranked.join(broadcast(quota), "lang")
         .filter(F.col("sample_rank") <= F.col("k"))
         .select(
             "lang",
             "doc_id",
             F.col("sample_rank").cast("bigint").alias("sample_rank"),
         )
+    )
+
+
+def grid_offset_stratum_rank(
+    d: DataFrame, stratum_col: str, hash_col: str, id_col: str, width: int
+) -> DataFrame:
+    """Per-stratum global rank by (hash, id) WITHOUT a per-stratum
+    single-partition sort: range-shard the hash domain (shard =
+    hash div width, so (shard, hash) order IS hash order), rank within
+    (stratum, shard) in parallel, then add per-shard prefix-sum
+    offsets from the (strata x shards) grid broadcast back. Returns
+    the input columns plus ``sample_rank``. Property-tested equal to
+    the flat per-stratum row_number in tests/test_property_round6c.py."""
+    from pyspark.sql.window import Window as W
+
+    d = d.withColumn("_shard", F.expr(f"{hash_col} div {width}"))
+    ranked = d.withColumn(
+        "_r",
+        F.row_number().over(
+            W.partitionBy(stratum_col, "_shard").orderBy(hash_col, id_col)
+        ),
+    )
+    counts = d.groupBy(stratum_col, "_shard").agg(F.count("*").alias("_c"))
+    offs = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_c").over(
+                W.partitionBy(stratum_col)
+                .orderBy("_shard")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(stratum_col, "_shard", "_off")
+    return (
+        ranked.join(broadcast(offs), [stratum_col, "_shard"])
+        .withColumn("sample_rank", F.col("_off") + F.col("_r"))
+        .drop("_shard", "_r", "_off")
     )
 
 
