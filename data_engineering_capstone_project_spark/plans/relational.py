@@ -4055,3 +4055,139 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("group_n"))
         .filter(F.col("group_n") < 5)
     )
+
+
+@query(
+    "orc_roundtrip_parity",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           o_orderpriority,
+           count(*) AS orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           sum(CAST(floor(o_totalprice * 10000) AS BIGINT)) / 10000.0
+               AS revenue
+    FROM orders
+    WHERE o_orderkey % 4 = 1
+    GROUP BY 1, 2
+    """,
+)
+def orc_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink parity: a deterministic orders slice is written
+    as ORC (Spark's second built-in columnar format — the one a user
+    migrating a Hive/Hadoop estate actually has on disk), read back
+    through the ORC reader, and aggregated; the oracle computes the
+    same aggregate straight from the parquet table, so equality
+    proves the ORC writer+reader round-trips values, timestamps
+    (calendar semantics under year()), and nulls bit-exactly. Predicate
+    pushdown works on ORC scans the same way it does on parquet
+    (Catalyst emits PushedFilters for orc), so a user can point any
+    registered query at an ORC copy of the warehouse without plan
+    regressions.
+
+    Scale shape: the write is one pass over the filtered slice; the
+    read-back aggregate is the ordinary partial+final hash agg. Scratch
+    lives in a pid-keyed dir reclaimed at interpreter exit."""
+    from data_engineering_capstone_project_spark.plans.events_windows import (
+        _parity_scratch_dir,
+    )
+
+    path = _parity_scratch_dir("decps_orc_roundtrip")
+    orders = table(spark, sf_dir, "orders")
+    sliced = orders.filter(F.col("o_orderkey") % 4 == 1)
+    sliced.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+        _fixed_sum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+@query(
+    "latest_state_compaction",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+               o_totalprice AS price FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', o_totalprice + 500
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', NULL
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    latest AS (
+        SELECT k, op, price,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rk
+        FROM log
+    )
+    SELECT CAST(count(*) AS BIGINT) AS live_keys,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           sum(CAST(floor(price * 10000) AS BIGINT)) / 10000.0
+               AS price_sum,
+           CAST(sum(CASE WHEN price > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bumped_over_100k
+    FROM latest WHERE rk = 1 AND op <> 'D'
+    """,
+)
+def latest_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction — materialize the LATEST state from an
+    append-only (key, seq, op, payload) log, dropping keys whose last
+    operation is a delete: the read-side of every Kafka-compacted
+    topic / Debezium stream / Delta CDF, and the inverse of
+    merge_upsert_partitioned (which maintains state write-side, while
+    this derives it from history read-side). The changelog is built
+    deterministically from orders (seq 1 = base row for every key,
+    seq 2 = price+500 update for keys %7==0, seq 3 = delete for keys
+    %13==0), compacted by a per-key latest-wins window, and summarized
+    (live keys, exact key checksum, fixed-point price sum, bumped-row
+    count) so the oracle pins both the winner-selection and the
+    delete-suppression.
+
+    Scale shape: ONE corpus-sized Exchange — the per-key window (rank
+    by sequence descending) that every compaction engine pays; at
+    100 TB this is the same shuffle a merge would do, but over the log
+    instead of log+table. Spark's WindowGroupLimit pushes the rk=1
+    filter into the sort, so no full ranking is materialized."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + F.lit(500)).alias("price"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    log = base.unionByName(upd).unionByName(dels)
+    latest = (
+        log.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(F.desc("seq"))
+            ),
+        )
+        .filter((F.col("rk") == 1) & (F.col("op") != "D"))
+    )
+    return latest.agg(
+        F.count("*").cast("bigint").alias("live_keys"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        _fixed_sum(F.col("price"), "price_sum"),
+        F.sum((F.col("price") > 100000).cast("int"))
+        .cast("bigint")
+        .alias("n_bumped_over_100k"),
+    )

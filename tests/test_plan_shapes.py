@@ -839,3 +839,20 @@ def test_blocking_report_never_generates_pairs(spark):
     joins = [l for l in plan.splitlines() if "Join" in l]
     assert all("BroadcastNestedLoopJoin" in j or "BroadcastHashJoin" in j
                for j in joins), joins
+
+
+def test_latest_state_compaction_uses_window_group_limit(spark):
+    """latest_state_compaction: the latest-wins rank must compile to
+    WindowGroupLimit (rk=1 pushed into the sort) over exactly ONE
+    corpus Exchange on the key."""
+    plan = _plan(QUERIES["latest_state_compaction"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_orc_roundtrip_reads_orc_scan(spark):
+    """orc_roundtrip_parity: the read-back side must be a native ORC
+    columnar scan (not a fallback row reader)."""
+    plan = _plan(QUERIES["orc_roundtrip_parity"](spark, SF_SMALL))
+    assert "orc" in plan.lower()
+    assert "Exchange hashpartitioning" in plan  # ordinary partial+final agg
