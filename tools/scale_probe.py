@@ -243,6 +243,8 @@ def _run_probes(k: int, out: str):
         "dau_wau_stickiness",    # coverage-explode windowed distinct
         "hourly_seasonal_anomalies",  # corpus agg + clock-sized profile grid
         "blocking_quality_report",  # signature scan + bucket-size arithmetic
+        "orc_roundtrip_parity",  # ORC write + native ORC scan round-trip
+        "latest_state_compaction",  # changelog latest-wins WindowGroupLimit
     ]
     only = set(sys.argv[3:])
     if only:
