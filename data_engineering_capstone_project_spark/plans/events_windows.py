@@ -2407,3 +2407,70 @@ def hourly_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_3sigma"),
         )
     )
+
+
+@query(
+    "decayed_streamed_parity",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+               count(*) AS n,
+               coalesce(sum(CAST(floor(value * 10000) AS BIGINT)), 0) AS v
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    a AS (SELECT max(d) AS anchor FROM g)
+    SELECT user_id,
+           sum(g.v >> CAST(a.anchor - g.d AS INTEGER)) / 10000.0
+               AS decayed_score,
+           CAST(sum(g.n) AS BIGINT) AS events,
+           CAST(min(a.anchor - g.d) AS BIGINT) AS freshest_age_days
+    FROM g, a
+    GROUP BY user_id
+    """,
+)
+def decayed_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEVENTH maintained serving table — time-decayed activity
+    scores — through the streamed-parity protocol, making the batch
+    query's serving claim driver-verified instead of asserted
+    (time_decayed_user_scores' docstring: "the shifted partials can be
+    maintained incrementally by the additive serving protocol and
+    re-anchored at read time"). State is the (user, day) fixed-point
+    value-sum grid — PLAIN ADDITIVE counters, so it folds through
+    ``apply_additive_batch`` with zero new merge machinery (the CMS
+    precedent) — and the DECAY lives entirely in the read-time view,
+    which anchors at the latest maintained day and right-shifts each
+    partial by its age. 4 deterministic micro-batches + the batch-1
+    crash-replay the guard must no-op; the oracle recomputes the
+    day-grain partials and the shifted score from raw events in one
+    pass, so a green row proves a half-life metric is incrementally
+    maintainable with NO approximation drift: the additive day sums
+    are slicing-independent (tests/test_property_serving.py), and the
+    shift happens ONCE on the merged sum at read time. Note the
+    deliberate quantization difference vs the batch
+    ``time_decayed_user_scores``: that query floors per EVENT
+    (sum(v_i >> age)), this serving form floors once per user-day
+    ((sum v_i) >> age) — strictly less floor loss, and the only form
+    an additive store can serve (floor division does not distribute
+    over addition, so per-event shifts could not be reconstructed
+    from merged state).
+
+    Scale shape: each merge joins two (users x active-days) grids at
+    day grain; the view is one grid aggregation with a 1-row broadcast
+    anchor. No event is re-read after its batch; advancing the anchor
+    is one more shift, never a rebuild."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        decayed_partials_increment,
+        decayed_scores_view,
+    )
+
+    serving = _run_streamed_parity(
+        spark,
+        sf_dir,
+        scratch_stem="decps_decayed_parity_serving",
+        inc_fn=decayed_partials_increment,
+        keys=["user_id", "d"],
+        sum_cols=["n", "v_fp"],
+    )
+    return decayed_scores_view(spark, serving)

@@ -475,3 +475,55 @@ def kmv_serving_view(
     return sk.select(
         group_col, "kth", "n", kmv_estimate().alias("kmv_estimate")
     )
+
+
+def decayed_partials_increment(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's contribution to the (user, day) fixed-point
+    value partials behind read-time exponential decay: plain additive
+    counters (event count + floor(value*1e4) sum per user-day), so the
+    sketch folds through ``apply_additive_batch`` unchanged. The decay
+    itself happens at READ time (``decayed_scores_view``): partials are
+    anchored by shifting, never re-written — which is what makes a
+    half-life score maintainable incrementally at all. NULL user_ids
+    are excluded to match the batch query's contract; the value sum is
+    coalesced to 0 (additive state must be NULL-free from birth — see
+    _user_counts_increment)."""
+    return (
+        batch_df.filter(F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id",
+            F.floor(F.col("ts").cast("long") / F.lit(86400)).alias("d"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * 10000).cast("bigint")),
+                F.lit(0),
+            ).alias("v_fp"),
+        )
+    )
+
+
+def decayed_scores_view(spark: SparkSession, serving: str) -> DataFrame:
+    """Read-time half-life scores from the maintained (user, day)
+    partials: anchor at the latest maintained day, shift each day's
+    fixed-point sum right by its age (exact floor(v/2^age) — the same
+    arithmetic as the batch ``time_decayed_user_scores``), and sum per
+    user. Runs over the user x active-days grid — no event is ever
+    re-read, and a later anchor only means one more shift."""
+    from pyspark.sql.functions import broadcast
+
+    t = spark.read.parquet(serving).filter(F.col("d").isNotNull())
+    anchor = t.agg(F.max("d").alias("anchor"))
+    return (
+        t.join(broadcast(anchor))
+        .withColumn("age", (F.col("anchor") - F.col("d")).cast("int"))
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.expr("shiftright(v_fp, age)")) / F.lit(10000.0)).alias(
+                "decayed_score"
+            ),
+            F.sum("n").alias("events"),
+            F.min("age").cast("bigint").alias("freshest_age_days"),
+        )
+    )

@@ -245,6 +245,7 @@ def _run_probes(k: int, out: str):
         "blocking_quality_report",  # signature scan + bucket-size arithmetic
         "orc_roundtrip_parity",  # ORC write + native ORC scan round-trip
         "latest_state_compaction",  # changelog latest-wins WindowGroupLimit
+        "decayed_streamed_parity",  # 7th serving table: 4 additive folds + view
     ]
     only = set(sys.argv[3:])
     if only:
