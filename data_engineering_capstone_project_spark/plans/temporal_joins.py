@@ -103,3 +103,85 @@ def orders_within_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "okey_b",
         (F.col("day_b") - F.col("day_a")).cast("int").alias("day_gap"),
     )
+
+
+@query(
+    "conversion_lag_percentiles",
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS ms, user_id, event_type
+                FROM events WHERE user_id IS NOT NULL),
+         v AS (SELECT user_id, ms AS view_ms FROM ev
+               WHERE event_type = 'view'),
+         p AS (SELECT DISTINCT user_id, ms AS pur_ms FROM ev
+               WHERE event_type = 'purchase'),
+         j AS (
+             SELECT v.view_ms, p.pur_ms
+             FROM v ASOF LEFT JOIN p
+               ON v.user_id = p.user_id AND p.pur_ms >= v.view_ms
+         )
+    SELECT count(*) AS total_views,
+           count(pur_ms) AS converted_views,
+           CAST(floor(quantile_cont(pur_ms - view_ms, 0.5)) AS BIGINT)
+               AS p50_lag_ms,
+           CAST(floor(quantile_cont(pur_ms - view_ms, 0.9)) AS BIGINT)
+               AS p90_lag_ms,
+           CAST(max(pur_ms - view_ms) AS BIGINT) AS max_lag_ms
+    FROM j
+    """,
+)
+def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel TIMING: how long after a view does the purchase come?
+    Each view is matched FORWARD to the same user's earliest purchase
+    at-or-after it, and the lag distribution is summarized (exact
+    interpolated p50/p90 per the price_percentiles precedent, plus the
+    max and the converted/total counts). The forward as-of is the SAME
+    ``asof_join`` operator the attribution query uses, pointed the
+    other way by the negated-time trick: maximizing -t over
+    -pur <= -view IS minimizing t over pur >= view, so one union+window
+    implementation serves both directions — while the oracle uses
+    DuckDB's native ASOF with the >= predicate, independently
+    validating the reversal. Views that never convert stay as NULL
+    lags (count(pur_ms) vs count(*) is the conversion rate; percentile
+    ignores NULLs identically in both engines).
+
+    Scale shape: the as-of is the union+window single-shuffle form
+    (one user_id Exchange, O(1) window state); the summary is one
+    global aggregate. The exact percentile's single-node sort-by-group
+    is the documented trade-off — at 100 TB swap approx_percentile,
+    same call shape."""
+    ev = events_table(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_millis("ts").alias("view_ms"),
+        (-F.unix_millis("ts")).alias("vneg"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("pur_ms"),
+            (-F.unix_millis("ts")).alias("pneg"),
+        )
+        .distinct()
+    )
+    j = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="vneg",
+        right_time="pneg",
+        value_cols=["pur_ms"],
+        how="left",
+    )
+    lag = F.col("pur_ms") - F.col("view_ms")
+    return j.agg(
+        F.count("*").alias("total_views"),
+        F.count("pur_ms").alias("converted_views"),
+        F.floor(F.expr("percentile(pur_ms - view_ms, 0.5)"))
+        .cast("bigint")
+        .alias("p50_lag_ms"),
+        F.floor(F.expr("percentile(pur_ms - view_ms, 0.9)"))
+        .cast("bigint")
+        .alias("p90_lag_ms"),
+        F.max(lag).cast("bigint").alias("max_lag_ms"),
+    )

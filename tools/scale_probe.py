@@ -246,6 +246,7 @@ def _run_probes(k: int, out: str):
         "orc_roundtrip_parity",  # ORC write + native ORC scan round-trip
         "latest_state_compaction",  # changelog latest-wins WindowGroupLimit
         "decayed_streamed_parity",  # 7th serving table: 4 additive folds + view
+        "conversion_lag_percentiles",  # forward as-of + exact lag percentiles
     ]
     only = set(sys.argv[3:])
     if only:
