@@ -68,6 +68,9 @@ _EAGER = {
     "pq_codes_table",
     "kmv_streamed_parity",
     "cms_streamed_parity",
+    "decayed_streamed_parity",
+    "merge_upsert_parity",
+    "orc_roundtrip_parity",
 }
 
 
