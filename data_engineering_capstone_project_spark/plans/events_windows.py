@@ -2474,3 +2474,117 @@ def decayed_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cols=["n", "v_fp"],
     )
     return decayed_scores_view(spark, serving)
+
+
+@query(
+    "ks_drift_check",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+               CAST(floor(value * 10000) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    mx AS (SELECT max(day) AS latest FROM e),
+    g AS (
+        SELECT v,
+               sum(CASE WHEN day < latest THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN day = latest THEN 1 ELSE 0 END) AS n_cur
+        FROM e, mx GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+               CAST(sum(n_cur) AS BIGINT) AS nc
+        FROM g
+    ),
+    c AS (
+        SELECT v,
+               sum(n_ref) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_ref,
+               sum(n_cur) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cur
+        FROM g
+    ),
+    d AS (
+        SELECT c.v, abs(c.cum_ref / t.nr - c.cum_cur / t.nc) AS diff,
+               t.nr, t.nc,
+               row_number() OVER (
+                   ORDER BY abs(c.cum_ref / t.nr - c.cum_cur / t.nc) DESC,
+                            c.v ASC) AS rk
+        FROM c, t
+    )
+    SELECT floor(diff * 1000000000) / 1000000000.0 AS ks_d,
+           v / 10000.0 AS at_value,
+           nr AS n_ref, nc AS n_cur
+    FROM d WHERE rk = 1
+    """,
+)
+def ks_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test, EXACT: the maximum
+    CDF gap between the latest day's value distribution and all
+    history — the binning-free complement to the chi-square drift
+    family (event_value_drift picks up mass shifts between its 20
+    fixed buckets; KS catches any shape change, including ones that
+    stay inside a bucket, and its statistic is distribution-free).
+    Values live on the house 1e-4 fixed grid, per-value counts split
+    ref/cur against a one-row broadcast anchor, cumulative counts run
+    over the VALUE-DOMAIN frame, and the gap |cum_ref/NR - cum_cur/NC|
+    is a deterministic IEEE expression evaluated identically in both
+    engines (integer operands, one division each, one subtraction —
+    bit-identical, then floor-truncated at 1e-9 like the chi2
+    precedent). Emits the argmax row: the statistic, WHERE the
+    distributions diverge most, and both sample sizes.
+
+    Scale shape: one corpus-sized Exchange (the per-value split agg).
+    The cumulative window and argmax rank run on the value-domain
+    frame, which is bounded by the VALUE RESOLUTION (<=4.9M rows at
+    this column's range, ~dozens of thousands observed), not the
+    corpus — the grid exemption's cousin: its single-partition sort
+    has a constant ceiling no matter how many events arrive."""
+    ev = events_table(spark, sf_dir).filter(F.col("value").isNotNull())
+    e = ev.select(
+        F.floor(F.col("ts").cast("long") / F.lit(86400)).alias("day"),
+        F.floor(F.col("value") * 10000).alias("v"),
+    )
+    mx = e.agg(F.max("day").alias("latest"))
+    g = (
+        e.crossJoin(broadcast(mx))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("latest"), 1).otherwise(0))
+            .alias("n_ref"),
+            F.sum(F.when(F.col("day") == F.col("latest"), 1).otherwise(0))
+            .alias("n_cur"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_ref").cast("bigint").alias("nr"),
+        F.sum("n_cur").cast("bigint").alias("nc"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "v",
+        F.sum("n_ref").over(w).alias("cum_ref"),
+        F.sum("n_cur").over(w).alias("cum_cur"),
+    )
+    diff = F.abs(
+        F.col("cum_ref") / F.col("nr") - F.col("cum_cur") / F.col("nc")
+    )
+    d = (
+        c.crossJoin(broadcast(tot))
+        .withColumn("diff", diff)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("diff"), F.asc("v"))),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return d.select(
+        (F.floor(F.col("diff") * 1000000000) / F.lit(1000000000.0)).alias(
+            "ks_d"
+        ),
+        (F.col("v") / F.lit(10000.0)).alias("at_value"),
+        F.col("nr").alias("n_ref"),
+        F.col("nc").alias("n_cur"),
+    )

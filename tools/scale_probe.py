@@ -247,6 +247,7 @@ def _run_probes(k: int, out: str):
         "latest_state_compaction",  # changelog latest-wins WindowGroupLimit
         "decayed_streamed_parity",  # 7th serving table: 4 additive folds + view
         "conversion_lag_percentiles",  # forward as-of + exact lag percentiles
+        "ks_drift_check",        # per-value split agg + domain-sized cumsum
     ]
     only = set(sys.argv[3:])
     if only:
