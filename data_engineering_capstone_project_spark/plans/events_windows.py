@@ -2588,3 +2588,177 @@ def ks_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nr").alias("n_ref"),
         F.col("nc").alias("n_cur"),
     )
+
+
+@query(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL
+    ),
+    m AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+    co AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS both_users
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT co.type_a, co.type_b,
+           CAST(ma.n AS BIGINT) AS users_a,
+           CAST(mb.n AS BIGINT) AS users_b,
+           CAST(co.both_users AS BIGINT) AS both_users,
+           floor(co.both_users * 10000.0
+                 / (ma.n + mb.n - co.both_users)) / 10000.0 AS jaccard
+    FROM co
+    JOIN m ma ON ma.event_type = co.type_a
+    JOIN m mb ON mb.event_type = co.type_b
+    """,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap — the product-analytics matrix behind "users
+    who do X also do Y": pairwise Jaccard between the user cohorts of
+    every event-type pair, from one distinct (user, type) frame
+    self-joined on user. The per-user fan-out is bounded by the TYPE
+    DOMAIN (t types -> at most t·(t-1)/2 pair rows per user), so the
+    "self-join" is really a bounded explode — never the quadratic
+    user-pair join the same question about USER similarity would need
+    (that one is the LSH ladder's job). Ratio arithmetic is the exact
+    floor(both·1e4 / union) form on int64 counts.
+
+    Scale shape: one corpus Exchange to the (user, type) distinct; the
+    co-occurrence join reuses that frame's user partitioning (no
+    second corpus shuffle of raw events); marginals and the final
+    matrix are type-grid-sized broadcasts."""
+    ut = (
+        events_table(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    ut = scoped_persist(ut, "audience_overlap.ut")
+    m = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("both_users"))
+    )
+    ma = m.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("users_a")
+    )
+    mb = m.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("users_b")
+    )
+    return (
+        co.join(broadcast(ma), "type_a")
+        .join(broadcast(mb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("users_a").cast("bigint").alias("users_a"),
+            F.col("users_b").cast("bigint").alias("users_b"),
+            F.col("both_users").cast("bigint").alias("both_users"),
+            (
+                F.floor(
+                    F.col("both_users")
+                    * F.lit(10000.0)
+                    / (
+                        F.col("users_a")
+                        + F.col("users_b")
+                        - F.col("both_users")
+                    )
+                )
+                / F.lit(10000.0)
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "chart_downsample",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts) / 300) * 300) AS BIGINT)
+                   AS bucket_start,
+               CAST(floor(epoch_us(ts)) AS BIGINT) AS us,
+               CAST(floor(value * 10000) AS BIGINT) AS v
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, bucket_start,
+               count(*) AS n, sum(v) AS sv,
+               min(v) AS v_min, max(v) AS v_max
+        FROM e GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT e.event_type, e.bucket_start, e.us, e.v,
+               s.n, s.sv, s.v_min, s.v_max,
+               row_number() OVER (
+                   PARTITION BY e.event_type, e.bucket_start
+                   ORDER BY abs(e.v * s.n - s.sv) DESC, e.us ASC) AS rk
+        FROM e JOIN s
+          ON e.event_type = s.event_type
+         AND e.bucket_start = s.bucket_start
+    )
+    SELECT event_type, bucket_start,
+           us AS picked_us, v / 10000.0 AS picked_value,
+           v_min / 10000.0 AS bucket_min, v_max / 10000.0 AS bucket_max,
+           CAST(n AS BIGINT) AS n
+    FROM r WHERE rk = 1
+    """,
+)
+def chart_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic chart downsampling (the LTOB family — "largest
+    triangle/deviation, one bucket"): per (series, 5-min bucket), keep
+    the single point that deviates most from the bucket mean, plus the
+    bucket's min/max envelope — the representative-point reduction a
+    dashboard runs before shipping a million-point series to a
+    browser. Picking max |v·n - sum| (the mean comparison multiplied
+    through by n, pure int64 — no division, no float mean) makes the
+    winner exact and engine-portable; ties break to the earliest
+    microsecond. Unlike classic LTTB, the selection has NO sequential
+    dependence on the previous bucket's pick, which is exactly what
+    makes it embarrassingly parallel — the documented trade-off
+    (envelope columns preserve the extremes LTTB's triangles chase).
+
+    Scale shape: one corpus Exchange on (series, bucket) shared by the
+    stats agg and the pick window (same key); output is bucket-grain.
+    The deviation rank is WindowGroupLimit-eligible (rk=1 pushed into
+    the sort)."""
+    e = events_table(spark, sf_dir).select(
+        "event_type",
+        ((F.col("ts").cast("long") / 300).cast("long") * 300).alias(
+            "bucket_start"
+        ),
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 10000).alias("v"),
+    )
+    s = e.groupBy("event_type", "bucket_start").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )
+    r = e.join(s, ["event_type", "bucket_start"]).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type", "bucket_start").orderBy(
+                F.desc(F.abs(F.col("v") * F.col("n") - F.col("sv"))),
+                F.asc("us"),
+            )
+        ),
+    )
+    return r.filter(F.col("rk") == 1).select(
+        "event_type",
+        "bucket_start",
+        F.col("us").alias("picked_us"),
+        (F.col("v") / F.lit(10000.0)).alias("picked_value"),
+        (F.col("v_min") / F.lit(10000.0)).alias("bucket_min"),
+        (F.col("v_max") / F.lit(10000.0)).alias("bucket_max"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -856,3 +856,21 @@ def test_orc_roundtrip_reads_orc_scan(spark):
     plan = _plan(QUERIES["orc_roundtrip_parity"](spark, SF_SMALL))
     assert "orc" in plan.lower()
     assert "Exchange hashpartitioning" in plan  # ordinary partial+final agg
+
+
+def test_audience_overlap_single_corpus_exchange(spark):
+    """audience_overlap_matrix: one corpus Exchange to the (user, type)
+    distinct; the co-occurrence join reuses that partitioning and the
+    marginals broadcast."""
+    plan = _plan(QUERIES["audience_overlap_matrix"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chart_downsample_window_group_limit(spark):
+    """chart_downsample: the per-bucket pick must compile to
+    WindowGroupLimit; stats agg and pick window share the
+    (series, bucket) key."""
+    plan = _plan(QUERIES["chart_downsample"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -248,6 +248,8 @@ def _run_probes(k: int, out: str):
         "decayed_streamed_parity",  # 7th serving table: 4 additive folds + view
         "conversion_lag_percentiles",  # forward as-of + exact lag percentiles
         "ks_drift_check",        # per-value split agg + domain-sized cumsum
+        "audience_overlap_matrix",  # (user,type) distinct + bounded fan-out
+        "chart_downsample",      # shared (series,bucket) agg + pick window
     ]
     only = set(sys.argv[3:])
     if only:
