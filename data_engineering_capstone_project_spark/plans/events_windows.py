@@ -2762,3 +2762,60 @@ def chart_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v_max") / F.lit(10000.0)).alias("bucket_max"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "week_over_week_report",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk,
+               count(*) AS events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, wk, CAST(events AS BIGINT) AS events,
+           CAST(lag(events) OVER (PARTITION BY event_type ORDER BY wk)
+                AS BIGINT) AS prev_events,
+           floor((events - lag(events) OVER (PARTITION BY event_type
+                                             ORDER BY wk))
+                 * 10000.0
+                 / lag(events) OVER (PARTITION BY event_type ORDER BY wk))
+               / 10000.0 AS wow_delta
+    FROM w
+    """,
+)
+def week_over_week_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting — the WoW delta every BI dashboard
+    opens with: per (event type, epoch week), the event count, the
+    previous week's count, and the relative change as an exact
+    fixed-point ratio (floor(diff·1e4/prev); NULL on each series'
+    first week rather than a fabricated zero). Weeks are epoch
+    arithmetic (epoch // 604800) like the cohort query — portable,
+    no locale/week-start ambiguity.
+
+    Scale shape: one corpus Exchange (the (type, week) partial+final
+    agg); the lag window runs on the clock-sized grid. This is the
+    READ-side twin of the additive serving tables — at 100 TB the
+    (type, week) grid would be maintained incrementally and this
+    query becomes a pure grid scan."""
+    w = (
+        events_table(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / F.lit(604800)).alias("wk"),
+        )
+        .agg(F.count("*").alias("events"))
+    )
+    prev = F.lag("events").over(
+        Window.partitionBy("event_type").orderBy("wk")
+    )
+    return w.select(
+        "event_type",
+        "wk",
+        F.col("events").cast("bigint").alias("events"),
+        prev.cast("bigint").alias("prev_events"),
+        (
+            F.floor((F.col("events") - prev) * F.lit(10000.0) / prev)
+            / F.lit(10000.0)
+        ).alias("wow_delta"),
+    )

@@ -4191,3 +4191,188 @@ def latest_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_bumped_over_100k"),
     )
+
+
+# First-digit probabilities log10(1 + 1/d), d = 1..9, as shared exact
+# literals (12 dp) so Spark and DuckDB evaluate the identical doubles.
+_BENFORD_P = {
+    1: "0.301029995664", 2: "0.176091259056", 3: "0.124938736608",
+    4: "0.096910013008", 5: "0.079181246048", 6: "0.066946789631",
+    7: "0.057991946978", 8: "0.051152522447", 9: "0.045757490561",
+}
+# CAST each branch to DOUBLE: a bare decimal literal parses as
+# DECIMAL in both engines, and decimal multiply/divide SCALE RULES
+# differ between Spark and DuckDB — double arithmetic is IEEE-defined
+# and identical.
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    o AS (SELECT digit, count(*) AS observed FROM d GROUP BY 1),
+    n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM o),
+    e AS (
+        SELECT o.digit, o.observed, n.n,
+               n.n * {_BENFORD_CASE_SQL} AS expected
+        FROM o, n
+    )
+    SELECT digit, CAST(observed AS BIGINT) AS observed,
+           floor(expected * 10000) / 10000.0 AS expected,
+           floor((observed - expected) * (observed - expected) / expected
+                 * 1000000000) / 1000000000.0 AS chi2_term
+    FROM e
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the fraud/data-quality screen
+    for "does this amount column look organically generated?"
+    (fabricated or capped numbers flunk it; auditors and data-quality
+    suites run exactly this on monetary columns). First digits come
+    from INTEGER string rendering (floor(price·100) -> first char —
+    int64-to-decimal-string is identical in any engine; no
+    double-formatting, no transcendental log10 at runtime: the Benford
+    probabilities log10(1+1/d) are shared 12-digit literals evaluated
+    identically as doubles on both sides). Emits per digit the
+    observed count, expected count, and chi-square term, floored at
+    the house resolutions. (TPC-H totalprice is a bounded sum of
+    uniform-ish prices, so the audit correctly FLAGS it as
+    non-Benford — large chi2 terms are the right answer here, and the
+    oracle pins them digit for digit.)
+
+    Scale shape: one corpus Exchange collapsing to at most 9 digit
+    rows map-side; the expectation join is a 1-row broadcast."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    o = d.groupBy("digit").agg(F.count("*").alias("observed"))
+    n = o.agg(F.sum("observed").cast("bigint").alias("n"))
+    e = o.crossJoin(broadcast(n)).withColumn(
+        "expected", F.col("n") * F.expr(_BENFORD_CASE_SQL)
+    )
+    chi = (
+        (F.col("observed") - F.col("expected"))
+        * (F.col("observed") - F.col("expected"))
+        / F.col("expected")
+    )
+    return e.select(
+        "digit",
+        F.col("observed").cast("bigint").alias("observed"),
+        (F.floor(F.col("expected") * 10000) / F.lit(10000.0)).alias(
+            "expected"
+        ),
+        (F.floor(chi * 1000000000) / F.lit(1000000000.0)).alias("chi2_term"),
+    )
+
+
+@query(
+    "revenue_concentration_deciles",
+    oracle="""
+    WITH cr AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 10000) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS rk,
+               count(*) OVER () AS n
+        FROM cr
+    ),
+    d AS (
+        SELECT CAST(((rk - 1) * 10) // n AS INTEGER) AS decile,
+               count(*) AS customers, sum(rev) AS rev_fp
+        FROM r GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(rev_fp) AS BIGINT) AS tot FROM d)
+    SELECT d.decile, CAST(d.customers AS BIGINT) AS customers,
+           d.rev_fp / 10000.0 AS revenue,
+           floor(sum(d.rev_fp) OVER (ORDER BY d.decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 10000.0 / t.tot) / 10000.0 AS cum_share
+    FROM d, t
+    """,
+)
+def revenue_concentration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 report): customers ranked by
+    lifetime revenue, cut into EXACT deciles, with each decile's
+    revenue and the cumulative share — "the top 10% of customers carry
+    X% of revenue", the Lorenz-curve readout every commercial team
+    asks for (and the Gini input, served here as the curve itself
+    because the curve is what decisions read). The global revenue-desc
+    rank uses the SAME grid-offset assembly as stratified sampling
+    (one stratum, key = max_rev - rev so ascending key IS descending
+    revenue; shard count scaled to the customer count by the
+    _corpus_shard_count rule) — no single-partition sort of the
+    customer frame; the oracle's flat row_number proves the assembly.
+    Cumulative shares are computed on the 10-row decile grid.
+
+    Scale shape: one corpus Exchange (orders -> per-customer revenue),
+    one customer-grain Exchange for the sharded rank, then 10-row
+    arithmetic. The max/count scalars are a bounded 1-row collect
+    (the allowed scalar-aggregate class)."""
+    import math
+
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        grid_offset_stratum_rank,
+    )
+
+    cr = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 10000)).alias("rev"))
+    )
+    cr = scoped_persist(cr, "revenue_concentration.cr")
+    mxrev, n_cust = cr.agg(F.max("rev"), F.count("*")).collect()[0]
+    shards = int(2 ** math.ceil(math.log2(max(n_cust / 5000.0, 64.0))))
+    width = int(mxrev) // shards + 1
+    keyed = cr.withColumn("_s", F.lit(1)).withColumn(
+        "key", F.lit(int(mxrev)) - F.col("rev")
+    )
+    ranked = grid_offset_stratum_rank(
+        keyed, stratum_col="_s", hash_col="key", id_col="o_custkey",
+        width=width,
+    )
+    d = (
+        ranked.withColumn(
+            "decile",
+            F.expr(f"((sample_rank - 1) * 10) div {int(n_cust)}").cast("int"),
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("customers"), F.sum("rev").alias("rev_fp"))
+    )
+    tot = d.agg(F.sum("rev_fp").cast("bigint").alias("tot"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.crossJoin(broadcast(tot))
+        .select(
+            "decile",
+            F.col("customers").cast("bigint").alias("customers"),
+            (F.col("rev_fp") / F.lit(10000.0)).alias("revenue"),
+            (
+                F.floor(
+                    F.sum("rev_fp").over(w) * F.lit(10000.0) / F.col("tot")
+                )
+                / F.lit(10000.0)
+            ).alias("cum_share"),
+        )
+    )

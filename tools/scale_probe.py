@@ -250,6 +250,9 @@ def _run_probes(k: int, out: str):
         "ks_drift_check",        # per-value split agg + domain-sized cumsum
         "audience_overlap_matrix",  # (user,type) distinct + bounded fan-out
         "chart_downsample",      # shared (series,bucket) agg + pick window
+        "week_over_week_report",  # (type,week) agg + clock-grid lag
+        "benford_first_digit_audit",  # 9-digit collapse + 1-row broadcast
+        "revenue_concentration_deciles",  # sharded global rank + 10-row grid
     ]
     only = set(sys.argv[3:])
     if only:
