@@ -36,9 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 42 new + 5 changed,
-# then 3 of the 17 queries last sampled in r1 (the rest plus the
-# r2/r3 tail lead the r7 rotation). 196 queries total, all with
+# CORRECTNESS_r01..r0N.json. This round that means: 44 new + 5 changed,
+# then 1 of the 17 queries last sampled in r1 (the rest plus the
+# r2/r3 tail lead the r7 rotation). 198 queries total, all with
 # oracles.
 _DRIVER_SAMPLE_FIRST = [
     # round-6 fourth batch: new, never sampled — DAU/WAU stickiness,
@@ -52,6 +52,8 @@ _DRIVER_SAMPLE_FIRST = [
     "week_over_week_report",
     "benford_first_digit_audit",
     "revenue_concentration_deciles",
+    "session_entry_exit",
+    "inter_event_time_histogram",
     "conversion_lag_percentiles",
     "decayed_streamed_parity",
     "orc_roundtrip_parity",
@@ -113,11 +115,11 @@ _DRIVER_SAMPLE_FIRST = [
     "snapshot_diff",             # insert shift raised to 10B
     # last driver-sampled in r1 (stalest)
     "ann_lsh_topk",
-    "cosine_topk",
-    "dedup_exact",
-    # --- 50-row sample boundary falls here (42 new + 5 changed + 3
+    # --- 50-row sample boundary falls here (44 new + 5 changed + 1
     # r1-stale); the rest stays listed so the r7 rotation starts from
     # a recorded order ---
+    "cosine_topk",
+    "dedup_exact",
     "doc_fingerprints",
     "doc_quality",
     "doc_split_counts",

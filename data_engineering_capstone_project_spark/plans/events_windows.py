@@ -2819,3 +2819,210 @@ def week_over_week_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("wow_delta"),
     )
+
+
+@query(
+    "session_entry_exit",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch_us(ts)) AS BIGINT) AS us, event_id,
+               CASE WHEN floor(epoch(ts))
+                         - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts))) >= 600
+                         OR lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    t AS (
+        SELECT user_id, event_type, us, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    r AS (
+        SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY us ASC, event_id ASC) AS rk_a,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY us DESC, event_id DESC) AS rk_d,
+               count(*) OVER (PARTITION BY user_id, sid) AS n
+        FROM t
+    ),
+    s AS (
+        SELECT user_id, sid,
+               max(CASE WHEN rk_a = 1 THEN event_type END) AS entry_type,
+               max(CASE WHEN rk_d = 1 THEN event_type END) AS exit_type,
+               max(n) AS n
+        FROM r GROUP BY 1, 2
+    )
+    SELECT entry_type, exit_type,
+           count(*) AS sessions,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bounces,
+           floor(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000.0
+                 / count(*)) / 10000.0 AS bounce_share
+    FROM s GROUP BY 1, 2
+    """,
+)
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit analysis — the web-analytics landing/exit-page
+    matrix: per 10-minute-gap session (the SAME gap rule as
+    events_sessionization), the first and last event type, aggregated
+    to (entry, exit) pairs with session counts, single-event BOUNCE
+    counts, and the bounce share. First/last are made deterministic by
+    (microsecond, event_id) ordering — no reliance on engine-specific
+    first()/arg_min tie behavior, which is exactly the trap this
+    formulation avoids.
+
+    Scale shape: everything — gap flags, session ids, both
+    direction ranks, the per-session collapse — rides ONE user_id
+    Exchange (sequential windows on the same partitioning, the
+    conversion_funnel pattern); the final (entry, exit) grid is
+    type-domain-sized."""
+    ev = events_table(spark, sf_dir)
+    uw = Window.partitionBy("user_id").orderBy("us", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("ts").cast("long")).alias("sec"),
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("sec").over(
+                Window.partitionBy("user_id").orderBy("us", "event_id")
+            ).isNull()
+            | (
+                F.col("sec")
+                - F.lag("sec").over(
+                    Window.partitionBy("user_id").orderBy("us", "event_id")
+                )
+                >= 600
+            ),
+            1,
+        ).otherwise(0),
+    )
+    t = o.withColumn(
+        "sid",
+        F.sum("is_new").over(uw.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sw = Window.partitionBy("user_id", "sid")
+    r = (
+        t.withColumn(
+            "rk_a",
+            F.row_number().over(sw.orderBy(F.asc("us"), F.asc("event_id"))),
+        )
+        .withColumn(
+            "rk_d",
+            F.row_number().over(sw.orderBy(F.desc("us"), F.desc("event_id"))),
+        )
+        .withColumn("n", F.count("*").over(sw))
+    )
+    s = r.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("rk_a") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+        F.max(F.when(F.col("rk_d") == 1, F.col("event_type"))).alias(
+            "exit_type"
+        ),
+        F.max("n").alias("n"),
+    )
+    return s.groupBy("entry_type", "exit_type").agg(
+        F.count("*").alias("sessions"),
+        F.sum((F.col("n") == 1).cast("int")).cast("bigint").alias("bounces"),
+        (
+            F.floor(
+                F.sum((F.col("n") == 1).cast("int"))
+                * F.lit(10000.0)
+                / F.count("*")
+            )
+            / F.lit(10000.0)
+        ).alias("bounce_share"),
+    )
+
+
+# Power-of-two gap bucket: highest-bit position of the gap in seconds,
+# generated once and embedded verbatim in BOTH engines' expressions
+# (bounded CASE — no log2, whose float rounding at exact powers of two
+# could disagree).
+_GAP_BUCKET_SQL = (
+    "CASE WHEN gap <= 0 THEN 0 "
+    + " ".join(f"WHEN gap < {2 ** b} THEN {b}" for b in range(1, 23))
+    + " ELSE 23 END"
+)
+
+
+@query(
+    "inter_event_time_histogram",
+    oracle=f"""
+    WITH o AS (
+        SELECT CAST(floor(epoch(ts))
+                    - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts)))
+                    AS BIGINT) AS gap
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    b AS (
+        SELECT CAST({_GAP_BUCKET_SQL} AS INTEGER) AS bucket
+        FROM o WHERE gap IS NOT NULL
+    ),
+    h AS (SELECT bucket, count(*) AS pairs FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(pairs) AS BIGINT) AS tot FROM h)
+    SELECT h.bucket,
+           CAST(CASE WHEN h.bucket = 0 THEN 0
+                     ELSE power(2, h.bucket - 1) END AS BIGINT)
+               AS lo_seconds,
+           CAST(h.pairs AS BIGINT) AS pairs,
+           floor(h.pairs * 10000.0 / t.tot) / 10000.0 AS share
+    FROM h, t
+    """,
+)
+def inter_event_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Think-time distribution: the histogram of gaps between a user's
+    consecutive events, on power-of-two buckets (the log-scale view
+    session-timeout and engagement tuning actually reads — THIS
+    histogram is how a 10-minute gap rule gets justified rather than
+    guessed). Buckets come from a generated bounded CASE shared
+    verbatim by both engines — the highest-bit position of the gap —
+    because floor(log2(x)) through libm can disagree with itself at
+    exact powers of two; integer comparisons cannot.
+
+    Scale shape: one user_id Exchange for the lag window (the same
+    partitioning every sessionization query rides), collapsing
+    map-side to <=24 bucket rows; totals join as a 1-row broadcast."""
+    ev = events_table(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    o = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long")).alias("sec"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    ).withColumn(
+        "gap",
+        F.col("sec")
+        - F.lag("sec").over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")
+        ),
+    )
+    b = o.filter(F.col("gap").isNotNull()).select(
+        F.expr(_GAP_BUCKET_SQL).cast("int").alias("bucket")
+    )
+    h = b.groupBy("bucket").agg(F.count("*").alias("pairs"))
+    t = h.agg(F.sum("pairs").cast("bigint").alias("tot"))
+    return (
+        h.crossJoin(broadcast(t))
+        .select(
+            "bucket",
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(F.pow(F.lit(2.0), F.col("bucket") - 1))
+            .cast("bigint")
+            .alias("lo_seconds"),
+            F.col("pairs").cast("bigint").alias("pairs"),
+            (
+                F.floor(F.col("pairs") * F.lit(10000.0) / F.col("tot"))
+                / F.lit(10000.0)
+            ).alias("share"),
+        )
+    )

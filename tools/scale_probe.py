@@ -253,6 +253,8 @@ def _run_probes(k: int, out: str):
         "week_over_week_report",  # (type,week) agg + clock-grid lag
         "benford_first_digit_audit",  # 9-digit collapse + 1-row broadcast
         "revenue_concentration_deciles",  # sharded global rank + 10-row grid
+        "session_entry_exit",    # one-user-Exchange sequential windows
+        "inter_event_time_histogram",  # lag window -> <=24 bucket rows
     ]
     only = set(sys.argv[3:])
     if only:
