@@ -127,3 +127,34 @@ def scd2_init(
         F.lit(None).cast(eff_type).alias(valid_to),
         F.lit(True).alias(is_current),
     )
+
+
+def changelog_latest_state(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC changelog compaction, read-side: materialize the LATEST
+    live row per key from an append-only (key, seq, op, payload) log,
+    dropping keys whose last operation is a delete — the consumer of
+    every Kafka-compacted topic / Debezium stream, and the inverse of
+    the write-side ``merge_upsert_partitioned``. Latest-wins is a
+    per-key rank by sequence descending (ties undefined, as in any
+    compaction engine — make ``seq_col`` unique per key upstream),
+    which Spark compiles to WindowGroupLimit over exactly one key
+    Exchange. Property-tested against a sequential Python reference in
+    tests/test_property_round6c.py; driven end-to-end by the
+    registered ``latest_state_compaction`` query."""
+    from pyspark.sql.window import Window as W
+
+    keys = list(key_cols)
+    rk = F.row_number().over(
+        W.partitionBy(*keys).orderBy(F.desc(seq_col))
+    )
+    return (
+        log.withColumn("_rk", rk)
+        .filter((F.col("_rk") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rk")
+    )

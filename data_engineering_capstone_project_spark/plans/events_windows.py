@@ -2738,6 +2738,23 @@ def chart_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"),
         F.floor(F.col("value") * 10000).alias("v"),
     )
+    return ltob_pick(e).select(
+        "event_type",
+        "bucket_start",
+        F.col("us").alias("picked_us"),
+        (F.col("v") / F.lit(10000.0)).alias("picked_value"),
+        (F.col("v_min") / F.lit(10000.0)).alias("bucket_min"),
+        (F.col("v_max") / F.lit(10000.0)).alias("bucket_max"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def ltob_pick(e: DataFrame) -> DataFrame:
+    """Per-(series, bucket) max-deviation pick over a
+    (event_type, bucket_start, us, v) frame: exact int64 |v*n - sum|
+    winner, ties to the earliest microsecond, bucket min/max carried.
+    Property-tested against a sequential Python reference in
+    tests/test_property_round6c.py."""
     s = e.groupBy("event_type", "bucket_start").agg(
         F.count("*").alias("n"),
         F.sum("v").alias("sv"),
@@ -2753,15 +2770,7 @@ def chart_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    return r.filter(F.col("rk") == 1).select(
-        "event_type",
-        "bucket_start",
-        F.col("us").alias("picked_us"),
-        (F.col("v") / F.lit(10000.0)).alias("picked_value"),
-        (F.col("v_min") / F.lit(10000.0)).alias("bucket_min"),
-        (F.col("v_max") / F.lit(10000.0)).alias("bucket_max"),
-        F.col("n").cast("bigint").alias("n"),
-    )
+    return r.filter(F.col("rk") == 1)
 
 
 @query(

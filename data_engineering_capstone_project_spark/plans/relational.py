@@ -4173,16 +4173,12 @@ def latest_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("D").alias("op"),
         F.lit(None).cast("double").alias("price"),
     )
-    log = base.unionByName(upd).unionByName(dels)
-    latest = (
-        log.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("k").orderBy(F.desc("seq"))
-            ),
-        )
-        .filter((F.col("rk") == 1) & (F.col("op") != "D"))
+    from data_engineering_capstone_project_spark.operators.scd import (
+        changelog_latest_state,
     )
+
+    log = base.unionByName(upd).unionByName(dels)
+    latest = changelog_latest_state(log, ["k"], seq_col="seq", op_col="op")
     return latest.agg(
         F.count("*").cast("bigint").alias("live_keys"),
         F.sum("k").cast("bigint").alias("key_sum"),

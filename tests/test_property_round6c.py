@@ -199,3 +199,90 @@ def test_shift_decay_partials_merge_exactly(spark, rows):
         .collect()
     }
     assert got == direct
+
+
+# --- CDC latest-state compaction vs a sequential log replay -----------
+
+_LOG = st.lists(
+    st.tuples(
+        st.integers(0, 8),            # key
+        st.integers(0, 20),           # payload
+        st.booleans(),                # delete?
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_LOG)
+def test_changelog_compaction_matches_sequential_replay(spark, rows):
+    from data_engineering_capstone_project_spark.operators.scd import (
+        changelog_latest_state,
+    )
+
+    # seq = arrival order (unique per key by construction).
+    log = [
+        (k, i, "D" if d else "U", p) for i, (k, p, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(log, "k long, seq long, op string, p long")
+    got = {
+        (r.k, r.p)
+        for r in changelog_latest_state(
+            df, ["k"], seq_col="seq", op_col="op"
+        ).collect()
+    }
+    state: dict[int, int | None] = {}
+    for k, _seq, op, p in log:
+        state[k] = None if op == "D" else p
+    want = {(k, p) for k, p in state.items() if p is not None}
+    assert got == want
+
+
+# --- LTOB pick vs a sequential max-deviation reference -----------------
+
+_SERIES = st.lists(
+    st.tuples(
+        st.integers(0, 2),     # bucket
+        st.integers(0, 50),    # us (may collide; pick ties to earliest)
+        st.integers(-100, 100),  # v
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(**_SETTINGS)
+@given(pts=_SERIES)
+def test_ltob_pick_matches_sequential_reference(spark, pts):
+    from data_engineering_capstone_project_spark.plans.events_windows import (
+        ltob_pick,
+    )
+
+    # Unique (bucket, us) per row: duplicate-us rows in one bucket would
+    # make the pick's us-tiebreak depend on an unordered third column.
+    pts = list({(b, us): (b, us, v) for b, us, v in pts}.values())
+    df = spark.createDataFrame(
+        [("s", b * 300, us, v) for b, us, v in pts],
+        "event_type string, bucket_start long, us long, v long",
+    )
+    got = {
+        r.bucket_start: (r.us, r.v, r.v_min, r.v_max, r.n)
+        for r in ltob_pick(df).collect()
+    }
+    want = {}
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for b, us, v in pts:
+        by_bucket.setdefault(b * 300, []).append((us, v))
+    for b, rows in by_bucket.items():
+        n = len(rows)
+        sv = sum(v for _, v in rows)
+        best = min(rows, key=lambda r: (-abs(r[1] * n - sv), r[0]))
+        want[b] = (
+            best[0],
+            best[1],
+            min(v for _, v in rows),
+            max(v for _, v in rows),
+            n,
+        )
+    assert got == want
