@@ -36,11 +36,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 44 new + 5 changed,
-# then 1 of the 17 queries last sampled in r1 (the rest plus the
-# r2/r3 tail lead the r7 rotation). 198 queries total, all with
-# oracles.
+# CORRECTNESS_r01..r0N.json. This round that means: 45 new + 5 changed,
+# then the stalest of the r1 tail (the rest plus the r2/r3 tail lead
+# the r7 rotation). 199 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
+    # round-6 fifth batch: KMV set algebra — pairwise audience
+    # intersection estimated from the k-min sketches alone
+    "kmv_intersection_users",
     # round-6 fourth batch: new, never sampled — DAU/WAU stickiness,
     # seasonal hour-of-day deviation report, LSH blocking quality,
     # ORC source round-trip, CDC latest-state compaction, the 7th
@@ -113,11 +115,10 @@ _DRIVER_SAMPLE_FIRST = [
     "kmv_distinct_users",        # NULL ids filtered before hashing
     "ab_test_report",            # variant hash mixed before mod-2
     "snapshot_diff",             # insert shift raised to 10B
-    # last driver-sampled in r1 (stalest)
+    # --- 50-row sample boundary falls here (45 new + 5 changed);
+    # the rest stays listed, stalest (r1) first, so the r7 rotation
+    # starts from a recorded order ---
     "ann_lsh_topk",
-    # --- 50-row sample boundary falls here (44 new + 5 changed + 1
-    # r1-stale); the rest stays listed so the r7 rotation starts from
-    # a recorded order ---
     "cosine_topk",
     "dedup_exact",
     "doc_fingerprints",

@@ -58,6 +58,26 @@ def kmv_sketch(
     would displace a real hash from the k-min set) while DuckDB's
     ASC sorts NULLS LAST, so an unfiltered sketch silently diverges
     between engines for any group holding >= k hashes plus a NULL."""
+    return (
+        kmv_min_set(df, group_col, id_col, k)
+        .groupBy(group_col)
+        .agg(F.max("h").alias("kth"), F.count("*").alias("n"))
+    )
+
+
+def kmv_min_set(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group, h) rows: the per-group k-min hash SET itself — the
+    full KMV state (``kmv_sketch``'s (kth, n) is an agg of this; the
+    set form is what sketch SET ALGEBRA needs, because intersection
+    estimation inspects which hashes the sets share). Same plan shape
+    as the scalar sketch: one distinct agg over (group, hash), then
+    WindowGroupLimit for the per-group k-smallest. NULL-id contract
+    identical to ``kmv_sketch``."""
     hashes = (
         df.where(F.col(id_col).isNotNull())
         .select(
@@ -70,9 +90,70 @@ def kmv_sketch(
     return (
         hashes.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= k)
-        .groupBy("g")
-        .agg(F.max("h").alias("kth"), F.count("*").alias("n"))
-        .withColumnRenamed("g", group_col)
+        .select(F.col("g").alias(group_col), "h")
+    )
+
+
+def kmv_pair_intersection(
+    sets: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """KMV set algebra (Beyer et al., SIGMOD 2007): for every
+    unordered pair of groups, estimate |A ∩ B| from the two k-min
+    sets ALONE — no second corpus pass. Union-merge the pair's hash
+    sets and re-take the k smallest (exact, by the same guarantee as
+    ``kmv_merge``); within that k-min union, count hashes present in
+    BOTH original sets (``overlap``). overlap/n_u estimates the
+    Jaccard similarity, and (overlap · U) / n_u estimates the
+    intersection, where U is the union's KMV estimate. When n_u < k
+    both sets fit entirely, so overlap IS the exact hash-set
+    intersection. All arithmetic is int64 floor-division —
+    engine-exact.
+
+    Input is the groups×k set frame (aggregate-sized); every join
+    here is on that frame, so pair estimation costs nothing at corpus
+    scale — the whole point versus the exact self-join matrix
+    (``audience_overlap_matrix``), whose distinct (user, type) frame
+    is corpus-sized at 100 TB."""
+    a = sets.select(F.col(group_col).alias("type_a"), "h")
+    b = sets.select(F.col(group_col).alias("type_b"), "h")
+    ga = a.select("type_a").distinct()
+    gb = b.select("type_b").distinct()
+    pairs = ga.crossJoin(gb).filter(F.col("type_a") < F.col("type_b"))
+    la = pairs.join(a, "type_a").select(
+        "type_a", "type_b", "h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    lb = pairs.join(b, "type_b").select(
+        "type_a", "type_b", "h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    pooled = (
+        la.unionByName(lb)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(F.asc("h"))
+    kmin = pooled.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+    agg = kmin.groupBy("type_a", "type_b").agg(
+        F.max("h").alias("kth"),
+        F.count("*").alias("n"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("overlap"),
+    )
+    union_est = kmv_estimate(k)
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("bigint").alias("n_u"),
+        F.col("overlap").cast("bigint").alias("overlap"),
+        union_est.alias("union_est"),
+        # floor((overlap * U) / n_u): both factors are non-negative
+        # int64 (product <= 32 * ~1e9 ~ 3.2e10, exact in double), so
+        # floor() == integer div — same value DuckDB's // yields.
+        F.floor(F.col("overlap") * union_est / F.col("n"))
+        .cast("bigint")
+        .alias("inter_est"),
     )
 
 

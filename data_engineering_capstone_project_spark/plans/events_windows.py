@@ -658,6 +658,131 @@ def kmv_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_serving_view(spark, serving, "event_type")
 
 
+@query(
+    "kmv_intersection_users",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               (user_id * 2654435761) % 1000000007 AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    sets AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h ASC) AS r
+            FROM h
+        ) WHERE r <= 32
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM sets) a,
+             (SELECT DISTINCT event_type FROM sets) b
+        WHERE a.event_type < b.event_type
+    ),
+    pooled AS (
+        SELECT type_a, type_b, h,
+               max(in_a) AS in_a, max(in_b) AS in_b
+        FROM (
+            SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN sets s ON s.event_type = p.type_a
+            UNION ALL
+            SELECT p.type_a, p.type_b, s.h, 0 AS in_a, 1 AS in_b
+            FROM pairs p JOIN sets s ON s.event_type = p.type_b
+        ) GROUP BY 1, 2, 3
+    ),
+    kmin AS (
+        SELECT * FROM (
+            SELECT type_a, type_b, h, in_a, in_b,
+                   row_number() OVER (PARTITION BY type_a, type_b
+                                      ORDER BY h ASC) AS r
+            FROM pooled
+        ) WHERE r <= 32
+    ),
+    est AS (
+        SELECT type_a, type_b,
+               CAST(count(*) AS BIGINT) AS n_u,
+               CAST(sum(in_a * in_b) AS BIGINT) AS overlap,
+               CAST(CASE WHEN count(*) < 32 THEN count(*)
+                         ELSE CAST(31000000217 AS BIGINT) // max(h)
+                    END AS BIGINT) AS union_est
+        FROM kmin GROUP BY 1, 2
+    ),
+    ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL
+    ),
+    ex AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS both_exact
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT est.type_a, est.type_b, est.n_u, est.overlap,
+           est.union_est,
+           CAST(est.overlap * est.union_est // est.n_u AS BIGINT)
+               AS inter_est,
+           COALESCE(ex.both_exact, 0) AS both_exact
+    FROM est LEFT JOIN ex
+      ON ex.type_a = est.type_a AND ex.type_b = est.type_b
+    """,
+)
+def kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al., SIGMOD 2007) — the
+    mergeable counterpart to ``audience_overlap_matrix``: estimate
+    "users who do X AND Y" for every event-type pair from the
+    per-type k-min sketches ALONE. The exact matrix self-joins a
+    corpus-sized distinct (user, type) frame; the sketch version
+    touches the corpus once to build types×k=32 hash sets, then every
+    pairwise estimate is arithmetic on that aggregate-sized state —
+    at 100 TB the difference between a recurring shuffle of all
+    distinct users and a lookup in persisted sketch state (the same
+    sketches `kmv_streamed_parity` maintains incrementally, so the
+    overlap matrix can be served without EVER re-reading history).
+
+    Estimator: union-merge each pair's sets, re-take the k smallest
+    (exact by the `kmv_merge` guarantee); `overlap` = hashes of that
+    k-min union present in both sets; Jaccard ≈ overlap/n_u;
+    |A∩B| ≈ overlap·U/n_u with U the union's KMV estimate. When
+    n_u < k the sets are complete and overlap is exact. All int64
+    floor-division, bit-identical in any engine. ``both_exact`` (the
+    validation column, computed the exact way) stays in the output so
+    the driver hash pins estimator AND ground truth; accuracy itself
+    is pinned in tests/test_sketches_property.py."""
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        kmv_min_set,
+        kmv_pair_intersection,
+    )
+
+    ev = events_table(spark, sf_dir)
+    sets = kmv_min_set(ev, "event_type", "user_id")
+    est = kmv_pair_intersection(sets, "event_type")
+    ut = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    ex = (
+        ut.select("user_id", F.col("event_type").alias("type_a"))
+        .join(ut.select("user_id", F.col("event_type").alias("type_b")), "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("both_exact"))
+    )
+    return est.join(ex, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        "n_u",
+        "overlap",
+        "union_est",
+        "inter_est",
+        F.coalesce(F.col("both_exact"), F.lit(0))
+        .cast("bigint")
+        .alias("both_exact"),
+    )
+
+
 _CMS_HP_SQL = """hp(r, a, b) AS (
         VALUES (0, CAST(2654435761 AS BIGINT), CAST(1 AS BIGINT)),
                (1, CAST(2246822519 AS BIGINT), CAST(3 AS BIGINT)),

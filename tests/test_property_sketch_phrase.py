@@ -102,6 +102,74 @@ def test_kmv_merge_equals_direct_sketch(spark, users):
 
 @settings(**_SETTINGS)
 @given(
+    users=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 300),
+        ),
+        min_size=1,
+        max_size=150,
+    )
+)
+def test_kmv_pair_intersection_matches_python_reference(spark, users):
+    """KMV set algebra through the PRODUCTION helpers: for every
+    group pair, kmv_pair_intersection's (n_u, overlap, union_est,
+    inter_est) must match a sequential Python re-derivation of the
+    same estimator, under any multiset — including disjoint groups
+    (overlap 0), identical groups, and groups below k (where the
+    estimate must be EXACT: n_u < k means both sets are complete)."""
+    from data_engineering_capstone_project_spark.operators.sketches import (
+        kmv_min_set,
+        kmv_pair_intersection,
+    )
+
+    df = spark.createDataFrame(users, "g string, user_id long")
+    got = {
+        (r.type_a, r.type_b): (r.n_u, r.overlap, r.union_est, r.inter_est)
+        for r in kmv_pair_intersection(
+            kmv_min_set(df, "g", "user_id"), "g"
+        ).collect()
+    }
+
+    sets = {}
+    for g in {g for g, _ in users}:
+        hs = sorted({(u * KMV_A) % KMV_M for gg, u in users if gg == g})
+        sets[g] = hs[:KMV_K]
+    expected = {}
+    exact_inter = {}
+    for ga in sets:
+        for gb in sets:
+            if ga >= gb:
+                continue
+            pooled = sorted(set(sets[ga]) | set(sets[gb]))
+            kmin = pooled[:KMV_K]
+            n_u = len(kmin)
+            overlap = sum(
+                1 for h in kmin if h in set(sets[ga]) and h in set(sets[gb])
+            )
+            union_est = (
+                n_u if n_u < KMV_K else ((KMV_K - 1) * KMV_M) // kmin[-1]
+            )
+            expected[(ga, gb)] = (
+                n_u,
+                overlap,
+                union_est,
+                (overlap * union_est) // n_u,
+            )
+            a_ids = {u for g, u in users if g == ga}
+            b_ids = {u for g, u in users if g == gb}
+            exact_inter[(ga, gb)] = len(a_ids & b_ids)
+    assert got == expected
+    # The exactness guarantee: a pair whose union fits in the sketch
+    # reports the true intersection (hash collisions aside; the id
+    # domain here is far too small to collide under the Knuth hash).
+    for pair, (n_u, _, _, inter_est) in got.items():
+        if n_u < KMV_K:
+            assert inter_est == exact_inter[pair]
+
+
+@settings(**_SETTINGS)
+@given(
     keys=st.sets(
         st.integers(-1_000_000, 1_000_000), min_size=1, max_size=200
     ),
