@@ -36,13 +36,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 45 new + 5 changed,
-# then the stalest of the r1 tail (the rest plus the r2/r3 tail lead
-# the r7 rotation). 199 queries total, all with oracles.
+# CORRECTNESS_r01..r0N.json. This round that means: 46 new + 4 of the
+# 5 changed (snapshot_diff rotates to r7; the rest of the tail follows).
+# 200 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
-    # round-6 fifth batch: KMV set algebra — pairwise audience
-    # intersection estimated from the k-min sketches alone
+    # round-6 fifth batch: KMV set algebra (pairwise audience
+    # intersection from the k-min sketches alone) and the Z-order
+    # zone-map pruning audit
     "kmv_intersection_users",
+    "zorder_zone_map",
     # round-6 fourth batch: new, never sampled — DAU/WAU stickiness,
     # seasonal hour-of-day deviation report, LSH blocking quality,
     # ORC source round-trip, CDC latest-state compaction, the 7th
@@ -115,7 +117,8 @@ _DRIVER_SAMPLE_FIRST = [
     "kmv_distinct_users",        # NULL ids filtered before hashing
     "ab_test_report",            # variant hash mixed before mod-2
     "snapshot_diff",             # insert shift raised to 10B
-    # --- 50-row sample boundary falls here (45 new + 5 changed);
+    # --- 50-row sample boundary falls here (46 new + 4 of the 5
+    # changed; snapshot_diff rotates to r7);
     # the rest stays listed, stalest (r1) first, so the r7 rotation
     # starts from a recorded order ---
     "ann_lsh_topk",

@@ -10,3 +10,4 @@ from data_engineering_capstone_project_spark.plans import similarity_search  # n
 from data_engineering_capstone_project_spark.plans import temporal_joins  # noqa: E402,F401
 from data_engineering_capstone_project_spark.plans import media  # noqa: E402,F401
 from data_engineering_capstone_project_spark.plans import star_schema_parity  # noqa: E402,F401
+from data_engineering_capstone_project_spark.plans import layout  # noqa: E402,F401

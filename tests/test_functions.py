@@ -85,3 +85,61 @@ def test_surrogate_key_deterministic_and_null_safe(spark):
     # deterministic across evaluations
     out2 = [r.sk for r in df.select(surrogate_key(F.col("k1"), F.col("k2")).alias("sk")).collect()]
     assert out == out2
+
+
+def test_morton_interleave_matches_python_reference(spark):
+    """Z-order key: the Catalyst integer-arithmetic interleave must
+    equal the canonical bitwise interleave for the full 16x16 bucket
+    grid, and the SQL twin must be the same formula (checked via
+    DuckDB on the same grid)."""
+    import duckdb
+
+    from data_engineering_capstone_project_spark.functions.layout import (
+        morton_interleave,
+        morton_interleave_sql,
+    )
+
+    grid = [(a, b) for a in range(16) for b in range(16)]
+
+    def ref(a: int, b: int) -> int:
+        code = 0
+        for i in range(4):
+            code |= ((a >> i) & 1) << (2 * i)
+            code |= ((b >> i) & 1) << (2 * i + 1)
+        return code
+
+    df = spark.createDataFrame(grid, "a long, b long")
+    got = {
+        (r.a, r.b): r.m
+        for r in df.select(
+            "a", "b", morton_interleave(F.col("a"), F.col("b"), 4).alias("m")
+        ).collect()
+    }
+    assert got == {(a, b): ref(a, b) for a, b in grid}
+    # codes are a bijection on the grid (a clustering key must not
+    # collapse distinct cells)
+    assert len(set(got.values())) == 256
+
+    sql = morton_interleave_sql("a", "b", 4)
+    duck = duckdb.connect().execute(
+        "SELECT a, b, " + sql + " AS m FROM (SELECT "
+        "unnest(range(16)) AS a) CROSS JOIN (SELECT unnest(range(16)) AS b)"
+    ).fetchall()
+    assert {(a, b): m for a, b, m in duck} == got
+
+
+def test_zorder_zone_map_prunes_both_dims(spark):
+    """The audit's point: the z-order layout must skip most files on
+    BOTH predicate dimensions while the arrival-order layout scans
+    (almost) everything on each."""
+    from tests.conftest import SF_SMALL
+
+    from data_engineering_capstone_project_spark.plans.layout import zorder_zone_map
+
+    rows = {r.layout: r for r in zorder_zone_map(spark, SF_SMALL).collect()}
+    z, lin = rows["zorder"], rows["linear"]
+    assert z.rows_total == lin.rows_total
+    assert z.files_scan_custkey * 3 <= z.files_total
+    assert z.files_scan_month * 3 <= z.files_total
+    assert lin.files_scan_custkey * 2 >= lin.files_total
+    assert lin.files_scan_month * 2 >= lin.files_total
