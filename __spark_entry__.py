@@ -36,15 +36,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 46 new + 4 of the
-# 5 changed (snapshot_diff rotates to r7; the rest of the tail follows).
-# 200 queries total, all with oracles.
+# CORRECTNESS_r01..r0N.json. This round that means: 48 new + the 2
+# perf-altered changed queries (the other 3 changed rotate to r7 with
+# the stale tail; the changed asof_join operator is driver-covered via
+# the new attribution_linear + the sampled conversion_lag_percentiles).
+# 202 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
     # round-6 fifth batch: KMV set algebra (pairwise audience
-    # intersection from the k-min sketches alone) and the Z-order
-    # zone-map pruning audit
+    # intersection from the k-min sketches alone), the Z-order
+    # zone-map pruning audit, linear multi-touch attribution (through
+    # the shuffle-reusing asof_join), integer-exact CUSUM changepoint
     "kmv_intersection_users",
     "zorder_zone_map",
+    "attribution_linear",
+    "cusum_changepoint",
     # round-6 fourth batch: new, never sampled — DAU/WAU stickiness,
     # seasonal hour-of-day deviation report, LSH blocking quality,
     # ORC source round-trip, CDC latest-state compaction, the 7th
@@ -114,13 +119,13 @@ _DRIVER_SAMPLE_FIRST = [
     # round-6: code changed — re-verify on the current build
     "co_ordered_parts",          # Apriori min-support prefilter added
     "length_bucketed_batches",   # corpus-scaled shard count applied
-    "kmv_distinct_users",        # NULL ids filtered before hashing
-    "ab_test_report",            # variant hash mixed before mod-2
-    "snapshot_diff",             # insert shift raised to 10B
-    # --- 50-row sample boundary falls here (46 new + 4 of the 5
-    # changed; snapshot_diff rotates to r7);
-    # the rest stays listed, stalest (r1) first, so the r7 rotation
-    # starts from a recorded order ---
+    # --- 50-row sample boundary falls here (48 new + 2 changed);
+    # the remaining changed queries (kmv_distinct_users NULL filter,
+    # ab_test_report hash mix, snapshot_diff insert shift) lead the
+    # r7 rotation, then the stale tail, stalest (r1) first ---
+    "kmv_distinct_users",
+    "ab_test_report",
+    "snapshot_diff",
     "ann_lsh_topk",
     "cosine_topk",
     "dedup_exact",

@@ -82,9 +82,18 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.withColumn("_asof", F.last("_rv", ignorenulls=True).over(w))
-    out = filled.filter(F.col("_side") == 1).select(
-        F.col("_lrow.*"), F.col("_asof")
-    )
+    # Re-emit the key from the TOP-LEVEL attribute the window
+    # partitioned on (it equals _lrow.<on> for left rows), not from
+    # the struct: a struct-field extraction is a new expression, so
+    # Catalyst would forget the frame is already hash-partitioned by
+    # the key and re-Exchange for any downstream window/agg clustered
+    # on (key, ...). Keeping the attribute alive lets consumers like
+    # attribution_linear's per-conversion count reuse this shuffle.
+    keep = [
+        F.col(on) if c == on else F.col(f"_lrow.{c}").alias(c)
+        for c in left.columns
+    ]
+    out = filled.filter(F.col("_side") == 1).select(*keep, F.col("_asof"))
     if how == "inner":
         out = out.filter(F.col("_asof").isNotNull())
     for c in value_cols:

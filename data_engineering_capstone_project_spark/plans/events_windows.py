@@ -3160,3 +3160,188 @@ def inter_event_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS ms, user_id, event_type
+                FROM events WHERE user_id IS NOT NULL),
+    t AS (SELECT user_id, ms, event_type AS touch_type FROM ev
+          WHERE event_type IN ('view', 'click')),
+    p AS (SELECT DISTINCT user_id, ms AS pur_ms FROM ev
+          WHERE event_type = 'purchase'),
+    j AS (
+        SELECT t.touch_type, t.user_id, t.ms, p.pur_ms
+        FROM t ASOF LEFT JOIN p
+          ON t.user_id = p.user_id AND p.pur_ms >= t.ms
+    ),
+    conv AS (
+        SELECT touch_type, user_id, pur_ms,
+               count(*) OVER (PARTITION BY user_id, pur_ms) AS n_touches
+        FROM j
+        WHERE pur_ms IS NOT NULL AND pur_ms - ms <= 604800000
+    ),
+    credited AS (
+        SELECT touch_type,
+               CAST(user_id AS VARCHAR) || ':' || CAST(pur_ms AS VARCHAR)
+                   AS conv_key,
+               1000000 // n_touches AS credit_ppm
+        FROM conv
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS touches_credited,
+           CAST(count(DISTINCT conv_key) AS BIGINT) AS conversions_touched,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+    FROM credited GROUP BY 1
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution — marketing analytics' standard
+    answer to "which touchpoint gets credit for the conversion": every
+    view/click is matched FORWARD to the same user's next purchase
+    (the `asof_join` union+window operator via the negated-time trick,
+    exactly as `conversion_lag_percentiles`); touches whose purchase
+    lands within the 7-day window form the conversion's touch set, and
+    each receives an equal 1/n share of the credit. Credit is integer
+    parts-per-million under floor division (1000000 div n), so sums
+    are bit-exact in any engine — the house fixed-point discipline
+    applied to credit shares instead of prices.
+
+    Scale shape: one user_id Exchange for the as-of union+window; the
+    per-conversion touch count is a second window over the SAME
+    user-partitioned frame (Catalyst reuses the partitioning — no new
+    corpus shuffle, the (user, pur_ms) window keys are user-prefixed);
+    the report is a type-domain-sized aggregate. The conversion-key
+    distinct is corpus-bounded but conversion-sized, far below raw
+    events."""
+    ev = events_table(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.unix_millis("ts").alias("ms"),
+        (-F.unix_millis("ts")).alias("tneg"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("pur_ms"),
+            (-F.unix_millis("ts")).alias("pneg"),
+        )
+        .distinct()
+    )
+    from data_engineering_capstone_project_spark.operators.joins import asof_join
+
+    j = asof_join(
+        touches,
+        purchases,
+        on="user_id",
+        left_time="tneg",
+        right_time="pneg",
+        value_cols=["pur_ms"],
+        how="left",
+    )
+    conv = j.filter(
+        F.col("pur_ms").isNotNull()
+        & (F.col("pur_ms") - F.col("ms") <= F.lit(604800000))
+    ).withColumn(
+        "n_touches",
+        F.count("*").over(Window.partitionBy("user_id", "pur_ms")),
+    )
+    credited = conv.select(
+        "touch_type",
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.col("pur_ms").cast("string")
+        ).alias("conv_key"),
+        F.expr("1000000 div n_touches").alias("credit_ppm"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("touches_credited"),
+        F.count_distinct("conv_key").cast("bigint").alias("conversions_touched"),
+        F.sum("credit_ppm").cast("bigint").alias("credit_ppm_total"),
+    )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS days,
+                   CAST(sum(n) AS BIGINT) AS total FROM daily),
+    c AS (
+        SELECT d, n,
+               CAST(tot.days * sum(n) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - tot.total * row_number() OVER (ORDER BY d)
+                 AS BIGINT) AS cusum_scaled
+        FROM daily, tot
+    )
+    SELECT d, n, cusum_scaled,
+           abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM c)
+               AND d = (SELECT min(d) FROM c
+                        WHERE abs(cusum_scaled) =
+                              (SELECT max(abs(cusum_scaled)) FROM c))
+               AS is_changepoint
+    FROM c
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954) on the daily event-count
+    series — "when did the level shift?" for pipeline monitoring: the
+    running cumulative deviation from the all-period mean peaks (in
+    absolute value) at the most likely changepoint. Kept integer-exact
+    by scaling through the total: CUSUM_i = Σ(n_j - T/D) is emitted as
+    D·S_i - i·T (prefix sum S_i, day index i), the same series times
+    the positive constant D — identical argmax, zero float drift, so
+    the whole detection hash-matches the oracle bit-for-bit. The flag
+    marks the earliest day attaining the peak.
+
+    Scale shape: ONE corpus Exchange to day grain; the series frame is
+    days-sized, so the ordered prefix-sum window and the max-scan run
+    on an aggregate (the single-partition window over days is the
+    documented aggregate-frame pattern, same as week_over_week_report
+    — at 100 TB the day axis is still thousands of rows). Overflow
+    bound: D·S_i <= days · total_events ~ 1e4 · 1e12 = 1e16 at 100 TB
+    scale — inside int64 with three decades to spare."""
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        F.floor(F.col("ts").cast("long") / F.lit(86400)).alias("d")
+    ).agg(F.count("*").alias("n"))
+    tot = daily.agg(
+        F.count("*").alias("days"), F.sum("n").alias("total")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        daily.crossJoin(broadcast(tot))
+        .withColumn("s", F.sum("n").over(w))
+        .withColumn("i", F.row_number().over(Window.orderBy("d")))
+        .select(
+            "d",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("days") * F.col("s") - F.col("total") * F.col("i"))
+            .cast("bigint")
+            .alias("cusum_scaled"),
+        )
+    )
+    peak = c.agg(
+        F.max(F.abs(F.col("cusum_scaled"))).alias("peak")
+    )
+    first_peak = (
+        c.crossJoin(broadcast(peak))
+        .filter(F.abs(F.col("cusum_scaled")) == F.col("peak"))
+        .agg(F.min("d").alias("peak_d"))
+    )
+    return (
+        c.crossJoin(broadcast(first_peak))
+        .select(
+            "d",
+            "n",
+            "cusum_scaled",
+            (F.col("d") == F.col("peak_d")).alias("is_changepoint"),
+        )
+    )
