@@ -36,11 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 48 new + the 2
-# perf-altered changed queries (the other 3 changed rotate to r7 with
-# the stale tail; the changed asof_join operator is driver-covered via
-# the new attribution_linear + the sampled conversion_lag_percentiles).
-# 202 queries total, all with oracles.
+# CORRECTNESS_r01..r0N.json. This round that means: exactly the 50
+# queries NEW this round (a record batch); the 5 changed queries lead
+# the r7 rotation — all are green in the local 3-SF full gates, and
+# the changed asof_join operator IS driver-covered via the new
+# attribution_linear + the sampled conversion_lag_percentiles.
+# 204 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
     # round-6 fifth batch: KMV set algebra (pairwise audience
     # intersection from the k-min sketches alone), the Z-order
@@ -50,6 +51,10 @@ _DRIVER_SAMPLE_FIRST = [
     "zorder_zone_map",
     "attribution_linear",
     "cusum_changepoint",
+    # round-6 sixth batch: one-pass declarative DQ expectation suite,
+    # OHLC candlestick bars (single (type,hour) Exchange)
+    "dq_expectation_suite",
+    "ohlc_hourly_bars",
     # round-6 fourth batch: new, never sampled — DAU/WAU stickiness,
     # seasonal hour-of-day deviation report, LSH blocking quality,
     # ORC source round-trip, CDC latest-state compaction, the 7th
@@ -116,16 +121,14 @@ _DRIVER_SAMPLE_FIRST = [
     "srm_check",
     "source_distinctive_tokens",
     "kmv_streamed_parity",
-    # round-6: code changed — re-verify on the current build
+    # --- 50-row sample boundary falls here (50 new-this-round);
+    # the 5 changed queries lead the r7 rotation, then the stale
+    # tail, stalest (r1) first ---
     "co_ordered_parts",          # Apriori min-support prefilter added
     "length_bucketed_batches",   # corpus-scaled shard count applied
-    # --- 50-row sample boundary falls here (48 new + 2 changed);
-    # the remaining changed queries (kmv_distinct_users NULL filter,
-    # ab_test_report hash mix, snapshot_diff insert shift) lead the
-    # r7 rotation, then the stale tail, stalest (r1) first ---
-    "kmv_distinct_users",
-    "ab_test_report",
-    "snapshot_diff",
+    "kmv_distinct_users",        # NULL ids filtered before hashing
+    "ab_test_report",            # variant hash mixed before mod-2
+    "snapshot_diff",             # insert shift raised to 10B
     "ann_lsh_topk",
     "cosine_topk",
     "dedup_exact",

@@ -3345,3 +3345,74 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d") == F.col("peak_d")).alias("is_changepoint"),
         )
     )
+
+
+@query(
+    "ohlc_hourly_bars",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               epoch_ms(ts) // 3600000 AS hr,
+               epoch_ms(ts) AS ms, event_id,
+               CAST(floor(value * 10000) AS BIGINT) AS v_fp
+        FROM events WHERE value IS NOT NULL
+    ),
+    rk AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, hr
+                                  ORDER BY ms ASC, event_id ASC) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, hr
+                                  ORDER BY ms DESC, event_id DESC) AS rn_d
+        FROM base
+    )
+    SELECT event_type, hr,
+           max(CASE WHEN rn_a = 1 THEN v_fp END) / 10000.0 AS open,
+           max(v_fp) / 10000.0 AS high,
+           min(v_fp) / 10000.0 AS low,
+           max(CASE WHEN rn_d = 1 THEN v_fp END) / 10000.0 AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM rk GROUP BY 1, 2
+    """,
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the time-series downsampling every
+    metrics/trading dashboard draws: per (event_type, hour), the
+    opening value (first by event time, event_id tie-break), the
+    high, the low, and the closing value (last), plus the bar's
+    event count. Complements ``chart_downsample`` (LTOB keeps
+    representative POINTS; OHLC keeps per-bucket EXTREMES + endpoints
+    — the finance-standard alternative). Values ride the house
+    fixed-point rail (floor(v·1e4) int64) so first/last/min/max and
+    the final /1e4 render identically in both engines; endpoint
+    selection is two row_number windows (asc + desc) over the SAME
+    (type, hour) partitioning, turned into conditional-max aggregates.
+
+    Scale shape: ONE corpus Exchange on (type, hour) serves both
+    windows AND the final groupBy (identical clustering — Catalyst
+    plans one shuffle); output is bar-grid-sized (types × hours).
+    At 100 TB the same plan holds: the bar grid grows with the clock,
+    not the corpus."""
+    ev = events_table(spark, sf_dir)
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.unix_millis("ts") / F.lit(3600000)).alias("hr"),
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        F.floor(F.col("value") * F.lit(10000)).cast("bigint").alias("v_fp"),
+    )
+    wa = Window.partitionBy("event_type", "hr").orderBy(
+        F.asc("ms"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("event_type", "hr").orderBy(
+        F.desc("ms"), F.desc("event_id")
+    )
+    rk = base.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return rk.groupBy("event_type", "hr").agg(
+        (F.max(F.when(F.col("rn_a") == 1, F.col("v_fp"))) / F.lit(10000.0)).alias("open"),
+        (F.max("v_fp") / F.lit(10000.0)).alias("high"),
+        (F.min("v_fp") / F.lit(10000.0)).alias("low"),
+        (F.max(F.when(F.col("rn_d") == 1, F.col("v_fp"))) / F.lit(10000.0)).alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )

@@ -4372,3 +4372,120 @@ def revenue_concentration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("cum_share"),
         )
     )
+
+
+@query(
+    "dq_expectation_suite",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS rows_total,
+               CAST(count(o_orderkey) AS BIGINT) AS nn_orderkey,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dist_orderkey,
+               CAST(count(o_custkey) AS BIGINT) AS nn_custkey,
+               CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos_price,
+               CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS status_ok,
+               CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS prio_ok,
+               CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                              AND o_orderdate < TIMESTAMP '2001-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS date_ok
+        FROM orders
+    ),
+    checks AS (
+        SELECT 'not_null:o_orderkey' AS check_name,
+               nn_orderkey * 1000000 // rows_total AS observed_ppm,
+               CAST(1000000 AS BIGINT) AS threshold_ppm FROM m
+        UNION ALL
+        SELECT 'unique:o_orderkey',
+               dist_orderkey * 1000000 // nn_orderkey, 1000000 FROM m
+        UNION ALL
+        SELECT 'not_null:o_custkey',
+               nn_custkey * 1000000 // rows_total, 1000000 FROM m
+        UNION ALL
+        SELECT 'range:o_totalprice_positive',
+               pos_price * 1000000 // rows_total, 1000000 FROM m
+        UNION ALL
+        SELECT 'accepted_set:o_orderstatus',
+               status_ok * 1000000 // rows_total, 1000000 FROM m
+        UNION ALL
+        SELECT 'pattern:o_orderpriority',
+               prio_ok * 1000000 // rows_total, 1000000 FROM m
+        UNION ALL
+        SELECT 'range:o_orderdate_1995_2000',
+               date_ok * 1000000 // rows_total, 900000 FROM m
+    )
+    SELECT check_name, observed_ppm,
+           CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+           observed_ppm >= threshold_ppm AS passed
+    FROM checks
+    """,
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ /
+    Great-Expectations contract shape, completing the Q-row family):
+    a SUITE of named checks — not-null, uniqueness, accepted value
+    set, pattern, numeric range, date-window coverage — evaluated
+    against orders in ONE aggregate pass and reported as
+    (check, observed_ppm, threshold_ppm, passed) rows a CI gate or
+    freshness monitor consumes directly. Where ``orders_profile``
+    DESCRIBES the table, this one JUDGES it against a contract; the
+    reference's DataQualityOperator (data_quality.py:21-38) ran one
+    generated SQL statement per check against Redshift — N scans for
+    N checks — while here every metric is a conditional sum in the
+    same partial-aggregating job, so the suite costs one table scan
+    at any table size (the same one-pass discipline as
+    ``quality.null_counts``). Coverage ratios are integer ppm under
+    floor division; the date-window check carries a 90% threshold
+    (the fixture's order dates run past 2000, so the check
+    demonstrates a sub-1e6 observation judged against a tolerance
+    rather than vacuous all-pass rows).
+
+    Scale shape: one scan, one single-row aggregate, then a 7-row
+    literal unpivot (``stack``) — nothing downstream of the agg ever
+    exceeds the check count."""
+    o = table(spark, sf_dir, "orders")
+    in_window = (
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    ) & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+    m = o.agg(
+        F.count("*").alias("rows_total"),
+        F.count("o_orderkey").alias("nn_orderkey"),
+        F.count_distinct("o_orderkey").alias("dist_orderkey"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.sum((F.col("o_totalprice") > 0).cast("long")).alias("pos_price"),
+        F.sum(
+            F.col("o_orderstatus").isin("O", "F", "P").cast("long")
+        ).alias("status_ok"),
+        F.sum(
+            F.col("o_orderpriority").rlike("^[1-5]-").cast("long")
+        ).alias("prio_ok"),
+        F.sum(in_window.cast("long")).alias("date_ok"),
+    )
+    stacked = m.select(
+        F.expr(
+            """stack(7,
+            'not_null:o_orderkey',
+                nn_orderkey * 1000000 div rows_total, CAST(1000000 AS BIGINT),
+            'unique:o_orderkey',
+                dist_orderkey * 1000000 div nn_orderkey, CAST(1000000 AS BIGINT),
+            'not_null:o_custkey',
+                nn_custkey * 1000000 div rows_total, CAST(1000000 AS BIGINT),
+            'range:o_totalprice_positive',
+                pos_price * 1000000 div rows_total, CAST(1000000 AS BIGINT),
+            'accepted_set:o_orderstatus',
+                status_ok * 1000000 div rows_total, CAST(1000000 AS BIGINT),
+            'pattern:o_orderpriority',
+                prio_ok * 1000000 div rows_total, CAST(1000000 AS BIGINT),
+            'range:o_orderdate_1995_2000',
+                date_ok * 1000000 div rows_total, CAST(900000 AS BIGINT)
+            ) AS (check_name, observed_ppm, threshold_ppm)"""
+        )
+    )
+    return stacked.select(
+        "check_name",
+        "observed_ppm",
+        "threshold_ppm",
+        (F.col("observed_ppm") >= F.col("threshold_ppm")).alias("passed"),
+    )

@@ -255,6 +255,12 @@ def _run_probes(k: int, out: str):
         "revenue_concentration_deciles",  # sharded global rank + 10-row grid
         "session_entry_exit",    # one-user-Exchange sequential windows
         "inter_event_time_histogram",  # lag window -> <=24 bucket rows
+        "kmv_intersection_users",  # k-min sets + pairwise sketch algebra
+        "zorder_zone_map",       # morton keys 1 pass, files-sized zone grid
+        "attribution_linear",    # forward as-of + reused-partition credit window
+        "cusum_changepoint",     # day-grain agg + days-sized prefix window
+        "dq_expectation_suite",  # one scan, one-row agg, 7-row unpivot
+        "ohlc_hourly_bars",      # single (type,hour) Exchange: 2 windows + agg
     ]
     only = set(sys.argv[3:])
     if only:
