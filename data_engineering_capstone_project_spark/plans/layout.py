@@ -21,9 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_capstone_project_spark.functions.layout import (
-    morton_interleave,
     morton_interleave_sql,
 )
+from data_engineering_capstone_project_spark.sources.writers import zorder_key
 from data_engineering_capstone_project_spark.plans.registry import query, table
 
 _N_FILES = 64
@@ -106,7 +106,7 @@ def zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = keyed.select(
         "b1",
         "b2",
-        F.floor(morton_interleave(F.col("b1"), F.col("b2"), bits=4) / F.lit(4))
+        F.floor(zorder_key(["b1", "b2"], bits=4) / F.lit(4))
         .cast("bigint")
         .alias("file_z"),
         F.floor(F.col("o_orderkey") / F.col("chunk"))

@@ -88,16 +88,17 @@ def test_surrogate_key_deterministic_and_null_safe(spark):
 
 
 def test_morton_interleave_matches_python_reference(spark):
-    """Z-order key: the Catalyst integer-arithmetic interleave must
-    equal the canonical bitwise interleave for the full 16x16 bucket
-    grid, and the SQL twin must be the same formula (checked via
-    DuckDB on the same grid)."""
+    """Z-order key equivalence pin: the ENGINE's zorder_key (JVM
+    shiftleft/bitwiseOR, the write-path builder) must equal the
+    canonical bitwise interleave AND the arithmetic SQL twin the
+    oracles use (checked via DuckDB) for the full 16x16 bucket grid —
+    so the zone-map audit's two sides cannot drift apart."""
     import duckdb
 
     from data_engineering_capstone_project_spark.functions.layout import (
-        morton_interleave,
         morton_interleave_sql,
     )
+    from data_engineering_capstone_project_spark.sources.writers import zorder_key
 
     grid = [(a, b) for a in range(16) for b in range(16)]
 
@@ -112,7 +113,7 @@ def test_morton_interleave_matches_python_reference(spark):
     got = {
         (r.a, r.b): r.m
         for r in df.select(
-            "a", "b", morton_interleave(F.col("a"), F.col("b"), 4).alias("m")
+            "a", "b", zorder_key(["a", "b"], bits=4).alias("m")
         ).collect()
     }
     assert got == {(a, b): ref(a, b) for a, b in grid}
