@@ -52,9 +52,12 @@ _DRIVER_SAMPLE_FIRST = [
     "attribution_linear",
     "cusum_changepoint",
     # round-6 sixth batch: one-pass declarative DQ expectation suite,
-    # OHLC candlestick bars (single (type,hour) Exchange)
+    # OHLC candlestick bars (single (type,hour) Exchange), and the
+    # EIGHTH maintained serving table (OHLC bars as mergeable
+    # endpoint+extremes state, crash-replay checked)
     "dq_expectation_suite",
     "ohlc_hourly_bars",
+    "ohlc_streamed_parity",
     # round-6 fourth batch: new, never sampled — DAU/WAU stickiness,
     # seasonal hour-of-day deviation report, LSH blocking quality,
     # ORC source round-trip, CDC latest-state compaction, the 7th
@@ -97,7 +100,6 @@ _DRIVER_SAMPLE_FIRST = [
     "bloom_semi_join_orders",
     "join_size_estimate",
     "cms_user_event_counts",
-    "cms_streamed_parity",
     "concurrent_sessions_by_hour",
     "orders_profile",
     "event_value_mad_outliers",
@@ -121,9 +123,13 @@ _DRIVER_SAMPLE_FIRST = [
     "srm_check",
     "source_distinctive_tokens",
     "kmv_streamed_parity",
-    # --- 50-row sample boundary falls here (50 new-this-round);
-    # the 5 changed queries lead the r7 rotation, then the stale
-    # tail, stalest (r1) first ---
+    # --- 50-row sample boundary falls here (50 of the 51 new-this-
+    # round; cms_streamed_parity rotates to r7 — its additive
+    # protocol is driver-covered by the three sampled additive
+    # parities and its CMS grid by cms_user_event_counts);
+    # cms_streamed_parity and the 5 changed queries lead the r7
+    # rotation, then the stale tail, stalest (r1) first ---
+    "cms_streamed_parity",
     "co_ordered_parts",          # Apriori min-support prefilter added
     "length_bucketed_batches",   # corpus-scaled shard count applied
     "kmv_distinct_users",        # NULL ids filtered before hashing

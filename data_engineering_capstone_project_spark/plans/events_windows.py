@@ -3416,3 +3416,67 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max(F.when(F.col("rn_d") == 1, F.col("v_fp"))) / F.lit(10000.0)).alias("close"),
         F.count("*").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "ohlc_streamed_parity",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               epoch_ms(ts) // 3600000 AS hr,
+               epoch_ms(ts) AS ms, event_id,
+               CAST(floor(value * 10000) AS BIGINT) AS v_fp
+        FROM events WHERE value IS NOT NULL
+    ),
+    rk AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, hr
+                                  ORDER BY ms ASC, event_id ASC) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, hr
+                                  ORDER BY ms DESC, event_id DESC) AS rn_d
+        FROM base
+    )
+    SELECT event_type, hr,
+           max(CASE WHEN rn_a = 1 THEN v_fp END) / 10000.0 AS open,
+           max(v_fp) / 10000.0 AS high,
+           min(v_fp) / 10000.0 AS low,
+           max(CASE WHEN rn_d = 1 THEN v_fp END) / 10000.0 AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM rk GROUP BY 1, 2
+    """,
+)
+def ohlc_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EIGHTH maintained serving table, second instance of the
+    MERGEABLE-beyond-additive class (KMV k-min sets were the first):
+    per-(type, hour) OHLC bars folded incrementally through
+    ``apply_ohlc_batch``. Open/close depend on event ORDER, so the
+    bars cannot live in an additive counter — but their
+    endpoint-and-extremes state merges associatively (union's open =
+    min_by over opens, close = max_by, extremes min/max, count sum;
+    exactly the partial-aggregation state Spark's own min_by/max_by
+    move between map and reduce, materialized into a table). The
+    usual discipline: 4 deterministic micro-batches through the real
+    stage+publish protocol, a deliberate batch-1 crash-replay the
+    batch-id guard must no-op, and a from-scratch oracle — a green
+    row proves the incrementally-maintained bars are BIT-IDENTICAL to
+    recomputing every bar from raw history. State stays bar-grid-
+    sized forever; per batch, one scan of the batch builds its
+    partial bars."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        apply_ohlc_batch,
+        ohlc_serving_view,
+    )
+
+    serving = _parity_scratch_dir("decps_ohlc_parity_serving")
+    ev = events_table(spark, sf_dir)
+    batch_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
+    for i in range(4):
+        batch = ev.filter(batch_of == i)
+        applied = apply_ohlc_batch(spark, batch, i, serving)
+        if applied is not True:
+            raise RuntimeError(f"ohlc batch {i} was not applied to fresh state")
+        if i == 1:
+            replayed = apply_ohlc_batch(spark, batch, 1, serving)
+            if replayed is not False:
+                raise RuntimeError("ohlc batch-id guard failed to skip replay")
+    return ohlc_serving_view(spark, serving)

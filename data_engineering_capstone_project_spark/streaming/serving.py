@@ -527,3 +527,117 @@ def decayed_scores_view(spark: SparkSession, serving: str) -> DataFrame:
             F.min("age").cast("bigint").alias("freshest_age_days"),
         )
     )
+
+
+def _ohlc_increment(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's OHLC partial state per (event_type, hr):
+    endpoint triples (ms, event_id, value_fp) for open (earliest) and
+    close (latest), extremes, and the bar count — the exact
+    partial-aggregation state Spark's own min_by/max_by carry between
+    map and reduce, materialized so it can live in a table."""
+    base = batch_df.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.unix_millis("ts") / F.lit(3600000)).alias("hr"),
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        F.floor(F.col("value") * F.lit(10000)).cast("bigint").alias("v_fp"),
+    )
+    trip = F.struct("ms", "event_id", "v_fp")
+    order = F.struct("ms", "event_id")
+    return base.groupBy("event_type", "hr").agg(
+        F.min_by(trip, order).alias("o"),
+        F.max_by(trip, order).alias("c"),
+        F.max("v_fp").alias("high_fp"),
+        F.min("v_fp").alias("low_fp"),
+        F.count("*").alias("n"),
+    ).select(
+        "event_type",
+        "hr",
+        F.col("o.ms").alias("o_ms"),
+        F.col("o.event_id").alias("o_eid"),
+        F.col("o.v_fp").alias("open_fp"),
+        F.col("c.ms").alias("c_ms"),
+        F.col("c.event_id").alias("c_eid"),
+        F.col("c.v_fp").alias("close_fp"),
+        "high_fp",
+        "low_fp",
+        "n",
+    )
+
+
+_OHLC_STATE = [
+    "o_ms", "o_eid", "open_fp", "c_ms", "c_eid", "close_fp",
+    "high_fp", "low_fp", "n",
+]
+
+
+def apply_ohlc_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    serving: str,
+) -> bool:
+    """Idempotent MERGEABLE-AGGREGATE maintenance, second instance of
+    the beyond-additive serving class (KMV k-min sets were the first):
+    OHLC bars cannot be additive counters (open/close depend on event
+    ORDER), but their state merges associatively — the union's open is
+    the min_by over the two opens, the close the max_by, extremes
+    min/max, count a sum. So the maintained table holds one
+    endpoint-and-extremes row per (type, hour) bar and every merge is
+    a union of two bar-grid-sized frames re-aggregated, under the same
+    stage+publish+batch-id-guard discipline as every other serving
+    table. Read-time rendering (``ohlc_serving_view``) matches the
+    batch ``ohlc_hourly_bars`` bit-for-bit — the parity the driver
+    re-verifies."""
+    if _table_exists(spark, serving):
+        cur = spark.read.parquet(serving)
+        applied = cur.agg(F.max("applied_batch_id")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            return False
+        state = cur.select("event_type", "hr", *_OHLC_STATE)
+    else:
+        state = None
+
+    inc = _ohlc_increment(batch_df)
+    pooled = inc if state is None else state.unionByName(inc)
+    otrip = F.struct("o_ms", "o_eid", "open_fp")
+    ctrip = F.struct("c_ms", "c_eid", "close_fp")
+    merged = pooled.groupBy("event_type", "hr").agg(
+        F.min_by(otrip, F.struct("o_ms", "o_eid")).alias("o"),
+        F.max_by(ctrip, F.struct("c_ms", "c_eid")).alias("c"),
+        F.max("high_fp").alias("high_fp"),
+        F.min("low_fp").alias("low_fp"),
+        F.sum("n").alias("n"),
+    ).select(
+        "event_type",
+        "hr",
+        F.col("o.o_ms").alias("o_ms"),
+        F.col("o.o_eid").alias("o_eid"),
+        F.col("o.open_fp").alias("open_fp"),
+        F.col("c.c_ms").alias("c_ms"),
+        F.col("c.c_eid").alias("c_eid"),
+        F.col("c.close_fp").alias("close_fp"),
+        "high_fp",
+        "low_fp",
+        "n",
+    ).withColumn("applied_batch_id", F.lit(batch_id))
+    staged = serving + _STAGED
+    merged.write.mode("overwrite").parquet(staged)
+    publish_swap(spark, staged, serving)
+    return True
+
+
+def ohlc_serving_view(spark: SparkSession, serving: str) -> DataFrame:
+    """Render the maintained OHLC state as the dashboard bar table —
+    the same columns (and fixed-point /1e4 arithmetic) as the batch
+    ``ohlc_hourly_bars`` query, so parity is a straight hash match."""
+    rows = spark.read.parquet(serving)
+    return rows.select(
+        "event_type",
+        "hr",
+        (F.col("open_fp") / F.lit(10000.0)).alias("open"),
+        (F.col("high_fp") / F.lit(10000.0)).alias("high"),
+        (F.col("low_fp") / F.lit(10000.0)).alias("low"),
+        (F.col("close_fp") / F.lit(10000.0)).alias("close"),
+        F.col("n").cast("bigint").alias("n_events"),
+    )

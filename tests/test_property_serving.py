@@ -163,3 +163,73 @@ def test_cms_fold_is_slicing_independent(spark, rows, tmp_path_factory):
             cell = (r, ((u * a + bb) % CMS_P) % CMS_W)
             expected[cell] = expected.get(cell, 0) + 1
     assert got == expected
+
+
+_OHLC_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 3_600_000 * 5),  # ms within 5 hour-buckets
+        st.integers(-10000, 10000),     # value * 1e4 as int, exact
+        st.integers(0, 3),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_OHLC_ROWS)
+def test_ohlc_fold_is_slicing_independent(spark, rows, tmp_path_factory):
+    """The OHLC serving table (8th maintained table, second
+    mergeable-beyond-additive instance) under arbitrary slicings:
+    folding any 4-way split — empty batches, duplicate timestamps
+    (event_id tie-break), negative values — through the PRODUCTION
+    apply_ohlc_batch must land on the exact bars a one-pass build
+    computes, because endpoint-and-extremes state is associative
+    under the (ms, event_id) total order."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        apply_ohlc_batch,
+        ohlc_serving_view,
+    )
+
+    serving = str(tmp_path_factory.mktemp("serv")) + "/o"
+    shutil.rmtree(serving, ignore_errors=True)
+    data = [(ms, eid, v / 10000.0, b) for eid, (ms, v, b) in enumerate(rows)]
+    df = (
+        spark.createDataFrame(
+            data, "ms long, event_id long, value double, b int"
+        )
+        .withColumn("ts", F.timestamp_millis(F.col("ms")))
+        .withColumn("event_type", F.lit("e"))
+    )
+    for i in range(4):
+        assert (
+            apply_ohlc_batch(spark, df.filter(F.col("b") == i), i, serving)
+            is True
+        )
+    got = {
+        (r.event_type, r.hr, r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc_serving_view(spark, serving).collect()
+    }
+
+    import math
+
+    bars = {}
+    for eid, (ms, v, _) in enumerate(rows):
+        fp = math.floor((v / 10000.0) * 10000)  # matches floor(value*1e4)
+        bars.setdefault(ms // 3_600_000, []).append((ms, eid, fp))
+    want = set()
+    for hr, evs in bars.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        fps = [fp for _, _, fp in evs]
+        want.add(
+            (
+                "e",
+                hr,
+                evs[0][2] / 10000.0,
+                max(fps) / 10000.0,
+                min(fps) / 10000.0,
+                evs[-1][2] / 10000.0,
+                len(evs),
+            )
+        )
+    assert got == want

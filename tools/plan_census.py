@@ -71,6 +71,7 @@ _EAGER = {
     "decayed_streamed_parity",
     "merge_upsert_parity",
     "orc_roundtrip_parity",
+    "ohlc_streamed_parity",
 }
 
 
