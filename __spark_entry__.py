@@ -54,10 +54,12 @@ _DRIVER_SAMPLE_FIRST = [
     # round-6 sixth batch: one-pass declarative DQ expectation suite,
     # OHLC candlestick bars (single (type,hour) Exchange), and the
     # EIGHTH maintained serving table (OHLC bars as mergeable
-    # endpoint+extremes state, crash-replay checked)
+    # endpoint+extremes state, crash-replay checked), and incremental
+    # view maintenance of the revenue-by-nation star-join view
     "dq_expectation_suite",
     "ohlc_hourly_bars",
     "ohlc_streamed_parity",
+    "ivm_revenue_by_nation_parity",
     # round-6 fourth batch: new, never sampled — DAU/WAU stickiness,
     # seasonal hour-of-day deviation report, LSH blocking quality,
     # ORC source round-trip, CDC latest-state compaction, the 7th
@@ -120,13 +122,15 @@ _DRIVER_SAMPLE_FIRST = [
     "contiguous_doc_ids",
     "heavy_hitter_custkeys",
     "ann_pq_topk_after_delete",
-    "srm_check",
     "source_distinctive_tokens",
     "kmv_streamed_parity",
-    # --- 50-row sample boundary falls here (50 of the 51 new-this-
+    # --- 50-row sample boundary falls here (50 of the 52 new-this-
     # round; cms_streamed_parity rotates to r7 — its additive
     # protocol is driver-covered by the three sampled additive
-    # parities and its CMS grid by cms_user_event_counts);
+    # parities and its CMS grid by cms_user_event_counts — as does
+    # srm_check, whose chi-square-on-distinct-users shape is covered
+    # by the sampled ks_drift_check + dau_wau_stickiness);
+    "srm_check",
     # cms_streamed_parity and the 5 changed queries lead the r7
     # rotation, then the stale tail, stalest (r1) first ---
     "cms_streamed_parity",

@@ -72,6 +72,7 @@ _EAGER = {
     "merge_upsert_parity",
     "orc_roundtrip_parity",
     "ohlc_streamed_parity",
+    "ivm_revenue_by_nation_parity",
 }
 
 

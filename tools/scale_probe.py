@@ -262,6 +262,7 @@ def _run_probes(k: int, out: str):
         "dq_expectation_suite",  # one scan, one-row agg, 7-row unpivot
         "ohlc_hourly_bars",      # single (type,hour) Exchange: 2 windows + agg
         "ohlc_streamed_parity",  # 8th serving table: 4 mergeable bar folds
+        "ivm_revenue_by_nation_parity",  # IVM star-join view: 4 delta folds
     ]
     only = set(sys.argv[3:])
     if only:
