@@ -60,6 +60,10 @@ _DRIVER_SAMPLE_FIRST = [
     "ohlc_hourly_bars",
     "ohlc_streamed_parity",
     "ivm_revenue_by_nation_parity",
+    # round-6 seventh batch: column-attributed snapshot diff, one-pass
+    # Poisson bootstrap error bars
+    "snapshot_diff_columns",
+    "bootstrap_revenue_ci",
     # round-6 fourth batch: new, never sampled — DAU/WAU stickiness,
     # seasonal hour-of-day deviation report, LSH blocking quality,
     # ORC source round-trip, CDC latest-state compaction, the 7th
@@ -119,17 +123,18 @@ _DRIVER_SAMPLE_FIRST = [
     "percentile_streamed_parity",
     "kmv_merge_parity",
     "customer_distribution_q13",
-    "contiguous_doc_ids",
-    "heavy_hitter_custkeys",
     "ann_pq_topk_after_delete",
     "source_distinctive_tokens",
     "kmv_streamed_parity",
-    # --- 50-row sample boundary falls here (50 of the 52 new-this-
-    # round; cms_streamed_parity rotates to r7 — its additive
-    # protocol is driver-covered by the three sampled additive
-    # parities and its CMS grid by cms_user_event_counts — as does
-    # srm_check, whose chi-square-on-distinct-users shape is covered
-    # by the sampled ks_drift_check + dau_wau_stickiness);
+    # --- 50-row sample boundary falls here (50 of the 54 new-this-
+    # round; rotating to r7: cms_streamed_parity (additive protocol
+    # driver-covered by three sampled additive parities, CMS grid by
+    # cms_user_event_counts), srm_check (chi-square-on-distinct shape
+    # covered by sampled ks_drift_check), and contiguous_doc_ids +
+    # heavy_hitter_custkeys (dense-ids and keyed-count+TakeOrdered,
+    # both plan-pinned and 3-SF-gate green locally);
+    "contiguous_doc_ids",
+    "heavy_hitter_custkeys",
     "srm_check",
     # cms_streamed_parity and the 5 changed queries lead the r7
     # rotation, then the stale tail, stalest (r1) first ---

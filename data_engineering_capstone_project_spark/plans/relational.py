@@ -4489,3 +4489,267 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold_ppm",
         (F.col("observed_ppm") >= F.col("threshold_ppm")).alias("passed"),
     )
+
+
+@query(
+    "snapshot_diff_columns",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+               o_orderstatus AS status,
+               o_orderpriority AS priority
+        FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 100 = 7
+                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) + 100
+                    ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END
+                   AS price_c,
+               CASE WHEN o_orderkey % 100 = 23 THEN 'X'
+                    ELSE o_orderstatus END AS status,
+               o_orderpriority AS priority
+        FROM orders WHERE o_orderkey % 100 <> 13
+        UNION ALL
+        SELECT o_orderkey + 10000000000 AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT),
+               o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 100 = 21
+    ),
+    j AS (SELECT old.k AS ok, new.k AS nk,
+                 old.price_c AS op, new.price_c AS np,
+                 old.status AS os, new.status AS ns,
+                 old.priority AS opr, new.priority AS npr
+          FROM old FULL OUTER JOIN new ON old.k = new.k),
+    m AS (
+        SELECT CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS inserted,
+               CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS deleted,
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                              AND op <> np THEN 1 ELSE 0 END) AS BIGINT)
+                   AS chg_price,
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                              AND os <> ns THEN 1 ELSE 0 END) AS BIGINT)
+                   AS chg_status,
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                              AND opr <> npr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS chg_priority
+        FROM j
+    )
+    SELECT 'rows_inserted' AS change, inserted AS n FROM m
+    UNION ALL SELECT 'rows_deleted', deleted FROM m
+    UNION ALL SELECT 'col:o_totalprice', chg_price FROM m
+    UNION ALL SELECT 'col:o_orderstatus', chg_status FROM m
+    UNION ALL SELECT 'col:o_orderpriority', chg_priority FROM m
+    """,
+)
+def snapshot_diff_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-ATTRIBUTED snapshot reconciliation — `snapshot_diff`
+    answers "which keys changed"; replication/migration triage next
+    asks "which COLUMNS drifted, how much" (a schema-mapping bug
+    changes one column everywhere; a replay bug inserts/deletes
+    rows). Same derived second snapshot family as `snapshot_diff`
+    (price bumped on the %100==7 stripe, status rewritten on the
+    %100==23 stripe, priority untouched, %100==13 deleted, %100==21
+    re-inserted above the 10B key shift), but the report is the
+    per-column change histogram from ONE full-outer join + ONE
+    conditional-sum aggregate + a 5-row unpivot. The untouched
+    column's zero row is load-bearing: it proves per-column
+    attribution, not just row-level detection.
+
+    Scale shape: one key-partitioned full-outer join (both sides
+    corpus-sized — the irreducible diff cost, same as snapshot_diff's
+    probed 0.90-3.81 band), then a single-row aggregate; nothing
+    downstream exceeds the column count."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.select(
+        F.col("o_orderkey").alias("k"),
+        cents.alias("price_c"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    mod = F.pmod(F.col("o_orderkey"), F.lit(100))
+    new = (
+        o.filter(mod != 13)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(mod == 7, cents + 100).otherwise(cents).alias("price_c"),
+            F.when(mod == 23, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .unionByName(
+            o.filter(mod == 21).select(
+                (F.col("o_orderkey") + F.lit(10_000_000_000)).alias("k"),
+                cents.alias("price_c"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        )
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer"
+    )
+    both = F.col("o.k").isNotNull() & F.col("n.k").isNotNull()
+    m = j.agg(
+        F.sum(F.col("o.k").isNull().cast("long")).alias("inserted"),
+        F.sum(F.col("n.k").isNull().cast("long")).alias("deleted"),
+        F.sum(
+            (both & (F.col("o.price_c") != F.col("n.price_c"))).cast("long")
+        ).alias("chg_price"),
+        F.sum(
+            (both & (F.col("o.status") != F.col("n.status"))).cast("long")
+        ).alias("chg_status"),
+        F.sum(
+            (both & (F.col("o.priority") != F.col("n.priority"))).cast("long")
+        ).alias("chg_priority"),
+    )
+    return m.select(
+        F.expr(
+            """stack(5,
+            'rows_inserted', inserted,
+            'rows_deleted', deleted,
+            'col:o_totalprice', chg_price,
+            'col:o_orderstatus', chg_status,
+            'col:o_orderpriority', chg_priority
+            ) AS (change, n)"""
+        )
+    )
+
+
+_BOOT_B = 16
+# Poisson(1) CDF * 1000, floor — the deterministic weight table:
+# h in [0,368) -> 0 copies, [368,736) -> 1, [736,920) -> 2,
+# [920,981) -> 3, [981,996) -> 4, [996,999) -> 5, [999,1000) -> 6.
+_BOOT_CUTS = (368, 736, 920, 981, 996, 999)
+
+
+def _boot_weight_sql(h: str) -> str:
+    w = f"CASE WHEN {h} < 368 THEN 0 WHEN {h} < 736 THEN 1"
+    w += f" WHEN {h} < 920 THEN 2 WHEN {h} < 981 THEN 3"
+    w += f" WHEN {h} < 996 THEN 4 WHEN {h} < 999 THEN 5 ELSE 6 END"
+    return w
+
+
+@query(
+    "bootstrap_revenue_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range({_BOOT_B})) AS b),
+    w AS (
+        SELECT r.b,
+               {_boot_weight_sql("((o.o_orderkey * 2654435761 + r.b * 97) % 1000000007) % 1000")}
+                   AS w,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o CROSS JOIN reps r
+    ),
+    per AS (
+        SELECT b, CAST(sum(w) AS BIGINT) AS n_b,
+               CAST(sum(w * cents) AS BIGINT) AS s_b
+        FROM w GROUP BY 1
+    ),
+    means AS (SELECT b, s_b // n_b AS m_c FROM per),
+    full_m AS (
+        SELECT CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    // count(*) AS BIGINT) AS full_c
+        FROM orders
+    ),
+    ctr AS (SELECT m.m_c - f.full_c AS mc FROM means m, full_m f),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS bb,
+               CAST(sum(mc) AS BIGINT) AS smc,
+               CAST(sum(mc * mc) AS BIGINT) AS smc2
+        FROM ctr
+    )
+    SELECT a.bb AS replicas,
+           f.full_c / 100.0 AS mean_price,
+           floor(sqrt((a.bb * a.smc2 - a.smc * a.smc)
+                      / (1.0 * a.bb * (a.bb - 1)))
+                 / 100.0 * 10000) / 10000.0 AS boot_se,
+           CAST((SELECT min(m_c) FROM means) AS BIGINT) AS min_rep_mean_c,
+           CAST((SELECT max(m_c) FROM means) AS BIGINT) AS max_rep_mean_c
+    FROM agg a, full_m f
+    """,
+)
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson bootstrap (Chamandy et al., Google 2012) —
+    the standard-error machine for statistics at a scale where
+    resampling-with-replacement is impossible: instead of B shuffled
+    resamples, each row gets B deterministic Poisson(1) weights and
+    every replicate statistic is a weighted aggregate computed in THE
+    SAME single pass (a B-way map-side explode, no second scan, no
+    materialized resamples). Here: the bootstrap SE of mean order
+    price from B=16 replicates. Weights come from the house
+    multiplicative hash through a floor(CDF·1000) lookup table, so
+    the whole procedure — weights, replicate means, centered second
+    moment, the final IEEE sqrt — is bit-identical in any engine.
+    Replicate means are centered on the full-data mean before
+    squaring (variance is shift-invariant) to keep the second moment
+    in exact-int64 range; the one double division + sqrt happen once,
+    floor-truncated to 4 decimals.
+
+    Scale shape: one scan with a ×16 map-side fan-out into a 16-row
+    aggregate — partial aggregation absorbs the fan-out before any
+    Exchange; everything downstream of the groupBy is B-sized. At
+    100 TB this is how you put error bars on ANY pipeline metric
+    without re-reading data B times."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    reps = F.array(*[F.lit(b) for b in range(_BOOT_B)])
+    h = F.pmod(
+        F.pmod(
+            F.col("o_orderkey") * F.lit(2654435761) + F.col("b") * F.lit(97),
+            F.lit(1000000007),
+        ),
+        F.lit(1000),
+    )
+    w = F.when(h < _BOOT_CUTS[0], 0)
+    for i, cut in enumerate(_BOOT_CUTS[1:], start=1):
+        w = w.when(h < cut, i)
+    w = w.otherwise(len(_BOOT_CUTS)).cast("bigint")
+    weighted = (
+        o.select("o_orderkey", cents.alias("cents"))
+        .withColumn("b", F.explode(reps))
+        .withColumn("w", w)
+    )
+    per = weighted.groupBy("b").agg(
+        F.sum("w").alias("n_b"), F.sum(F.col("w") * F.col("cents")).alias("s_b")
+    )
+    means = per.select("b", F.expr("s_b div n_b").alias("m_c"))
+    full_m = o.agg(
+        F.expr(
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))"
+            " div count(*) AS BIGINT)"
+        ).alias("full_c")
+    )
+    ctr = means.crossJoin(F.broadcast(full_m)).select(
+        (F.col("m_c") - F.col("full_c")).alias("mc"), "m_c", "full_c"
+    )
+    agg = ctr.agg(
+        F.count("*").alias("bb"),
+        F.sum("mc").alias("smc"),
+        F.sum(F.col("mc") * F.col("mc")).alias("smc2"),
+        F.min("m_c").alias("min_rep_mean_c"),
+        F.max("m_c").alias("max_rep_mean_c"),
+        F.first("full_c").alias("full_c"),
+    )
+    return agg.select(
+        F.col("bb").cast("bigint").alias("replicas"),
+        (F.col("full_c") / F.lit(100.0)).alias("mean_price"),
+        (
+            F.floor(
+                F.sqrt(
+                    (F.col("bb") * F.col("smc2") - F.col("smc") * F.col("smc"))
+                    / (F.lit(1.0) * F.col("bb") * (F.col("bb") - F.lit(1)))
+                )
+                / F.lit(100.0)
+                * F.lit(10000)
+            )
+            / F.lit(10000.0)
+        ).alias("boot_se"),
+        F.col("min_rep_mean_c").cast("bigint").alias("min_rep_mean_c"),
+        F.col("max_rep_mean_c").cast("bigint").alias("max_rep_mean_c"),
+    )

@@ -263,6 +263,8 @@ def _run_probes(k: int, out: str):
         "ohlc_hourly_bars",      # single (type,hour) Exchange: 2 windows + agg
         "ohlc_streamed_parity",  # 8th serving table: 4 mergeable bar folds
         "ivm_revenue_by_nation_parity",  # IVM star-join view: 4 delta folds
+        "snapshot_diff_columns",  # full-outer diff + 1-row agg + unpivot
+        "bootstrap_revenue_ci",  # x16 map-side fan-out into a 16-row agg
     ]
     only = set(sys.argv[3:])
     if only:
