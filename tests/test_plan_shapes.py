@@ -874,3 +874,58 @@ def test_chart_downsample_window_group_limit(spark):
     plan = _plan(QUERIES["chart_downsample"](spark, SF_SMALL))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_bars_single_exchange(spark):
+    """ohlc_hourly_bars: both endpoint windows AND the bar aggregate
+    must share ONE (type, hour) hash Exchange — the claim the
+    docstring makes and the probe relies on."""
+    import re
+
+    plan = _plan(QUERIES["ohlc_hourly_bars"](spark, SF_SMALL))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_attribution_reuses_asof_partitioning(spark):
+    """attribution_linear: the per-conversion credit window must REUSE
+    the as-of's user_id hash partitioning (asof_join re-emits the
+    top-level key attribute — the r6 operator fix). A regression
+    re-introduces an Exchange keyed on (user_id, pur_ms): corpus-sized
+    at 100 TB."""
+    import re
+
+    plan = _plan(QUERIES["attribution_linear"](spark, SF_SMALL))
+    keysets = []
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        cols = {
+            re.sub(r"#\d+L?", "", part.strip())
+            for part in m.group(1).split(",")
+            if not part.strip().isdigit()  # drop the partition count
+        }
+        keysets.append(cols)
+    # The purchases-distinct Exchange keys on (user_id, pur_ms, pneg)
+    # and is expected; the REGRESSION signature is a window Exchange
+    # on exactly (user_id, pur_ms).
+    assert {"user_id", "pur_ms"} not in keysets, (
+        f"asof partitioning no longer reused: {keysets}"
+    )
+
+
+def test_zorder_zone_map_grid_is_aggregate_sized(spark):
+    """zorder_zone_map: no global sort (the audit only ASSESSES the
+    layout; the write-path repartitionByRange lives in
+    write_zorder_clustered), and the scalar max joins by broadcast,
+    never Cartesian-on-corpus."""
+    plan = _plan(QUERIES["zorder_zone_map"](spark, SF_SMALL))
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_fanout_absorbed_map_side(spark):
+    """bootstrap_revenue_ci: the x16 replicate fan-out must be
+    absorbed by partial aggregation BEFORE the Exchange (the
+    B-row grid shuffles, never 16x the corpus) — pinned by requiring
+    partial_sum in the aggregate chain and no range partitioning."""
+    plan = _plan(QUERIES["bootstrap_revenue_ci"](spark, SF_SMALL))
+    assert "partial_sum" in plan
+    assert "rangepartitioning" not in plan
