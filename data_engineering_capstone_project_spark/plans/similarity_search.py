@@ -1023,15 +1023,17 @@ def pq_codes_table(
     cleared before writing (a fresh metastore meeting an old dir
     otherwise fails LOCATION_ALREADY_EXISTS).
 
-    Concurrency contract (same as the bucketed pair): SINGLE WRITER
-    per warehouse. This sandbox runs in-memory catalogs, so a second
-    process cannot see the first's table registration at all — it will
-    clear the fingerprint directory and re-encode, which is
-    destructive to a concurrent reader of that dir. Production needs
-    what coordination-free parquet cannot give: a shared metastore (or
-    a table format with a transaction log — Delta/Iceberg) so the
-    'exists' check and the publish are one atomic catalog operation.
-    That limit is documented, not worked around, here."""
+    Concurrency contract: the fingerprint in the name makes same-source
+    builds CONTENT-IDENTICAL, so a second process (in-memory catalogs —
+    it cannot see the first's registration) that finds a COMPLETE
+    fingerprint directory (``_SUCCESS`` present) ADOPTS it as an
+    external table instead of re-encoding over a possibly-concurrent
+    reader; only a partial dir (crashed writer, no ``_SUCCESS``) is
+    cleared and rebuilt. Two simultaneous first writers can still race
+    the initial build — full write-write atomicity needs a shared
+    metastore or a transaction-log table format (Delta/Iceberg), which
+    coordination-free parquet cannot give; that residual limit is
+    documented, not worked around."""
     import re as _re
     import shutil
     from pathlib import Path
@@ -1057,7 +1059,20 @@ def pq_codes_table(
                 "file:", ""
             )
         )
+        # DROP on an adopted external table leaves its files; sweep
+        # stale-fingerprint dirs too so old encodes don't accumulate.
+        for d in warehouse.glob(f"{prefix}_{tag}_*"):
+            if stale.match(d.name) and d.name != name:
+                shutil.rmtree(d, ignore_errors=True)
         loc = warehouse / name
+        if loc.exists() and (loc / "_SUCCESS").exists():
+            # Same fingerprint => identical content: adopt the dir a
+            # concurrent/earlier same-source writer completed rather
+            # than destroying it under that process's readers.
+            spark.catalog.createTable(name, path=str(loc), source="parquet")
+            if with_cells:
+                spark.catalog.recoverPartitions(name)
+            return spark.table(name)
         if loc.exists():
             shutil.rmtree(loc)
         if with_cells:

@@ -83,6 +83,42 @@ def test_index_reused_then_invalidated_on_source_change(spark, src_dir):
     assert codes2.count() == n1
 
 
+def test_complete_dir_is_adopted_not_reencoded(spark, src_dir):
+    """A fresh catalog (second process) meeting a COMPLETE fingerprint
+    dir must ADOPT it as an external table — same rows, same part
+    files, no rewrite — instead of rmtree'ing it under a concurrent
+    reader (the race the r6 pytest/gate overlap actually hit)."""
+    import pathlib
+
+    from data_engineering_capstone_project_spark.plans.similarity_search import (
+        pq_codes_table,
+    )
+
+    n1 = pq_codes_table(spark, src_dir).count()
+    name = _index_names(spark, src_dir)[0]
+    warehouse = pathlib.Path(
+        spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    )
+    loc = warehouse / name
+    parts_before = sorted(p.name for p in loc.glob("*.parquet"))
+    assert parts_before and (loc / "_SUCCESS").exists()
+
+    # simulate the second process's view: dir on disk, no catalog
+    # entry (managed DROP deletes files, so stash and restore)
+    stash = loc.with_suffix(".stash")
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE {name}")
+    stash.rename(loc)
+
+    codes2 = pq_codes_table(spark, src_dir)
+    assert codes2.count() == n1
+    parts_after = sorted(p.name for p in loc.glob("*.parquet"))
+    assert parts_after == parts_before  # adopted, not rewritten
+    assert _index_names(spark, src_dir) == [name]
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(loc, ignore_errors=True)  # external drop keeps files
+
+
 def test_ivfpq_indexed_matches_inline_and_is_cell_partitioned(spark):
     from data_engineering_capstone_project_spark.plans.similarity_search import (
         ann_ivfpq_topk,
