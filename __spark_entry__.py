@@ -36,12 +36,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: exactly the 50
-# queries NEW this round (a record batch); the 5 changed queries lead
-# the r7 rotation — all are green in the local 3-SF full gates, and
-# the changed asof_join operator IS driver-covered via the new
+# CORRECTNESS_r01..r0N.json. This round that means: 50 of the 54
+# queries NEW this round (a record batch); the 4 that don't fit the
+# sample (contiguous_doc_ids, heavy_hitter_custkeys, srm_check,
+# cms_streamed_parity) plus the 5 changed queries lead the r7
+# rotation — all are green in the local 3-SF full gates, and the
+# changed asof_join operator IS driver-covered via the new
 # attribution_linear + the sampled conversion_lag_percentiles.
-# 204 queries total, all with oracles.
+# 208 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
     # round-6 fifth batch: KMV set algebra (pairwise audience
     # intersection from the k-min sketches alone), the Z-order
