@@ -795,9 +795,16 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
     silently re-introduce the Exchange this layout exists to remove).
     Stale same-source pairs from older fingerprints are dropped.
 
-    A fresh metastore can meet a leftover warehouse directory from an
-    earlier session (saveAsTable then fails LOCATION_ALREADY_EXISTS),
-    so a stale unregistered location is cleared before writing.
+    A fresh metastore meeting a COMPLETE leftover pair from an earlier
+    process (same fingerprint => identical content) ADOPTS it instead
+    of rebuilding: each write drops a ``_BUCKETS`` sidecar recording
+    the count the files were REALLY written with, and adoption
+    declares exactly that count via CREATE TABLE … CLUSTERED BY …
+    LOCATION (never an inferred one — declaring N over files hashed
+    into M would silently mis-zip the bucket join). A partial dir (no
+    ``_SUCCESS``/``_BUCKETS``) is cleared and rebuilt as before; the
+    existing pair-agreement and pinned-count checks run on the adopted
+    metadata, so a mismatched pair still rebuilds together.
     """
     import math
     import re as _re
@@ -808,6 +815,20 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
     fp = _source_fingerprint(sf_dir, ("lineitem", "orders"))
     pairs = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
     names = {tbl: f"bkt_{tbl}_{tag}_{fp}" for tbl, _ in pairs}
+    warehouse = Path(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+            "file:", ""
+        )
+    )
+    for tbl, key in pairs:
+        if not spark.catalog.tableExists(names[tbl]):
+            _adopt_bucketed_dir(
+                spark,
+                names[tbl],
+                warehouse / names[tbl],
+                table(spark, sf_dir, tbl).schema,
+                key,
+            )
     rebuild = not all(spark.catalog.tableExists(n) for n in names.values())
     if not rebuild:
         # Both tables exist: verify they agree on bucket count (a crash
@@ -825,11 +846,6 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
         if n_buckets is None:
             rows = cached_rowcount(spark, sf_dir, "lineitem")
             n_buckets = max(16, 2 ** math.ceil(math.log2(max(rows / 200_000, 1))))
-        warehouse = Path(
-            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
-                "file:", ""
-            )
-        )
         from data_engineering_capstone_project_spark.sources.writers import (
             write_bucketed_table,
         )
@@ -840,13 +856,17 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
             # Match the fingerprint suffix EXACTLY ([0-9a-f]{10}$): a
             # bare prefix test would also hit sibling sf_dirs whose
             # sanitized tag extends this one (…_corpus vs …_corpus_big)
-            # and delete their live pair.
+            # and delete their live pair. DROP on an adopted external
+            # table keeps its files, so sweep stale dirs too.
             stale = _re.compile(rf"^bkt_{tbl}_{tag}_[0-9a-f]{{10}}$")
             for t in spark.catalog.listTables():
                 if (
                     stale.match(t.name) or t.name == f"bkt_{tbl}_{tag}"
                 ) and t.name != names[tbl]:
                     spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            for d in warehouse.glob(f"bkt_{tbl}_{tag}_*"):
+                if stale.match(d.name) and d.name != names[tbl]:
+                    shutil.rmtree(d, ignore_errors=True)
             spark.sql(f"DROP TABLE IF EXISTS {names[tbl]}")
             loc = warehouse / names[tbl]
             if loc.exists():
@@ -854,7 +874,28 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
             write_bucketed_table(
                 table(spark, sf_dir, tbl), names[tbl], [key], n_buckets, sort_cols=[key]
             )
+            # Record the REAL write count for later adoption; files
+            # starting with '_' are invisible to the parquet scan.
+            (loc / "_BUCKETS").write_text(str(n_buckets))
     return tuple(spark.table(names[tbl]) for tbl, _ in pairs)
+
+
+def _adopt_bucketed_dir(spark, name, loc, schema, key) -> bool:
+    """Register a COMPLETE bucketed warehouse dir left by an earlier
+    process as an external table, declaring the bucket count its
+    ``_BUCKETS`` sidecar recorded at write time. Returns False (no
+    registration) for missing or partial dirs — the caller rebuilds."""
+    marker = loc / "_BUCKETS"
+    if not ((loc / "_SUCCESS").exists() and marker.exists()):
+        return False
+    n = int(marker.read_text())
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+    return True
 
 
 def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:

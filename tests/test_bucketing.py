@@ -188,6 +188,60 @@ class TestBucketedPairLifecycle:
         }
         assert len(set(counts.values())) == 1, counts
 
+    def test_complete_pair_adopted_not_rebuilt(self, spark, src_dir):
+        """A fresh catalog (second process) meeting a COMPLETE pair of
+        fingerprint dirs must ADOPT them as external tables, declaring
+        the _BUCKETS sidecar count — same part files, no rewrite, and
+        the orderkey join still plans with zero Exchange."""
+        import shutil
+        from pathlib import Path
+
+        from data_engineering_capstone_project_spark.plans.relational import (
+            _table_bucket_count,
+            bucketed_orderkey_tables,
+        )
+
+        li1, _ = bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
+        n1 = li1.count()
+        names = self._pair_names(spark, src_dir)
+        warehouse = Path(
+            spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        )
+        parts_before = {}
+        for n in names:
+            loc = warehouse / n
+            assert (loc / "_BUCKETS").read_text() == "16"
+            stash = loc.with_suffix(".stash")
+            shutil.copytree(loc, stash)
+            spark.sql(f"DROP TABLE {n}")  # managed drop deletes files
+            stash.rename(loc)
+            parts_before[n] = sorted(p.name for p in loc.glob("*.parquet"))
+
+        li2, o2 = bucketed_orderkey_tables(spark, src_dir)
+        assert li2.count() == n1
+        assert self._pair_names(spark, src_dir) == names
+        for n in names:
+            assert _table_bucket_count(spark, n) == 16
+            parts_after = sorted(
+                p.name for p in (warehouse / n).glob("*.parquet")
+            )
+            assert parts_after == parts_before[n]  # adopted, not rewritten
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = li2.join(o2, li2.l_orderkey == o2.o_orderkey)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert j.count() > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+        # a pinned DIFFERENT count must still rebuild the adopted pair
+        # (rebuild rewrites managed tables, so the fixture's DROP cleans up)
+        bucketed_orderkey_tables(spark, src_dir, n_buckets=32)
+        for n in self._pair_names(spark, src_dir):
+            assert _table_bucket_count(spark, n) == 32
+
     def test_sibling_tag_tables_survive_stale_cleanup(self, spark, src_dir, tmp_path_factory):
         """The stale-variant cleanup must match the fingerprint suffix
         exactly: a sibling sf_dir whose sanitized tag EXTENDS this tag
