@@ -119,6 +119,43 @@ def test_complete_dir_is_adopted_not_reencoded(spark, src_dir):
     shutil.rmtree(loc, ignore_errors=True)  # external drop keeps files
 
 
+def test_cell_partitioned_dir_adopted_with_partitions_recovered(spark, src_dir):
+    """Adoption of the IVF+PQ layout must also RECOVER the cell_id
+    partitions — an adopted external table with zero recovered
+    partitions reads as empty, which is worse than a rebuild."""
+    import pathlib
+
+    from data_engineering_capstone_project_spark.plans.similarity_search import (
+        pq_codes_table,
+    )
+
+    codes1 = pq_codes_table(spark, src_dir, with_cells=True)
+    n1 = codes1.count()
+    assert n1 > 0
+    name = next(
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("ivfpq_codes_")
+        and re.sub(r"[^0-9A-Za-z]+", "_", src_dir).strip("_") in t.name
+    )
+    warehouse = pathlib.Path(
+        spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    )
+    loc = warehouse / name
+    stash = loc.with_suffix(".stash")
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE {name}")
+    stash.rename(loc)
+
+    codes2 = pq_codes_table(spark, src_dir, with_cells=True)
+    assert codes2.count() == n1  # partitions recovered, not empty
+    assert "cell_id" in codes2.columns
+    desc = spark.sql(f"DESCRIBE TABLE {name}").collect()
+    assert "# Partition Information" in [r.col_name for r in desc]
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_ivfpq_indexed_matches_inline_and_is_cell_partitioned(spark):
     from data_engineering_capstone_project_spark.plans.similarity_search import (
         ann_ivfpq_topk,
