@@ -1699,6 +1699,126 @@ def source_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_importance_select",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, source = 'src0' AS is_target,
+               substr(md5(tok), 1, 2) AS bkt
+        FROM (SELECT doc_id, source,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                         AS tok
+              FROM documents)
+        WHERE tok <> ''
+    ),
+    grid AS (SELECT doc_id, is_target, bkt, count(*) AS c
+             FROM tok GROUP BY 1, 2, 3),
+    marg AS (SELECT bkt,
+                    sum(CASE WHEN is_target THEN c ELSE 0 END) AS ct,
+                    sum(CASE WHEN is_target THEN 0 ELSE c END) AS cr
+             FROM grid GROUP BY 1),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS rt FROM marg),
+    lift AS (SELECT bkt, ((ct + 1) * (rt + 256) * 1000)
+                          // ((cr + 1) * (tt + 256)) AS lift_fp
+             FROM marg CROSS JOIN tot),
+    scored AS (
+        SELECT g.doc_id, sum(g.c) AS n_tokens,
+               sum(g.c * l.lift_fp) // sum(g.c) AS w_fp
+        FROM grid g JOIN lift l USING (bkt)
+        WHERE NOT g.is_target
+        GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           w_fp / 1000.0 AS avg_lift, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT doc_id, n_tokens, w_fp,
+                 row_number() OVER (ORDER BY w_fp DESC, doc_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 50
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling over HASHED n-gram
+    features (Xie et al. 2023, DSIR): score every raw-pool document by
+    how much its token distribution looks like a TARGET domain
+    (here source 'src0' plays the target; the other 19 sources are the
+    raw pool), and select the top-k. Features are md5-hashed token
+    buckets (first 2 hex chars = 256 buckets — the fixed, vocabulary-
+    independent feature space that makes the method O(1)-state at any
+    corpus size); per-bucket importance is the add-1-smoothed rate
+    ratio P(bkt|target)/P(bkt|raw). The paper sums LOG ratios; this
+    implementation scores with the fixed-point ratio itself —
+    floor(1e3 x (ct+1)(rt+256) / ((cr+1)(tt+256))) per bucket, doc
+    weight = integer-weighted mean over its token occurrences —
+    because ln() is libm-dependent and a last-ulp difference across
+    engines could flip a floor (the bigram_fluency / distinctive-
+    tokens precedent). The linear-lift weight is a monotone per-bucket
+    transform with the same top-domain-affinity selection behavior;
+    true DSIR additionally Gumbel-samples proportional to weight —
+    deterministic top-k is registered so the oracle is exact.
+
+    Scale shape: ONE corpus explode into the (doc, bucket) grid —
+    scoped_persist-ed, it feeds BOTH the 256-row bucket marginals and
+    the per-doc scoring, so the corpus is exploded once. Everything
+    after the grid agg is grid-sized: marginals broadcast back (256
+    rows), per-doc weight is a second keyed agg, and the final top-50
+    is a WindowGroupLimit, never a global sort. Overflow bound:
+    (ct+1)(rt+256)x1000 must stay under 9.2e18 — safe to ~1e7 target
+    tokens x ~1e8 raw tokens; coarsen the fixed point past that."""
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            (F.col("source") == "src0").alias("is_target"),
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "is_target",
+            F.substring(F.md5("tok"), 1, 2).alias("bkt"),
+        )
+    )
+    grid = scoped_persist(
+        tok.groupBy("doc_id", "is_target", "bkt").agg(F.count("*").alias("c")),
+        "dsir_importance_select.grid",
+    )
+    marg = grid.groupBy("bkt").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
+        F.sum(F.when(F.col("is_target"), F.lit(0)).otherwise(F.col("c"))).alias(
+            "cr"
+        ),
+    )
+    tot = marg.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("rt"))
+    lift = marg.join(broadcast(tot)).select(
+        "bkt",
+        F.expr(
+            "((ct + 1) * (rt + 256) * 1000) div ((cr + 1) * (tt + 256))"
+        ).alias("lift_fp"),
+    )
+    scored = (
+        grid.filter(~F.col("is_target"))
+        .join(broadcast(lift), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.expr("sum(c * lift_fp) div sum(c)").alias("w_fp"),
+        )
+    )
+    w = Window.orderBy(F.desc("w_fp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("w_fp") / F.lit(1000.0)).alias("avg_lift"),
+            "rank",
+        )
+    )
+
+
+@query(
     "contiguous_doc_ids",
     oracle="""
     SELECT doc_id,

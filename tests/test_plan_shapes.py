@@ -929,3 +929,18 @@ def test_bootstrap_fanout_absorbed_map_side(spark):
     plan = _plan(QUERIES["bootstrap_revenue_ci"](spark, SF_SMALL))
     assert "partial_sum" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_dsir_topk_never_global_sorts_and_lifts_broadcast(spark):
+    """dsir_importance_select: the final top-50 must plan as
+    TakeOrderedAndProject feeding the rank window (a 50-row single
+    partition), never a rangepartitioning global sort of the scored
+    pool; the 256-row lift frame must join broadcast so the grid
+    never shuffles for it."""
+    df = QUERIES["dsir_importance_select"](spark, SF_SMALL)
+    df.collect()  # materialize so the persisted grid resolves
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -265,6 +265,7 @@ def _run_probes(k: int, out: str):
         "ivm_revenue_by_nation_parity",  # IVM star-join view: 4 delta folds
         "snapshot_diff_columns",  # full-outer diff + 1-row agg + unpivot
         "bootstrap_revenue_ci",  # x16 map-side fan-out into a 16-row agg
+        "dsir_importance_select",  # one (doc,bkt) grid Exchange + 256-row lifts
     ]
     only = set(sys.argv[3:])
     if only:
