@@ -36,19 +36,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # build), then the LEAST-RECENTLY-driver-verified queries, oldest
 # round first — so no query's driver row ever goes more than ~2 rounds
 # stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 50 of the 55
-# queries NEW this round (a record batch); the 5 that don't fit the
-# sample (kmv_streamed_parity, contiguous_doc_ids,
-# heavy_hitter_custkeys, srm_check, cms_streamed_parity) plus the 5
-# changed queries lead the r7 rotation — all are green in the local
-# 3-SF full gates, and the changed asof_join operator IS
-# driver-covered via the new attribution_linear + the sampled
-# conversion_lag_percentiles.
-# 209 queries total, all with oracles.
+# CORRECTNESS_r01..r0N.json. This round that means: 50 of the 56
+# queries NEW this round (a record batch); the 6 that don't fit the
+# sample (kmv_streamed_parity, percentile_streamed_parity,
+# contiguous_doc_ids, heavy_hitter_custkeys, srm_check,
+# cms_streamed_parity) plus the 5 changed queries lead the r7
+# rotation — all are green in the local 3-SF full gates, and the
+# changed asof_join operator IS driver-covered via the new
+# attribution_linear + the sampled conversion_lag_percentiles.
+# 210 queries total, all with oracles.
 _DRIVER_SAMPLE_FIRST = [
-    # round-6 last addition (newest code = least evidence): DSIR
-    # hashed-n-gram importance weighting for target-domain selection
+    # round-6 last additions (newest code = least evidence): DSIR
+    # hashed-n-gram importance weighting for target-domain selection,
+    # and the per-quantizer-cell balanced uniform quota
     "dsir_importance_select",
+    "cluster_balanced_sample",
     # round-6 fifth batch: KMV set algebra (pairwise audience
     # intersection from the k-min sketches alone), the Z-order
     # zone-map pruning audit, linear multi-touch attribution (through
@@ -126,21 +128,24 @@ _DRIVER_SAMPLE_FIRST = [
     # per-source distinctive-token report; the mergeable-sketch
     # (KMV distinct) serving table
     "trending_engine_streamed_parity",
-    "percentile_streamed_parity",
     "kmv_merge_parity",
     "customer_distribution_q13",
     "ann_pq_topk_after_delete",
     "source_distinctive_tokens",
-    # --- 50-row sample boundary falls here (50 of the 55 new-this-
-    # round; rotating to r7: kmv_streamed_parity (additive protocol
-    # driver-covered by four sampled parities, k-min state by
-    # kmv_merge_parity/kmv_distinct_users), cms_streamed_parity (same
-    # protocol, CMS grid by cms_user_event_counts), srm_check
+    # --- 50-row sample boundary falls here (50 of the 56 new-this-
+    # round; rotating to r7: kmv_streamed_parity and
+    # percentile_streamed_parity (additive protocol driver-covered by
+    # the four parities still sampled — decayed/ohlc/ivm +
+    # trending_engine through the real engine; k-min state by
+    # kmv_merge_parity/kmv_distinct_users, histogram grids by
+    # cms_user_event_counts), cms_streamed_parity (same protocol, CMS
+    # grid by cms_user_event_counts), srm_check
     # (chi-square-on-distinct shape covered by sampled
     # ks_drift_check), and contiguous_doc_ids + heavy_hitter_custkeys
     # (dense-ids and keyed-count+TakeOrdered, both plan-pinned and
     # 3-SF-gate green locally);
     "kmv_streamed_parity",
+    "percentile_streamed_parity",
     "contiguous_doc_ids",
     "heavy_hitter_custkeys",
     "srm_check",

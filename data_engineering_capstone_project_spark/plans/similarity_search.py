@@ -224,6 +224,82 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH ids AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+    cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id,
+                    embedding AS centroid
+             FROM ids),
+    sc AS (
+        SELECT e.vec_id, cent.cell_id, {_IVF_FSIM} AS fsim
+        FROM embeddings e CROSS JOIN cent
+    ),
+    corpus_assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY fsim DESC, cell_id) AS r
+            FROM sc) WHERE r = 1
+    ),
+    counts AS (SELECT cell_id, count(*) AS cell_n
+               FROM corpus_assign GROUP BY 1),
+    ranked AS (
+        SELECT vec_id, cell_id,
+               row_number() OVER (
+                   PARTITION BY cell_id
+                   ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+               ) AS rnk
+        FROM corpus_assign
+    )
+    SELECT r.cell_id, r.vec_id, c.cell_n, CAST(r.rnk AS INTEGER) AS rank
+    FROM ranked r JOIN counts c USING (cell_id)
+    WHERE r.rnk <= 10
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced selection: an EQUAL uniform quota from every
+    coarse-quantizer cell of the embedding space — the cluster-
+    balancing step training-data pipelines run after dedup so a
+    dominant mode cannot crowd the mixture (the cluster-quota idea
+    behind SemDeDup-style semantic curation, applied to selection
+    instead of removal). Assignment reuses the deterministic
+    sampled-centroid quantizer (operators/vector_index.py), so the
+    whole query is oracle-checkable; within each cell, rows are drawn
+    by the house multiplicative hash ((vec_id x 2654435761) mod
+    1000000007 — uniform, engine-exact; overflow-safe to vec_id
+    ~3.4e9), top-10 per cell. ``cell_n`` rides along so the readout
+    shows the imbalance being corrected.
+
+    Scale shape: centroid assignment is the map-only literal
+    projection (zero corpus Exchange — the assign_cells contract);
+    the per-cell rank is ONE Exchange on cell_id with a
+    WindowGroupLimit top-10 (the count is a separate 8-row aggregate
+    broadcast back AFTER the quota filter, so the rank window stays
+    frame-free and partial top-k prunes before the shuffle)."""
+    from data_engineering_capstone_project_spark.operators.vector_index import (
+        assign_cells,
+        sampled_centroids,
+    )
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = assign_cells(
+        emb.select("vec_id", "embedding"),
+        sampled_centroids(emb, n_cells=8),
+        n_probe=1,
+    ).select("vec_id", "cell_id")
+    counts = assigned.groupBy("cell_id").agg(F.count("*").alias("cell_n"))
+    skey = F.expr("(vec_id * 2654435761) % 1000000007")
+    w = Window.partitionBy("cell_id").orderBy(skey, F.asc("vec_id"))
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .join(broadcast(counts), "cell_id")
+        .select("cell_id", "vec_id", "cell_n", "rank")
+    )
+
+
+@query(
     "label_centroids",
     oracle="""
     SELECT label,

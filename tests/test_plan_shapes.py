@@ -931,6 +931,19 @@ def test_bootstrap_fanout_absorbed_map_side(spark):
     assert "rangepartitioning" not in plan
 
 
+def test_cluster_balanced_sample_wgl_and_broadcast_counts(spark):
+    """cluster_balanced_sample: the per-cell quota must plan as a
+    WindowGroupLimit (partial top-10 per cell BEFORE the cell_id
+    shuffle — the property that keeps the quota scan-bounded at
+    100 TB), never a global sort; the 8-row cell counts join back
+    broadcast so the quota rows never shuffle again."""
+    plan = _plan(QUERIES["cluster_balanced_sample"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_dsir_topk_never_global_sorts_and_lifts_broadcast(spark):
     """dsir_importance_select: the final top-50 must plan as
     TakeOrderedAndProject feeding the rank window (a 50-row single

@@ -266,6 +266,7 @@ def _run_probes(k: int, out: str):
         "snapshot_diff_columns",  # full-outer diff + 1-row agg + unpivot
         "bootstrap_revenue_ci",  # x16 map-side fan-out into a 16-row agg
         "dsir_importance_select",  # one (doc,bkt) grid Exchange + 256-row lifts
+        "cluster_balanced_sample",  # map-only assign + one cell_id WGL top-10
     ]
     only = set(sys.argv[3:])
     if only:
