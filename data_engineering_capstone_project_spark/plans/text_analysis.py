@@ -9,7 +9,7 @@ flag to match Spark's replace-all semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
@@ -1764,10 +1764,26 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ct+1)(rt+256)x1000 must stay under 9.2e18 — safe to ~1e7 target
     tokens x ~1e8 raw tokens; coarsen the fixed point past that."""
     docs = table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, (F.col("source") == "src0"), top_k=50,
+        persist_scope="dsir_importance_select.grid",
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    is_target: Column,
+    top_k: int = 50,
+    persist_scope: str | None = None,
+) -> DataFrame:
+    """The DSIR assembly over an arbitrary (doc_id, text) frame — split
+    out so the property suite can pin it against a sequential
+    reference on hypothesis-generated corpora (ties, single-bucket
+    docs, empty raw pools) the fixed tables never produce."""
     tok = (
         docs.select(
             "doc_id",
-            (F.col("source") == "src0").alias("is_target"),
+            is_target.alias("is_target"),
             F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
         )
         .filter(F.col("tok") != "")
@@ -1777,10 +1793,11 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5("tok"), 1, 2).alias("bkt"),
         )
     )
-    grid = scoped_persist(
-        tok.groupBy("doc_id", "is_target", "bkt").agg(F.count("*").alias("c")),
-        "dsir_importance_select.grid",
+    grid = tok.groupBy("doc_id", "is_target", "bkt").agg(
+        F.count("*").alias("c")
     )
+    if persist_scope:
+        grid = scoped_persist(grid, persist_scope)
     marg = grid.groupBy("bkt").agg(
         F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias(
             "ct"
@@ -1808,7 +1825,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("w_fp"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
+        .filter(F.col("rank") <= top_k)
         .select(
             "doc_id",
             "n_tokens",
