@@ -847,36 +847,92 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
             rows = cached_rowcount(spark, sf_dir, "lineitem")
             n_buckets = max(16, 2 ** math.ceil(math.log2(max(rows / 200_000, 1))))
         from data_engineering_capstone_project_spark.sources.writers import (
+            build_exclusive,
             write_bucketed_table,
         )
 
-        for tbl, key in pairs:
-            # Drop stale variants of this source pair: older fingerprints
-            # (regenerated parquet) and the pre-fingerprint legacy name.
-            # Match the fingerprint suffix EXACTLY ([0-9a-f]{10}$): a
-            # bare prefix test would also hit sibling sf_dirs whose
-            # sanitized tag extends this one (…_corpus vs …_corpus_big)
-            # and delete their live pair. DROP on an adopted external
-            # table keeps its files, so sweep stale dirs too.
-            stale = _re.compile(rf"^bkt_{tbl}_{tag}_[0-9a-f]{{10}}$")
-            for t in spark.catalog.listTables():
-                if (
-                    stale.match(t.name) or t.name == f"bkt_{tbl}_{tag}"
-                ) and t.name != names[tbl]:
-                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-            for d in warehouse.glob(f"bkt_{tbl}_{tag}_*"):
-                if stale.match(d.name) and d.name != names[tbl]:
-                    shutil.rmtree(d, ignore_errors=True)
-            spark.sql(f"DROP TABLE IF EXISTS {names[tbl]}")
-            loc = warehouse / names[tbl]
-            if loc.exists():
-                shutil.rmtree(loc)
-            write_bucketed_table(
-                table(spark, sf_dir, tbl), names[tbl], [key], n_buckets, sort_cols=[key]
-            )
-            # Record the REAL write count for later adoption; files
-            # starting with '_' are invisible to the parquet scan.
-            (loc / "_BUCKETS").write_text(str(n_buckets))
+        def _pair_complete() -> bool:
+            # Complete = BOTH dirs published (_SUCCESS + _BUCKETS) with
+            # agreeing counts that match the caller's pin. The count
+            # terms keep a pinned-count rebuild from "adopting" the
+            # very pair it was asked to replace.
+            counts = []
+            for tbl, _ in pairs:
+                loc = warehouse / names[tbl]
+                marker = loc / "_BUCKETS"
+                if not ((loc / "_SUCCESS").exists() and marker.exists()):
+                    return False
+                counts.append(int(marker.read_text()))
+            return len(set(counts)) == 1 and counts[0] == n_buckets
+
+        def _build_pair() -> None:
+            for tbl, key in pairs:
+                # Drop stale variants of this source pair: older
+                # fingerprints (regenerated parquet) and the
+                # pre-fingerprint legacy name. Match the fingerprint
+                # suffix EXACTLY ([0-9a-f]{10}$): a bare prefix test
+                # would also hit sibling sf_dirs whose sanitized tag
+                # extends this one (…_corpus vs …_corpus_big) and
+                # delete their live pair. DROP on an adopted external
+                # table keeps its files, so sweep stale dirs too.
+                stale = _re.compile(rf"^bkt_{tbl}_{tag}_[0-9a-f]{{10}}$")
+                for t in spark.catalog.listTables():
+                    if (
+                        stale.match(t.name) or t.name == f"bkt_{tbl}_{tag}"
+                    ) and t.name != names[tbl]:
+                        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                for d in warehouse.glob(f"bkt_{tbl}_{tag}_*"):
+                    if stale.match(d.name) and d.name != names[tbl]:
+                        shutil.rmtree(d, ignore_errors=True)
+                spark.sql(f"DROP TABLE IF EXISTS {names[tbl]}")
+                loc = warehouse / names[tbl]
+                if loc.exists():
+                    shutil.rmtree(loc)
+                write_bucketed_table(
+                    table(spark, sf_dir, tbl),
+                    names[tbl],
+                    [key],
+                    n_buckets,
+                    sort_cols=[key],
+                )
+                # Record the REAL write count for later adoption; files
+                # starting with '_' are invisible to the parquet scan.
+                (loc / "_BUCKETS").write_text(str(n_buckets))
+
+        # One lock covers the PAIR (they must be written together):
+        # exactly one process bucketizes; concurrent first-callers wait
+        # for both dirs' markers and adopt (r7, closing the r6
+        # write-write residual — see build_exclusive's docstring for
+        # the protocol and its same-host scope).
+        outcome = build_exclusive(
+            warehouse / f"bkt_pair_{tag}_{fp}", _build_pair, _pair_complete
+        )
+        if outcome == "adopted":
+            for tbl, key in pairs:
+                if not spark.catalog.tableExists(names[tbl]):
+                    _adopt_bucketed_dir(
+                        spark,
+                        names[tbl],
+                        warehouse / names[tbl],
+                        table(spark, sf_dir, tbl).schema,
+                        key,
+                    )
+                # A pre-existing catalog entry must agree with the files
+                # it now points at. Disagreement means two processes
+                # pinned DIFFERENT counts over one shared warehouse —
+                # misuse this coordination-free layer cannot reconcile
+                # (re-registering would DROP a managed table's files
+                # under the other process). Fail loudly: serving the
+                # stale metadata would silently mis-zip bucket joins.
+                declared = _table_bucket_count(spark, names[tbl])
+                if declared != n_buckets:
+                    raise RuntimeError(
+                        f"{names[tbl]}: catalog declares {declared} "
+                        f"buckets but a concurrent process published "
+                        f"{n_buckets}; two writers pinned different "
+                        "counts over one warehouse — rebuild with one "
+                        "pinned count (or none) in both processes"
+                    )
     return tuple(spark.table(names[tbl]) for tbl, _ in pairs)
 
 

@@ -1104,12 +1104,16 @@ def pq_codes_table(
     it cannot see the first's registration) that finds a COMPLETE
     fingerprint directory (``_SUCCESS`` present) ADOPTS it as an
     external table instead of re-encoding over a possibly-concurrent
-    reader; only a partial dir (crashed writer, no ``_SUCCESS``) is
-    cleared and rebuilt. Two simultaneous first writers can still race
-    the initial build — full write-write atomicity needs a shared
-    metastore or a transaction-log table format (Delta/Iceberg), which
-    coordination-free parquet cannot give; that residual limit is
-    documented, not worked around."""
+    reader; a partial dir (crashed writer, no ``_SUCCESS``) is cleared
+    and rebuilt. The first build itself is serialized by
+    ``build_exclusive`` (r7, closing the r6 residual): an O_EXCL
+    ``_BUILDING.<name>`` lock next to the target means exactly one
+    process encodes while concurrent callers wait for ``_SUCCESS`` and
+    adopt — two simultaneous first writers can no longer rmtree/write
+    the same dir under each other (two-process test in
+    tests/test_build_lock.py). Same-host scope and the
+    metastore/transaction-log answer for multi-host clusters are
+    documented on ``build_exclusive`` itself."""
     import re as _re
     import shutil
     from pathlib import Path
@@ -1118,6 +1122,7 @@ def pq_codes_table(
         _source_fingerprint,
     )
     from data_engineering_capstone_project_spark.sources.writers import (
+        build_exclusive,
         write_table,
     )
 
@@ -1141,37 +1146,45 @@ def pq_codes_table(
             if stale.match(d.name) and d.name != name:
                 shutil.rmtree(d, ignore_errors=True)
         loc = warehouse / name
-        if loc.exists() and (loc / "_SUCCESS").exists():
+
+        def _complete() -> bool:
+            return (loc / "_SUCCESS").exists()
+
+        def _build() -> None:
+            # Only a marker-less partial (crashed holder) can exist
+            # here: build_exclusive adopts complete dirs before ever
+            # calling this, so the rmtree never races a reader.
+            if loc.exists():
+                shutil.rmtree(loc)
+            if with_cells:
+                from data_engineering_capstone_project_spark.operators.vector_index import (  # noqa: E501
+                    assign_cells,
+                    sampled_centroids,
+                )
+
+                emb = table(spark, sf_dir, "embeddings")
+                with_cell = assign_cells(
+                    emb.select("vec_id", "embedding"),
+                    sampled_centroids(emb, n_cells=8),
+                    n_probe=1,
+                )
+                write_table(
+                    _pq_corpus_codes(
+                        spark, sf_dir, source=with_cell, extra_cols=("cell_id",)
+                    ),
+                    name,
+                    partition_cols=["cell_id"],
+                )
+            else:
+                write_table(_pq_corpus_codes(spark, sf_dir), name)
+
+        if build_exclusive(loc, _build, _complete) == "adopted":
             # Same fingerprint => identical content: adopt the dir a
             # concurrent/earlier same-source writer completed rather
             # than destroying it under that process's readers.
             spark.catalog.createTable(name, path=str(loc), source="parquet")
             if with_cells:
                 spark.catalog.recoverPartitions(name)
-            return spark.table(name)
-        if loc.exists():
-            shutil.rmtree(loc)
-        if with_cells:
-            from data_engineering_capstone_project_spark.operators.vector_index import (  # noqa: E501
-                assign_cells,
-                sampled_centroids,
-            )
-
-            emb = table(spark, sf_dir, "embeddings")
-            with_cell = assign_cells(
-                emb.select("vec_id", "embedding"),
-                sampled_centroids(emb, n_cells=8),
-                n_probe=1,
-            )
-            write_table(
-                _pq_corpus_codes(
-                    spark, sf_dir, source=with_cell, extra_cols=("cell_id",)
-                ),
-                name,
-                partition_cols=["cell_id"],
-            )
-        else:
-            write_table(_pq_corpus_codes(spark, sf_dir), name)
     return spark.table(name)
 
 

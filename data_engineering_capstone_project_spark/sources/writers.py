@@ -183,6 +183,104 @@ def recover_publish(spark, live: str) -> bool:
     return False
 
 
+def build_exclusive(
+    loc,
+    build_fn,
+    complete,
+    timeout_sec: float = 900.0,
+    poll_sec: float = 0.25,
+):
+    """First-build mutual exclusion for a content-fingerprinted
+    warehouse directory (``pq_codes_table`` / ``bucketed_orderkey_tables``):
+    exactly ONE process runs ``build_fn``; every concurrent process
+    waits for the COMPLETE directory and adopts it — closing the
+    write-write race the r6 adoption fix left open (two simultaneous
+    first writers both deciding to build, one rmtree-ing the dir under
+    the other's writer).
+
+    Protocol (the stage+publish discipline applied to index builds):
+
+    * acquire: ``O_CREAT|O_EXCL`` of ``_BUILDING.<name>`` next to the
+      target — atomic on POSIX local filesystems and HDFS; the holder
+      records its pid in the lock body.
+    * holder: re-check ``complete()`` under the lock (another process
+      may have finished between the caller's check and acquisition —
+      classic double-checked locking), else run ``build_fn`` (which
+      ends by materializing the dir's success markers: ``_SUCCESS`` is
+      written LAST by Spark's output committer, so markers-present
+      implies data-files-present), then release the lock — also on
+      failure, so waiters can retry rather than deadlock on a dead
+      build.
+    * waiter: poll ``complete()``; when true, return ``"adopted"``
+      (the caller registers the dir as an external table). If the lock
+      vanishes without the markers appearing (holder failed cleanly),
+      retry acquisition. If the lock's recorded pid is no longer alive
+      (holder SIGKILLed mid-build), break the lock and retry — the
+      partial dir has no markers, so the new holder clears and
+      rebuilds it.
+
+    Returns ``"built"`` or ``"adopted"``.
+
+    Scope limit, stated not hidden: pid-liveness is a SAME-HOST test,
+    which matches this repo's local[32] execution model. On a real
+    multi-host cluster over HDFS/S3 the equivalent is a lease in the
+    shared metastore or a transaction-log table format (Delta/Iceberg
+    optimistic commit) — coordination-free parquet cannot distinguish
+    a remote crashed holder from a slow one, which is exactly why
+    those systems exist. ``timeout_sec`` bounds the wait either way.
+    """
+    import errno
+    import os
+    import time
+    from pathlib import Path
+
+    loc = Path(loc)
+    lock = loc.parent / f"_BUILDING.{loc.name}"
+    loc.parent.mkdir(parents=True, exist_ok=True)
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        if complete():
+            return "adopted"
+        try:
+            fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # Another process holds the build. Wait for its markers.
+            if complete():
+                return "adopted"
+            try:
+                holder = int(lock.read_text() or "0")
+            except (FileNotFoundError, ValueError):
+                continue  # released or not yet stamped; retry acquire
+            if holder:
+                try:
+                    os.kill(holder, 0)  # signal 0 = liveness probe only
+                except OSError as exc:
+                    if exc.errno == errno.ESRCH:
+                        # Holder died without releasing (SIGKILL/OOM).
+                        # Break its lock; the retry loop re-acquires
+                        # and rebuilds over the marker-less partial.
+                        lock.unlink(missing_ok=True)
+                        continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"timed out after {timeout_sec}s waiting for "
+                    f"concurrent build of {loc} (lock: {lock})"
+                )
+            time.sleep(poll_sec)
+            continue
+        try:
+            os.write(fd, str(os.getpid()).encode())
+        finally:
+            os.close(fd)
+        try:
+            if complete():
+                return "adopted"
+            build_fn()
+            return "built"
+        finally:
+            lock.unlink(missing_ok=True)
+
+
 def compact_parquet_atomic(spark, path: str, target_file_mb: int = 128) -> int:
     """In-place compaction with the publish_swap crash contract: the
     rewrite lands in ``path.__staged__`` first, so a failure anywhere

@@ -1,0 +1,227 @@
+"""build_exclusive — the first-build write-write lock (r7, closing the
+r6 residual): exactly one process builds a content-fingerprinted
+warehouse dir; concurrent callers wait for the complete dir and adopt.
+
+Thread-level tests pin the protocol mechanics deterministically (the
+lock is an O_EXCL file, so threads of one process exercise the same
+acquire/release path as processes); the two-process test runs the REAL
+scenario from SURVEY.md's round-6 close — two SparkSessions with
+in-memory catalogs racing the first build of the same pq_codes table
+over one shared warehouse — and asserts both serve identical rows with
+no rmtree-under-reader and no leftover lock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+from pathlib import Path
+
+import pytest
+
+from data_engineering_capstone_project_spark.sources.writers import (
+    build_exclusive,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+_REPO = Path(__file__).resolve().parent.parent
+
+
+def _mk_build(loc: Path, calls: list, sleep: float = 0.0):
+    def build() -> None:
+        calls.append(threading.get_ident())
+        if sleep:
+            time.sleep(sleep)
+        loc.mkdir(parents=True, exist_ok=True)
+        (loc / "part-0").write_text("data")
+        (loc / "_SUCCESS").write_text("")  # markers LAST, like Spark
+
+    return build
+
+
+def test_exactly_one_thread_builds(tmp_path):
+    loc = tmp_path / "tbl"
+    calls: list = []
+    outcomes: list[str] = []
+    build = _mk_build(loc, calls, sleep=0.3)
+
+    def run() -> None:
+        outcomes.append(
+            build_exclusive(loc, build, lambda: (loc / "_SUCCESS").exists())
+        )
+
+    threads = [threading.Thread(target=run) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1, f"build_fn ran {len(calls)} times"
+    assert sorted(outcomes) == ["adopted"] * 7 + ["built"]
+    assert (loc / "_SUCCESS").exists()
+    assert not (tmp_path / "_BUILDING.tbl").exists(), "lock leaked"
+
+
+def test_complete_dir_adopted_without_lock_traffic(tmp_path):
+    loc = tmp_path / "tbl"
+    calls: list = []
+    _mk_build(loc, [])()  # pre-complete the dir
+    out = build_exclusive(
+        loc, _mk_build(loc, calls), lambda: (loc / "_SUCCESS").exists()
+    )
+    assert out == "adopted" and calls == []
+
+
+def test_lock_released_on_build_failure_then_retry_builds(tmp_path):
+    loc = tmp_path / "tbl"
+
+    def boom() -> None:
+        raise RuntimeError("mid-build crash (clean)")
+
+    with pytest.raises(RuntimeError):
+        build_exclusive(loc, boom, lambda: False)
+    assert not (tmp_path / "_BUILDING.tbl").exists(), (
+        "a failed build must release the lock so a retry can acquire it"
+    )
+    calls: list = []
+    out = build_exclusive(
+        loc, _mk_build(loc, calls), lambda: (loc / "_SUCCESS").exists()
+    )
+    assert out == "built" and len(calls) == 1
+
+
+def test_dead_holder_lock_is_broken(tmp_path):
+    loc = tmp_path / "tbl"
+    # A pid that cannot be alive: fork a child that exits immediately,
+    # then stamp ITS pid into the lock — a real SIGKILLed-holder relic.
+    child = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    dead_pid = int(child.stdout.strip())
+    (tmp_path / "_BUILDING.tbl").write_text(str(dead_pid))
+    calls: list = []
+    out = build_exclusive(
+        loc,
+        _mk_build(loc, calls),
+        lambda: (loc / "_SUCCESS").exists(),
+        timeout_sec=10,
+    )
+    assert out == "built" and len(calls) == 1
+
+
+def test_live_holder_times_out_loudly(tmp_path):
+    loc = tmp_path / "tbl"
+    # Our own pid is definitionally alive; with no markers appearing the
+    # waiter must raise rather than break the lock or spin forever.
+    (tmp_path / "_BUILDING.tbl").write_text(str(os.getpid()))
+    with pytest.raises(TimeoutError):
+        build_exclusive(
+            loc,
+            lambda: None,
+            lambda: False,
+            timeout_sec=1.0,
+            poll_sec=0.05,
+        )
+
+
+_WORKER = r"""
+import json, sys, time
+from pathlib import Path
+
+repo, warehouse, go_file = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, repo)
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("build-lock-worker")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from data_engineering_capstone_project_spark.plans.similarity_search import (
+    pq_codes_table,
+)
+
+print("READY", flush=True)
+while not Path(go_file).exists():  # barrier: start both builds together
+    time.sleep(0.05)
+df = pq_codes_table(spark, "/root/testdata/sf0.001")
+rows = sorted((r.vec_id, r.s, r.code) for r in df.collect())
+print("RESULT " + json.dumps({"n": len(rows), "rows": rows[:5], "tail": rows[-5:]}), flush=True)
+spark.stop()
+"""
+
+
+def test_two_process_concurrent_first_build(tmp_path):
+    """The SURVEY round-6-close scenario: two processes (separate JVMs,
+    in-memory catalogs — neither can see the other's registration) hit
+    pq_codes_table for the same never-built fingerprint at the same
+    instant. Done-condition from VERDICT r6 #4: both succeed, both
+    serve identical rows, exactly one complete dir, no lock leak."""
+    warehouse = tmp_path / "wh"
+    warehouse.mkdir()
+    go_file = tmp_path / "go"
+    procs = []
+    for i in range(2):
+        cwd = tmp_path / f"p{i}"  # distinct CWDs: no derby/log collisions
+        cwd.mkdir()
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    "-c",
+                    _WORKER,
+                    str(_REPO),
+                    str(warehouse),
+                    str(go_file),
+                ],
+                cwd=cwd,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    # Release the barrier only once BOTH sessions are up, so the two
+    # pq_codes_table calls genuinely overlap instead of serializing on
+    # JVM startup variance.
+    deadline = time.monotonic() + 240
+
+    def read_until_ready(p) -> list[str]:
+        lines: list[str] = []
+        while time.monotonic() < deadline:
+            line = p.stdout.readline()
+            if not line:
+                break
+            lines.append(line)
+            if line.startswith("READY"):
+                return lines
+        raise AssertionError(
+            f"worker never reached READY; out={''.join(lines)!r} "
+            f"err={p.stderr.read()!r}"
+        )
+
+    for p in procs:
+        read_until_ready(p)
+    go_file.write_text("")
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"worker failed: {err[-2000:]}"
+        payload = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert payload, f"no RESULT line: {out!r}"
+        results.append(json.loads(payload[-1][len("RESULT ") :]))
+    assert results[0] == results[1], "processes served different rows"
+    assert results[0]["n"] > 0
+    dirs = [d for d in warehouse.iterdir() if d.name.startswith("pq_codes_")]
+    assert len(dirs) == 1, f"expected one codes dir, found {dirs}"
+    assert (dirs[0] / "_SUCCESS").exists()
+    assert not list(warehouse.glob("_BUILDING.*")), "lock leaked"
