@@ -96,9 +96,15 @@ def assign_cells(
     centroids: DataFrame,
     vec_col: str = "embedding",
     n_probe: int = 1,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Attach the ``n_probe`` nearest cell_ids to each vector
     (n_probe=1 = corpus-side assignment; >1 = query-side probing).
+    ``with_rank=True`` additionally emits ``probe_rank`` (1 = nearest
+    probed cell), so one max-n_probe assignment can serve a whole
+    n_probe sweep: a candidate found at rank r is in the probe set of
+    every n_probe >= r (``ann_ivfpq_probe_sweep`` builds its
+    cost/recall curve from exactly this).
 
     The centroid table is collected (bounded: n_cells rows — the
     quantizer's contract) and unrolled into literal expressions, so
@@ -149,10 +155,18 @@ def assign_cells(
     ranked = staged.withColumn(
         "_cells", F.slice(F.array_sort(F.array(*structs)), 1, n_probe)
     )
-    if n_probe == 1:
+    if n_probe == 1 and not with_rank:
         return ranked.withColumn(
             "cell_id", F.element_at("_cells", 1).getField("cell_id")
         ).drop("_vnorm", "_cells")
+    if with_rank:
+        return ranked.select(
+            *df.columns, F.posexplode("_cells").alias("_pos", "_c")
+        ).select(
+            *df.columns,
+            F.col("_c.cell_id").alias("cell_id"),
+            (F.col("_pos") + 1).cast("int").alias("probe_rank"),
+        )
     return ranked.select(
         *df.columns, F.explode("_cells").alias("_c")
     ).select(*df.columns, F.col("_c.cell_id").alias("cell_id"))

@@ -257,3 +257,38 @@ def test_pq_rerank_recall_floor(spark):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_ivfpq_probe_sweep_rerank_monotone_with_floor(spark):
+    """The n_probe dial, pinned where the guarantee actually holds
+    (VERDICT r6 #7, adjusted to the measurement): rerank-tier recall
+    (exact top-3 members reachable in the probed cells — what
+    IVF+PQ+rerank serves) must be NON-DECREASING in n_probe and above
+    a floor; raw-ADC recall gets only the floor, because on this
+    near-uniform fixture it is measurably NON-monotone (2666 -> 2333
+    -> 2000 bp at sf0.01: widening the pool lets badly-quantized
+    candidates displace true neighbors from the ADC top-3) — pinning
+    monotonicity there would assert a property the tier does not have.
+    Floors: rerank 0.5 (measured 0.83 at 1 probe; 0.93 at 4),
+    ADC 0.1 at every probed level (measured 0.20-0.27), both set to
+    absorb fixture regeneration while failing loudly on a broken
+    stage (random recall ~ k/n ~ 0.006)."""
+    from data_engineering_capstone_project_spark.plans.similarity_search import (
+        ann_ivfpq_probe_sweep,
+    )
+
+    rows = {
+        r.n_probe: r for r in ann_ivfpq_probe_sweep(spark, SF).collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    assert (
+        rows[1].rerank_recall_bp
+        <= rows[2].rerank_recall_bp
+        <= rows[4].rerank_recall_bp
+    ), {p: rows[p].rerank_recall_bp for p in rows}
+    for p, r in rows.items():
+        assert r.rerank_recall_bp >= 5000, (p, r.rerank_recall_bp)
+        assert r.adc_recall_bp >= 1000, (p, r.adc_recall_bp)
+        # bp columns must agree with their hit counts (integer div 30)
+        assert r.adc_recall_bp == r.adc_hits * 10000 // 30
+        assert r.rerank_recall_bp == r.rerank_hits * 10000 // 30

@@ -267,6 +267,8 @@ def _run_probes(k: int, out: str):
         "bootstrap_revenue_ci",  # x16 map-side fan-out into a 16-row agg
         "dsir_importance_select",  # one (doc,bkt) grid Exchange + 256-row lifts
         "cluster_balanced_sample",  # map-only assign + one cell_id WGL top-10
+        "ann_ivfpq_probe_sweep",  # 1 fused encode pass; 3 probe levels from
+        #   a 3-row grid broadcast (never 3 corpus passes) + brute verifier
     ]
     only = set(sys.argv[3:])
     if only:
