@@ -23,6 +23,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from data_engineering_capstone_project_spark.plans import ORACLES, QUERIES  # noqa: E402
+from tools.rotation import last_verified_rounds, rotation_order  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,190 +32,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver samples the FIRST 50 entries in dict order. Standing
-# rotation rule (adopted r6): lead with queries that are NEW or whose
-# CODE CHANGED this round (they have no/stale evidence for the current
-# build), then the LEAST-RECENTLY-driver-verified queries, oldest
-# round first — so no query's driver row ever goes more than ~2 rounds
-# stale. Last-sampled rounds per query are the union of
-# CORRECTNESS_r01..r0N.json. This round that means: 50 of the 56
-# queries NEW this round (a record batch); the 6 that don't fit the
-# sample (kmv_streamed_parity, percentile_streamed_parity,
-# contiguous_doc_ids, heavy_hitter_custkeys, srm_check,
-# cms_streamed_parity) plus the 5 changed queries lead the r7
-# rotation — all are green in the local 3-SF full gates, and the
-# changed asof_join operator IS driver-covered via the new
-# attribution_linear + the sampled conversion_lag_percentiles.
-# 210 queries total, all with oracles.
-_DRIVER_SAMPLE_FIRST = [
-    # round-6 last additions (newest code = least evidence): DSIR
-    # hashed-n-gram importance weighting for target-domain selection,
-    # and the per-quantizer-cell balanced uniform quota
-    "dsir_importance_select",
-    "cluster_balanced_sample",
-    # round-6 fifth batch: KMV set algebra (pairwise audience
-    # intersection from the k-min sketches alone), the Z-order
-    # zone-map pruning audit, linear multi-touch attribution (through
-    # the shuffle-reusing asof_join), integer-exact CUSUM changepoint
-    "kmv_intersection_users",
-    "zorder_zone_map",
-    "attribution_linear",
-    "cusum_changepoint",
-    # round-6 sixth batch: one-pass declarative DQ expectation suite,
-    # OHLC candlestick bars (single (type,hour) Exchange), and the
-    # EIGHTH maintained serving table (OHLC bars as mergeable
-    # endpoint+extremes state, crash-replay checked), and incremental
-    # view maintenance of the revenue-by-nation star-join view
-    "dq_expectation_suite",
-    "ohlc_hourly_bars",
-    "ohlc_streamed_parity",
-    "ivm_revenue_by_nation_parity",
-    # round-6 seventh batch: column-attributed snapshot diff, one-pass
-    # Poisson bootstrap error bars
-    "snapshot_diff_columns",
-    "bootstrap_revenue_ci",
-    # round-6 fourth batch: new, never sampled — DAU/WAU stickiness,
-    # seasonal hour-of-day deviation report, LSH blocking quality,
-    # ORC source round-trip, CDC latest-state compaction, the 7th
-    # (decayed-scores) serving table parity, funnel conversion-lag
-    # percentiles via the forward as-of, exact two-sample KS drift
-    "ks_drift_check",
-    "audience_overlap_matrix",
-    "chart_downsample",
-    "week_over_week_report",
-    "benford_first_digit_audit",
-    "revenue_concentration_deciles",
-    "session_entry_exit",
-    "inter_event_time_histogram",
-    "conversion_lag_percentiles",
-    "decayed_streamed_parity",
-    "orc_roundtrip_parity",
-    "latest_state_compaction",
-    "dau_wau_stickiness",
-    "hourly_seasonal_anomalies",
-    "blocking_quality_report",
-    # round-6 third batch: new, never sampled — streaks, rollup
-    # cascade, exact stratified sampling, SCD2 point-in-time, skyline,
-    # LOCF gap fill, merge-upsert parity, k-anonymity, decayed scores
-    "user_daily_streaks",
-    "rollup_cascade_daily",
-    "stratified_sample_exact",
-    "scd2_point_in_time",
-    "part_price_skyline",
-    "events_gap_fill_locf",
-    "merge_upsert_parity",
-    "k_anonymity_audit",
-    "time_decayed_user_scores",
-    # round-6 second half: new, never sampled -- the Count-Min sketch
-    # point queries + its additive serving table (6th maintained
-    # table); the bucketed interval-overlap join; the per-column
-    # profiler; robust MAD outliers; degree-oriented triangle
-    # counting; the bloom semi-join prefilter; join-size pre-flight
-    "bpe_learn_merges",
-    "name_ed1_blocking",
-    "bloom_semi_join_orders",
-    "join_size_estimate",
-    "cms_user_event_counts",
-    "concurrent_sessions_by_hour",
-    "orders_profile",
-    "event_value_mad_outliers",
-    "copurchase_triangles",
-    # round-6 first half: new, never sampled — the trending serving table
-    # maintained through the REAL Structured Streaming engine
-    # (readStream + foreachBatch + whole-job checkpoint replay); the
-    # 4th serving table's (value histograms -> p95) parity; the KMV
-    # merge-equals-direct parity; TPC-H Q13 completing the 22/22
-    # suite; dense contiguous ids without a global sort; the
-    # heavy-hitter skew report; index deletion; the SRM audit; the
-    # per-source distinctive-token report; the mergeable-sketch
-    # (KMV distinct) serving table
-    "trending_engine_streamed_parity",
-    "kmv_merge_parity",
-    "customer_distribution_q13",
+# rotation rule (adopted r6, mechanized r7): queries that are NEW or
+# whose CODE CHANGED this round lead (their existing driver rows, if
+# any, are evidence about code that no longer exists), then every
+# other query ordered least-recently-driver-verified first —
+# never-sampled queries (round 0) ahead of the r1 tail, and so on,
+# alphabetical within a round. The staleness map is COMPUTED from the
+# CORRECTNESS_r0*.json artifacts at import time (tools/rotation.py),
+# so the order can never drift from the recorded evidence the way the
+# hand-maintained r1-r6 lists could; tests/test_bench_registry.py pins
+# the invariants (priority head first, then monotone non-decreasing
+# staleness, permutation of the full registry).
+#
+# r7 priority head (consolidation round — everything else in the
+# sample is the stale tail: the 6 never-sampled queries, the 17 r1
+# rows, and the oldest r2 rows fill the remaining ~39 slots):
+_PRIORITY = [
+    # NEW r7: the IVFPQ cost/recall dial (per-tier recall at
+    # n_probe 1/2/4; rerank-tier monotonicity pinned locally)
+    "ann_ivfpq_probe_sweep",
+    # CHANGED r7: first-builds of the fingerprinted warehouse tables
+    # now serialize on the _BUILDING lock (build_exclusive) — these
+    # three read the pq/ivfpq codes index through that path, and the
+    # bucketed pair query adopts through the same lock
+    "ann_pq_topk_indexed",
     "ann_pq_topk_after_delete",
-    "source_distinctive_tokens",
-    # --- 50-row sample boundary falls here (50 of the 56 new-this-
-    # round; rotating to r7: kmv_streamed_parity and
-    # percentile_streamed_parity (additive protocol driver-covered by
-    # the four parities still sampled — decayed/ohlc/ivm +
-    # trending_engine through the real engine; k-min state by
-    # kmv_merge_parity/kmv_distinct_users, histogram grids by
-    # cms_user_event_counts), cms_streamed_parity (same protocol, CMS
-    # grid by cms_user_event_counts), srm_check
-    # (chi-square-on-distinct shape covered by sampled
-    # ks_drift_check), and contiguous_doc_ids + heavy_hitter_custkeys
-    # (dense-ids and keyed-count+TakeOrdered, both plan-pinned and
-    # 3-SF-gate green locally);
-    "kmv_streamed_parity",
-    "percentile_streamed_parity",
-    "contiguous_doc_ids",
-    "heavy_hitter_custkeys",
-    "srm_check",
-    # cms_streamed_parity and the 5 changed queries lead the r7
-    # rotation, then the stale tail, stalest (r1) first ---
-    "cms_streamed_parity",
+    "ann_ivfpq_topk_indexed",
+    "revenue_by_priority_bucketed",
+    # CHANGED r6, never driver-verified on the current code (the r6
+    # sample was consumed by that round's 56 new queries; VERDICT r6
+    # prescription #1 names these five as the r7 head)
     "co_ordered_parts",          # Apriori min-support prefilter added
     "length_bucketed_batches",   # corpus-scaled shard count applied
     "kmv_distinct_users",        # NULL ids filtered before hashing
     "ab_test_report",            # variant hash mixed before mod-2
     "snapshot_diff",             # insert shift raised to 10B
-    "ann_lsh_topk",
-    "cosine_topk",
-    "dedup_exact",
-    "doc_fingerprints",
-    "doc_quality",
-    "doc_split_counts",
-    "doc_token_stats",
-    "embedding_near_dups",
-    "events_sessionization",
-    "events_sliding_halfhour",
-    "events_tumbling_hourly",
-    "lang_id_confusion",
-    "lsh_bucket_histogram",
-    "minhash_lsh_pairs",
-    "near_dup_jaccard",
-    "simhash_near_dups",
-    "top_tokens",
-    # last driver-sampled in r2
-    "approx_distinct_parts",
-    "approx_percentile_check",
-    "big_orders_having",
-    "customer_order_keys",
-    "customer_order_progression",
-    "customer_order_reconciliation",
-    "customer_spend_quartiles",
-    "customer_spend_tiers",
-    "customers_no_orders",
-    "customers_rollup",
-    "disjunctive_revenue_q19",
-    "distinct_parts_by_flag",
-    "event_props_json",
-    "forecast_revenue_q6",
-    "lapsed_buyers_except",
-    "large_order_customers_q18",
-    "late_shipment_orders_q4",
-    "local_supplier_volume_q5",
-    "nations_with_suppliers",
-    "order_activity",
-    "order_priority_cube",
-    "order_status_pivot",
-    "order_status_unpivot",
-    "orders_moving_avg",
-    "orders_price_histogram",
-    "price_percentiles",
-    "quality_summary",
-    "quantity_discount_corr",
-    "repeat_buyers_intersect",
-    "returned_revenue_q10",
-    "revenue_by_priority",
-    "rolling_revenue_7d",
-    "sas_dates",
-    "segment_nation_grouping_sets",
-    "shipping_priority_q3",
-    "small_quantity_revenue",
-    "surrogate_keys",
-    "top_supplier_q15",
-    "waiting_customers_q22",
+    # PROMOTED (VERDICT r6 prescription #5): reference parity is the
+    # project's core claim; its last driver row is r5
+    "star_schema_summary",
 ]
+
+_DRIVER_SAMPLE_FIRST = rotation_order(
+    QUERIES, last_verified_rounds(_REPO), _PRIORITY
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -25,6 +25,47 @@ def test_driver_sample_first_all_registered():
     assert missing == [], f"sample-first names not registered: {missing}"
 
 
+def test_rotation_matches_artifacts():
+    """VERDICT r6 #2: the driver-sample order must BE the
+    least-recently-verified order derived from CORRECTNESS_r0*.json
+    (modulo the declared new/changed-first priority head) — this test
+    fails if the entry-module order ever diverges from the generator,
+    and the generator's own invariants are pinned below."""
+    from pathlib import Path
+
+    from data_engineering_capstone_project_spark.plans import QUERIES
+    from tools.rotation import last_verified_rounds, rotation_order
+
+    repo = Path(entry_mod.__file__).resolve().parent
+    last = last_verified_rounds(repo)
+    expect = rotation_order(QUERIES, last, entry_mod._PRIORITY)
+    assert entry_mod._DRIVER_SAMPLE_FIRST == expect
+    # Full permutation of the registry: nothing dropped, nothing extra.
+    assert sorted(expect) == sorted(QUERIES)
+    # Priority head leads verbatim (every declared name must exist —
+    # a typo here would silently demote a changed query to the tail).
+    missing = [n for n in entry_mod._PRIORITY if n not in QUERIES]
+    assert missing == [], f"priority names not registered: {missing}"
+    head = expect[: len(entry_mod._PRIORITY)]
+    assert head == entry_mod._PRIORITY
+    # After the head: staleness is monotone non-decreasing, with
+    # never-sampled (round 0) queries first and names alphabetical
+    # within a round.
+    tail_keys = [(last.get(n, 0), n) for n in expect[len(head) :]]
+    assert tail_keys == sorted(tail_keys)
+
+
+def test_rotation_order_unit():
+    from tools.rotation import rotation_order
+
+    names = ["a", "b", "c", "d", "e"]
+    last = {"a": 3, "b": 1, "d": 1}  # c, e never sampled
+    # priority dedupes, ignores unknowns, leads; tail is (round, name)
+    got = rotation_order(names, last, ["d", "zz", "d"])
+    assert got == ["d", "c", "e", "b", "a"]
+    assert rotation_order(names, last) == ["c", "e", "b", "d", "a"]
+
+
 def test_probe_list_all_registered():
     import ast
     import inspect
