@@ -105,25 +105,56 @@ def main() -> None:
     # query's output cardinality happens to be.
     # A query that throws must not kill the whole bench: record the error
     # and keep going (one bad query zeroed out the entire r2 bench).
+    # Drift instrumentation (r7, after three rounds of unattributable
+    # total rises on the shared box): record EVERY sample per query in
+    # run order (not just best+spread), JVM warmup counters before and
+    # after the timed region, and a fixed CANARY — the same query timed
+    # immediately before the first and immediately after the last
+    # headline query. The canary's start->end delta measures the
+    # environment inside this one run (page cache, CPU contention,
+    # JIT): a cross-round total delta larger than the canary drift is
+    # code; one inside it is environment.
+    def _timed(name: str, runs: int = 3) -> list[float]:
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples.append(round(time.time() - t0, 3))
+        return samples
+
+    def _jvm_state() -> dict[str, int]:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        return {
+            "uptime_ms": int(mf.getRuntimeMXBean().getUptime()),
+            "jit_ms": int(mf.getCompilationMXBean().getTotalCompilationTime()),
+        }
+
+    canary_query = "pricing_summary"
+    jvm_start = _jvm_state()
+    canary_start = _timed(canary_query)
+
     runs_per_query = 3
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
+    run_order: list[str] = []
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        samples: list[float] = []
+        run_order.append(name)
         try:
-            for _ in range(runs_per_query):
-                t0 = time.time()
-                qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-                samples.append(time.time() - t0)
+            samples = _timed(name, runs_per_query)
+            all_samples[name] = samples
             timings[name] = round(min(samples), 3)
             spreads[name] = round(max(samples) - min(samples), 3)
         except Exception as exc:  # noqa: BLE001 — keep the bench alive
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
+    canary_end = _timed(canary_query)
+    jvm_end = _jvm_state()
+    c0, c1 = min(canary_start), min(canary_end)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -131,6 +162,19 @@ def main() -> None:
         "queries": timings,
         "runs_per_query": runs_per_query,
         "spread": spreads,
+        "samples": all_samples,
+        "run_order": run_order,
+        "canary": {
+            "query": canary_query,
+            "start": canary_start,
+            "end": canary_end,
+            # best-of start->end drift; ±x% here bounds what the box
+            # itself moved during the run
+            "drift_pct": round((c1 - c0) / c0 * 100, 1) if c0 else None,
+        },
+        # JIT time still climbing across the timed region means warmup
+        # leaked into the timings despite the untimed sf0.001 pass.
+        "jvm": {"start": jvm_start, "end": jvm_end},
         "sf": sf,
     }
     if errors:
