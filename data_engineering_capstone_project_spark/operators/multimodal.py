@@ -71,10 +71,12 @@ def _parse_header(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def _require_real_backend(op: str):
-    # Re-checked rounds 5 and 6 (latest 2026-08-15): PIL, cv2,
+    # Re-checked rounds 5, 6 and 7 (latest 2026-08-15, r7): PIL, cv2,
     # soundfile, av, imageio, librosa, torchvision, skimage and ffmpeg
     # are all absent from the container, so the real backend stays a
-    # documented seam rather than an importable path.
+    # documented seam rather than an importable path. (google.protobuf
+    # is likewise still missing, keeping the transformWithState parity
+    # skip-gated — tests/test_streaming.py.)
     raise NotImplementedError(
         f"{op}: real decode requires PIL/cv2/librosa, not present in this "
         "environment. The Spark plumbing (schema, batching, fan-out) is "
