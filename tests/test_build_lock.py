@@ -225,3 +225,56 @@ def test_two_process_concurrent_first_build(tmp_path):
     assert len(dirs) == 1, f"expected one codes dir, found {dirs}"
     assert (dirs[0] / "_SUCCESS").exists()
     assert not list(warehouse.glob("_BUILDING.*")), "lock leaked"
+
+
+def test_sigkilled_holder_partial_dir_is_rebuilt(tmp_path):
+    """End-to-end crashed-holder recovery: a real subprocess acquires
+    the lock, writes PARTIAL output (data file, no _SUCCESS), then
+    SIGKILLs itself — the lock file survives with the dead pid inside,
+    exactly what an OOM-killed builder leaves. A later caller must
+    break the lock via pid-liveness, clear the marker-less partial,
+    and rebuild."""
+    import signal
+
+    loc = tmp_path / "tbl"
+    crasher = (
+        "import os, sys, signal\n"
+        "sys.path.insert(0, sys.argv[1])\n"
+        "from pathlib import Path\n"
+        "from data_engineering_capstone_project_spark.sources.writers"
+        " import build_exclusive\n"
+        "loc = Path(sys.argv[2])\n"
+        "def build():\n"
+        "    loc.mkdir()\n"
+        "    (loc / 'part-0').write_text('PARTIAL GARBAGE')\n"
+        "    os.kill(os.getpid(), signal.SIGKILL)\n"
+        "build_exclusive(loc, build, lambda: (loc / '_SUCCESS').exists())\n"
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", crasher, str(_REPO), str(loc)],
+        capture_output=True,
+    )
+    assert p.returncode == -signal.SIGKILL
+    lock = tmp_path / "_BUILDING.tbl"
+    assert lock.exists(), "SIGKILL must leave the lock behind"
+    assert (loc / "part-0").exists() and not (loc / "_SUCCESS").exists()
+
+    calls: list = []
+
+    def rebuild() -> None:
+        calls.append(1)
+        # the marker-less partial is the builder's to clear
+        import shutil
+
+        if loc.exists():
+            shutil.rmtree(loc)
+        loc.mkdir()
+        (loc / "part-0").write_text("good data")
+        (loc / "_SUCCESS").write_text("")
+
+    out = build_exclusive(
+        loc, rebuild, lambda: (loc / "_SUCCESS").exists(), timeout_sec=30
+    )
+    assert out == "built" and calls == [1]
+    assert (loc / "part-0").read_text() == "good data"
+    assert not lock.exists()
