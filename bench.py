@@ -137,9 +137,20 @@ def main() -> None:
             "jit_ms": int(mf.getCompilationMXBean().getTotalCompilationTime()),
         }
 
+    def _timed_safe(name: str) -> list[float] | None:
+        # A canary failure must degrade to a null record, not kill the
+        # bench (the per-query loop learned this in r2; the canaries
+        # get the same protection so a transient failure at the END
+        # can never discard 25 queries of collected timings).
+        try:
+            return _timed(name)
+        except Exception as exc:  # noqa: BLE001 — keep the bench alive
+            print(f"bench: canary FAILED: {exc}", file=sys.stderr)
+            return None
+
     canary_query = "pricing_summary"
     jvm_start = _jvm_state()
-    canary_start = _timed(canary_query)
+    canary_start = _timed_safe(canary_query)
 
     runs_per_query = 3
     timings: dict[str, float] = {}
@@ -160,9 +171,10 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    canary_end = _timed(canary_query)
+    canary_end = _timed_safe(canary_query)
     jvm_end = _jvm_state()
-    c0, c1 = min(canary_start), min(canary_end)
+    c0 = min(canary_start) if canary_start else None
+    c1 = min(canary_end) if canary_end else None
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -178,7 +190,9 @@ def main() -> None:
             "end": canary_end,
             # best-of start->end drift; ±x% here bounds what the box
             # itself moved during the run
-            "drift_pct": round((c1 - c0) / c0 * 100, 1) if c0 else None,
+            "drift_pct": (
+                round((c1 - c0) / c0 * 100, 1) if c0 and c1 is not None else None
+            ),
         },
         # JIT time still climbing across the timed region means warmup
         # leaked into the timings despite the untimed warm pass.

@@ -855,14 +855,21 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
             # Complete = BOTH dirs published (_SUCCESS + _BUCKETS) with
             # agreeing counts that match the caller's pin. The count
             # terms keep a pinned-count rebuild from "adopting" the
-            # very pair it was asked to replace.
+            # very pair it was asked to replace. Runs inside
+            # build_exclusive's poll loop while another process may be
+            # mid-rebuild, so a vanished marker (rmtree between
+            # exists() and read) or a half-written one is "not complete
+            # yet — keep polling", never a crash.
             counts = []
             for tbl, _ in pairs:
                 loc = warehouse / names[tbl]
                 marker = loc / "_BUCKETS"
-                if not ((loc / "_SUCCESS").exists() and marker.exists()):
+                try:
+                    if not (loc / "_SUCCESS").exists():
+                        return False
+                    counts.append(int(marker.read_text()))
+                except (OSError, ValueError):
                     return False
-                counts.append(int(marker.read_text()))
             return len(set(counts)) == 1 and counts[0] == n_buckets
 
         def _build_pair() -> None:

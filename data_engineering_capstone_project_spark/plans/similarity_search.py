@@ -1699,8 +1699,11 @@ def ann_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 3)
         .select("query_id", "neighbor_id")
     )
+    # exact is <= 3 x |queries| rows — broadcast it into both hit
+    # joins; unhinted, Catalyst plans a SortMergeJoin that would sort
+    # the corpus-scale ADC frame on (query_id, neighbor_id).
     hits = (
-        topk.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        topk.join(broadcast(exact), ["query_id", "neighbor_id"], "left_semi")
         .groupBy("n_probe")
         .agg(F.count("*").alias("h"))
     )
@@ -1709,10 +1712,8 @@ def ann_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the count is a join against the candidates' cell_rank — no second
     # scoring pass needed.
     rerank_hits = (
-        exact.join(
-            adc.select("query_id", "neighbor_id", "cell_rank"),
-            ["query_id", "neighbor_id"],
-        )
+        adc.select("query_id", "neighbor_id", "cell_rank")
+        .join(broadcast(exact), ["query_id", "neighbor_id"])
         .join(broadcast(grid), F.col("cell_rank") <= F.col("n_probe"))
         .groupBy("n_probe")
         .agg(F.count("*").alias("rh"))

@@ -221,26 +221,92 @@ def build_exclusive(
 
     Returns ``"built"`` or ``"adopted"``.
 
-    Scope limit, stated not hidden: pid-liveness is a SAME-HOST test,
-    which matches this repo's local[32] execution model. On a real
+    Scope limits, stated not hidden: liveness is a SAME-HOST test,
+    which matches this repo's local[32] execution model — the lock
+    records ``pid:starttime`` (/proc starttime where available), so
+    pid RECYCLING cannot make a dead holder look alive; without /proc
+    the fallback is plain pid liveness, where a recycled pid wedges
+    waiters until the loud ``timeout_sec`` TimeoutError rather than
+    corrupting anything. Breaking a dead holder's lock is itself
+    serialized through a short-lived BREAKER lock (O_EXCL sibling
+    file), so two waiters can never double-unlink and delete a
+    freshly re-acquired lock out from under a new builder. On a real
     multi-host cluster over HDFS/S3 the equivalent is a lease in the
     shared metastore or a transaction-log table format (Delta/Iceberg
     optimistic commit) — coordination-free parquet cannot distinguish
     a remote crashed holder from a slow one, which is exactly why
     those systems exist. ``timeout_sec`` bounds the wait either way.
     """
-    import errno
     import os
     import time
     from pathlib import Path
 
     loc = Path(loc)
     lock = loc.parent / f"_BUILDING.{loc.name}"
+    breaker = loc.parent / f"_BUILDING.{loc.name}.breaker"
     loc.parent.mkdir(parents=True, exist_ok=True)
+
+    def _stamp() -> str:
+        return f"{os.getpid()}:{_proc_starttime(os.getpid()) or ''}"
+
+    def _holder_alive(stamp: str) -> bool:
+        # Unreadable/foreign lock content counts as ALIVE: waiting
+        # (bounded by the deadline) is safe; breaking is not.
+        try:
+            pid_s, _, start_s = stamp.partition(":")
+            pid = int(pid_s)
+        except ValueError:
+            return True
+        try:
+            os.kill(pid, 0)  # signal 0 = liveness probe only
+        except ProcessLookupError:
+            return False
+        except OSError:
+            return True  # EPERM etc.: something live owns the pid
+        if start_s:
+            now_start = _proc_starttime(pid)
+            if now_start is not None and now_start != start_s:
+                return False  # pid recycled: original holder is dead
+        return True
+
+    def _break_dead_lock() -> None:
+        # Serialize the break itself: only the breaker-lock holder may
+        # unlink, and it re-validates the main lock's content under
+        # the breaker — so a waiter acting on a stale "dead" reading
+        # can never delete a NEW holder's lock (while the main lock
+        # exists, O_EXCL keeps anyone from replacing it; only breakers
+        # remove it, and there is one breaker at a time). A breaker
+        # file older than 60s is itself a crashed breaker's relic
+        # (the critical section below is milliseconds and never
+        # touches the build dir) and is cleared.
+        try:
+            if time.time() - breaker.stat().st_mtime > 60:
+                breaker.unlink(missing_ok=True)
+        except FileNotFoundError:
+            pass
+        try:
+            bfd = os.open(str(breaker), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return  # someone else is breaking; wait for the result
+        try:
+            os.close(bfd)
+            try:
+                if not _holder_alive(lock.read_text()):
+                    lock.unlink(missing_ok=True)
+            except FileNotFoundError:
+                pass
+        finally:
+            breaker.unlink(missing_ok=True)
+
     deadline = time.monotonic() + timeout_sec
     while True:
         if complete():
             return "adopted"
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"timed out after {timeout_sec}s waiting for "
+                f"concurrent build of {loc} (lock: {lock})"
+            )
         try:
             fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
@@ -248,28 +314,21 @@ def build_exclusive(
             if complete():
                 return "adopted"
             try:
-                holder = int(lock.read_text() or "0")
-            except (FileNotFoundError, ValueError):
-                continue  # released or not yet stamped; retry acquire
-            if holder:
-                try:
-                    os.kill(holder, 0)  # signal 0 = liveness probe only
-                except OSError as exc:
-                    if exc.errno == errno.ESRCH:
-                        # Holder died without releasing (SIGKILL/OOM).
-                        # Break its lock; the retry loop re-acquires
-                        # and rebuilds over the marker-less partial.
-                        lock.unlink(missing_ok=True)
-                        continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"timed out after {timeout_sec}s waiting for "
-                    f"concurrent build of {loc} (lock: {lock})"
-                )
+                stamp = lock.read_text()
+            except FileNotFoundError:
+                continue  # released between the O_EXCL and the read
+            # An empty read can be the holder's write racing ours;
+            # treat as alive and re-check next poll.
+            if stamp and not _holder_alive(stamp):
+                # Holder died without releasing (SIGKILL/OOM). Break
+                # its lock (guarded, see above); the loop re-acquires
+                # and rebuilds over the marker-less partial.
+                _break_dead_lock()
+                continue
             time.sleep(poll_sec)
             continue
         try:
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, _stamp().encode())
         finally:
             os.close(fd)
         try:
@@ -279,6 +338,22 @@ def build_exclusive(
             return "built"
         finally:
             lock.unlink(missing_ok=True)
+
+
+def _proc_starttime(pid: int) -> str | None:
+    """Process start time (clock ticks since boot, /proc/<pid>/stat
+    field 22) — the Linux-native disambiguator for pid recycling.
+    None where /proc is unavailable (non-Linux) or unreadable."""
+    from pathlib import Path
+
+    try:
+        stat = Path(f"/proc/{pid}/stat").read_bytes()
+        # comm (field 2) may contain spaces/parens; fields after the
+        # LAST ')' are well-formed. starttime is field 22 overall =
+        # index 19 after the closing paren.
+        return stat.rsplit(b")", 1)[1].split()[19].decode()
+    except (OSError, IndexError):
+        return None
 
 
 def compact_parquet_atomic(spark, path: str, target_file_mb: int = 128) -> int:

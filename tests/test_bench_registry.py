@@ -89,3 +89,39 @@ def test_probe_list_all_registered():
     qs = entry_mod.queries()
     missing = [n for n in names if n not in qs]
     assert missing == [], f"probe names not registered: {missing}"
+
+
+def test_rotation_order_properties():
+    """Property pin for the rotation generator: for arbitrary
+    (names, last-verified, priority) inputs, the output is a
+    permutation of names, the known priority entries lead verbatim
+    (deduplicated), and the tail is exactly sorted by
+    (last-verified round, name) with missing entries treated as
+    round 0."""
+    from hypothesis import given, strategies as st
+
+    from tools.rotation import rotation_order
+
+    name = st.text(
+        alphabet="abcdefgh_", min_size=1, max_size=8
+    )
+
+    @given(
+        names=st.lists(name, max_size=30, unique=True),
+        last=st.dictionaries(name, st.integers(0, 9), max_size=30),
+        priority=st.lists(name, max_size=10),
+    )
+    def check(names, last, priority):
+        got = rotation_order(names, last, priority)
+        assert sorted(got) == sorted(names)
+        want_head = []
+        seen = set()
+        for n in priority:
+            if n in set(names) and n not in seen:
+                want_head.append(n)
+                seen.add(n)
+        assert got[: len(want_head)] == want_head
+        tail_keys = [(last.get(n, 0), n) for n in got[len(want_head) :]]
+        assert tail_keys == sorted(tail_keys)
+
+    check()

@@ -278,3 +278,97 @@ def test_sigkilled_holder_partial_dir_is_rebuilt(tmp_path):
     assert out == "built" and calls == [1]
     assert (loc / "part-0").read_text() == "good data"
     assert not lock.exists()
+
+
+def test_recycled_pid_lock_is_broken_via_starttime(tmp_path):
+    """Pid-reuse defense: a lock stamped with a LIVE pid but the wrong
+    /proc starttime is a dead holder whose pid was recycled — it must
+    be broken and rebuilt, not waited on until timeout."""
+    loc = tmp_path / "tbl"
+    (tmp_path / "_BUILDING.tbl").write_text(f"{os.getpid()}:999999999")
+    calls: list = []
+    out = build_exclusive(
+        loc,
+        _mk_build(loc, calls),
+        lambda: (loc / "_SUCCESS").exists(),
+        timeout_sec=10,
+    )
+    assert out == "built" and len(calls) == 1
+
+
+def test_unparseable_lock_content_waits_then_times_out(tmp_path):
+    """Foreign/corrupted lock content must be treated as a LIVE holder
+    (waiting is safe, breaking is not) and bounded by the deadline —
+    the r7 review found the old loop busy-spun forever on it."""
+    loc = tmp_path / "tbl"
+    (tmp_path / "_BUILDING.tbl").write_text("not-a-pid")
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        build_exclusive(
+            loc, lambda: None, lambda: False, timeout_sec=1.0, poll_sec=0.05
+        )
+    elapsed = time.monotonic() - t0
+    assert 0.9 <= elapsed < 5, f"deadline not honored: {elapsed}s"
+
+
+def test_break_is_serialized_by_breaker_lock(tmp_path):
+    """While another process holds the BREAKER lock (fresh mtime), a
+    waiter must NOT unlink the dead-pid main lock itself — double
+    unlink is the two-waiter race that could delete a new holder's
+    freshly acquired lock. With the breaker held and never released,
+    the waiter waits out its deadline."""
+    child = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    dead_pid = int(child.stdout.strip())
+    loc = tmp_path / "tbl"
+    lock = tmp_path / "_BUILDING.tbl"
+    lock.write_text(str(dead_pid))
+    (tmp_path / "_BUILDING.tbl.breaker").write_text("held")
+    with pytest.raises(TimeoutError):
+        build_exclusive(
+            loc, lambda: None, lambda: False, timeout_sec=1.5, poll_sec=0.05
+        )
+    assert lock.exists(), "waiter must not unlink outside the breaker"
+
+
+def test_stale_breaker_relic_is_cleared_and_break_proceeds(tmp_path):
+    """A breaker file older than 60s is a crashed breaker's relic; the
+    next waiter clears it and completes the break."""
+    child = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    dead_pid = int(child.stdout.strip())
+    loc = tmp_path / "tbl"
+    (tmp_path / "_BUILDING.tbl").write_text(str(dead_pid))
+    breaker = tmp_path / "_BUILDING.tbl.breaker"
+    breaker.write_text("relic")
+    old = time.time() - 120
+    os.utime(breaker, (old, old))
+    calls: list = []
+    out = build_exclusive(
+        loc,
+        _mk_build(loc, calls),
+        lambda: (loc / "_SUCCESS").exists(),
+        timeout_sec=10,
+    )
+    assert out == "built" and len(calls) == 1
+    assert not breaker.exists()
+
+
+def test_last_verified_rounds_parses_double_digit_rounds(tmp_path):
+    """Round 10+ artifacts must not be silently dropped (the r7 review
+    caught a glob requiring a literal '0' after 'r')."""
+    from tools.rotation import last_verified_rounds
+
+    (tmp_path / "CORRECTNESS_r09.json").write_text('{"q_a": {}, "q_b": {}}')
+    (tmp_path / "CORRECTNESS_r10.json").write_text('{"q_a": {}}')
+    (tmp_path / "CORRECTNESS_r2.json").write_text('{"q_c": {}}')
+    got = last_verified_rounds(tmp_path)
+    assert got == {"q_a": 10, "q_b": 9, "q_c": 2}

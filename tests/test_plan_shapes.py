@@ -957,3 +957,18 @@ def test_dsir_topk_never_global_sorts_and_lifts_broadcast(spark):
     assert "rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_probe_sweep_no_corpus_sort_merge(spark):
+    """The n_probe sweep must keep the IVFPQ corpus discipline: zero
+    SortMergeJoin (the 30-row exact reference broadcasts into both hit
+    joins — unhinted, Catalyst sort-merges the corpus-scale ADC frame
+    on (query_id, neighbor_id)), zero CartesianProduct, and every
+    cross term a BroadcastNestedLoopJoin of a bounded frame (the
+    3-row probe grid, the codebook expansion, the 10-query brute
+    verifier)."""
+    plan = _plan(QUERIES["ann_ivfpq_probe_sweep"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the declared crosses
+    assert "WindowGroupLimit" in plan  # per-(n_probe, query) top-3

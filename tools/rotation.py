@@ -43,7 +43,10 @@ def last_verified_rounds(repo: str | Path) -> dict[str, int]:
     artifact is skipped rather than fatal — losing one round's rows
     degrades the ordering, not the build."""
     rounds: dict[str, int] = {}
-    for f in sorted(Path(repo).glob("CORRECTNESS_r0*.json")):
+    # Glob loosely (r*), parse strictly via the regex: a literal '0'
+    # in the glob would silently drop CORRECTNESS_r10.json and every
+    # later round from the staleness map.
+    for f in sorted(Path(repo).glob("CORRECTNESS_r*.json")):
         m = _ROUND_RE.search(f.name)
         if not m:
             continue
