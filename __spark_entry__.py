@@ -59,6 +59,16 @@ _PRIORITY = [
     "ann_pq_topk_after_delete",
     "ann_ivfpq_topk_indexed",
     "revenue_by_priority_bucketed",
+    # CHANGED r7 (empty-input audit): the serving tables' batch-id
+    # watermark is now a durable sidecar (applied_watermark) — one
+    # driver row per protocol family whose guard-read changed and is
+    # not already in the head (cms/kmv/percentile parities lead the
+    # never-sampled block below): the REAL-engine path, the
+    # mergeable-aggregate (OHLC) class, and the DQ suite whose
+    # in-plan denominators gained greatest(count, 1)
+    "trending_engine_streamed_parity",
+    "ohlc_streamed_parity",
+    "dq_expectation_suite",
     # CHANGED r6, never driver-verified on the current code (the r6
     # sample was consumed by that round's 56 new queries; VERDICT r6
     # prescription #1 names these five as the r7 head)

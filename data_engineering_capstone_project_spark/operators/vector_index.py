@@ -122,6 +122,15 @@ def assign_cells(
         (r["cell_id"], [float(x) for x in r["centroid"]])
         for r in centroids.collect()
     )
+    if not cents:
+        # A quantizer trained on an empty corpus has no cells; without
+        # this guard the zero-struct F.array() surfaces as an opaque
+        # Catalyst INVALID_EXTRACT_BASE_FIELD_TYPE at analysis time
+        # (r7 empty-input audit).
+        raise ValueError(
+            "assign_cells: empty centroid table — the coarse quantizer "
+            "was trained on an empty corpus"
+        )
     if len(cents) > 4096:
         raise ValueError(
             f"assign_cells: {len(cents)} centroids exceeds the literal-"

@@ -4103,7 +4103,14 @@ def merge_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_upsert_partitioned(spark, path, upd, ["o_orderkey"], ["o_year"])
     # Replay: merging the identical changeset must leave the state fixed.
     merge_upsert_partitioned(spark, path, upd, ["o_orderkey"], ["o_year"])
-    merged = spark.read.parquet(path)
+    try:
+        merged = spark.read.parquet(path)
+    except Exception as exc:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        # Empty source -> empty seed + empty changeset -> a dir with
+        # no parquet footers; the merged state is the empty base.
+        merged = base.limit(0)
     return merged.groupBy(
         F.col("o_year").cast("int").alias("o_year"), "status"
     ).agg(
@@ -4443,6 +4450,14 @@ def revenue_concentration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cr = scoped_persist(cr, "revenue_concentration.cr")
     mxrev, n_cust = cr.agg(F.max("rev"), F.count("*")).collect()[0]
+    if not n_cust:
+        # No customers -> no deciles: the empty report, not int(None)
+        # on the max-revenue scalar (r7 empty-input audit).
+        return spark.createDataFrame(
+            [],
+            "decile int, customers bigint, revenue double, "
+            "cum_share double",
+        )
     shards = int(2 ** math.ceil(math.log2(max(n_cust / 5000.0, 64.0))))
     width = int(mxrev) // shards + 1
     keyed = cr.withColumn("_s", F.lit(1)).withColumn(
@@ -4548,7 +4563,13 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan, one single-row aggregate, then a 7-row
     literal unpivot (``stack``) — nothing downstream of the agg ever
-    exceeds the check count."""
+    exceeds the check count.
+
+    Empty-table semantics (r7 audit): denominators are
+    greatest(count, 1), so an EMPTY orders table reports every check
+    at 0 ppm observed = FAILED rather than crashing on ANSI
+    divide-by-zero — the safe direction for a CI gate, where an empty
+    upstream is almost always a broken pipeline, not a clean bill."""
     o = table(spark, sf_dir, "orders")
     in_window = (
         F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
@@ -4571,19 +4592,19 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             """stack(7,
             'not_null:o_orderkey',
-                nn_orderkey * 1000000 div rows_total, CAST(1000000 AS BIGINT),
+                nn_orderkey * 1000000 div greatest(rows_total, 1), CAST(1000000 AS BIGINT),
             'unique:o_orderkey',
-                dist_orderkey * 1000000 div nn_orderkey, CAST(1000000 AS BIGINT),
+                dist_orderkey * 1000000 div greatest(nn_orderkey, 1), CAST(1000000 AS BIGINT),
             'not_null:o_custkey',
-                nn_custkey * 1000000 div rows_total, CAST(1000000 AS BIGINT),
+                nn_custkey * 1000000 div greatest(rows_total, 1), CAST(1000000 AS BIGINT),
             'range:o_totalprice_positive',
-                pos_price * 1000000 div rows_total, CAST(1000000 AS BIGINT),
+                pos_price * 1000000 div greatest(rows_total, 1), CAST(1000000 AS BIGINT),
             'accepted_set:o_orderstatus',
-                status_ok * 1000000 div rows_total, CAST(1000000 AS BIGINT),
+                status_ok * 1000000 div greatest(rows_total, 1), CAST(1000000 AS BIGINT),
             'pattern:o_orderpriority',
-                prio_ok * 1000000 div rows_total, CAST(1000000 AS BIGINT),
+                prio_ok * 1000000 div greatest(rows_total, 1), CAST(1000000 AS BIGINT),
             'range:o_orderdate_1995_2000',
-                date_ok * 1000000 div rows_total, CAST(900000 AS BIGINT)
+                date_ok * 1000000 div greatest(rows_total, 1), CAST(900000 AS BIGINT)
             ) AS (check_name, observed_ppm, threshold_ppm)"""
         )
     )

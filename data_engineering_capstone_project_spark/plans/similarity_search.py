@@ -465,6 +465,15 @@ def _cached_label_centroids(
     by_label: dict[int, dict[int, float]] = {}
     for r in label_centroids(spark, sf_dir).collect():
         by_label.setdefault(r["label"], {})[r["dim"]] = r["mean_val"]
+    if not by_label:
+        # Training a codebook on nothing is undefined (FAISS raises
+        # too); without this guard the empty codebook surfaces later
+        # as an opaque Catalyst INVALID_EXTRACT_BASE_FIELD_TYPE on
+        # array_min(array()) — r7 empty-input audit.
+        raise ValueError(
+            f"empty embeddings corpus in {sf_dir}: PQ/centroid "
+            "codebooks cannot be derived from zero vectors"
+        )
     if sig:
         _CENTROID_CACHE[key] = by_label
     return by_label

@@ -395,7 +395,16 @@ def merge_upsert_partitioned(
     transaction log (Delta/Iceberg), deliberately out of scope for
     log-free parquet."""
     touched = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
-    existing = spark.read.parquet(path)
+    try:
+        existing = spark.read.parquet(path)
+    except Exception as exc:  # AnalysisException, kept import-light
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        # A just-initialized EMPTY table (a dir with only _SUCCESS —
+        # what an empty seed write leaves) has no schema footer to
+        # read. The merge into it is simply the updates themselves
+        # (r7 empty-input audit).
+        existing = updates.limit(0)
     in_touched = F.lit(False)
     for vals in touched:
         clause = F.lit(True)

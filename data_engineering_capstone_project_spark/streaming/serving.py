@@ -30,11 +30,62 @@ from data_engineering_capstone_project_spark.sources.writers import (
 
 _STAGED = ".__staged__"
 
+# Durable applied-batch-id watermark: a sidecar file inside the
+# serving dir (underscore prefix = invisible to the parquet scan),
+# written into the STAGED dir before the atomic publish so it can
+# never disagree with the data it ships with.
+_WATERMARK_FILE = "_APPLIED_BATCH_ID"
+
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def applied_watermark(spark: SparkSession, serving: str) -> int | None:
+    """Highest batch id folded into a serving dir, or None for fresh
+    state. Durable against EMPTY state (r7 empty-input audit): the
+    guard used to live ONLY as a column on the data rows, so a quiet
+    stream whose first batches are all empty had max(column) = NULL
+    and a crash-replayed empty batch re-returned True — data-safe for
+    additive/mergeable merges (re-merging an empty batch is a no-op)
+    but a broken idempotence contract. The sidecar file keeps the
+    watermark even at zero rows; tables written before the sidecar
+    existed fall back to the guard column's max. Hadoop FS API
+    throughout, so file://, hdfs://, s3a:// serving dirs all work."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{serving}/{_WATERMARK_FILE}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        try:
+            return int(txt.strip())
+        except ValueError:
+            pass  # unreadable sidecar: fall back to the column
+    if _table_exists(spark, serving):
+        return (
+            spark.read.parquet(serving)
+            .agg(F.max("applied_batch_id"))
+            .collect()[0][0]
+        )
+    return None
+
+
+def _stage_watermark(spark: SparkSession, staged: str, batch_id: int) -> None:
+    """Write the watermark sidecar into a staged dir (pre-publish)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{staged}/{_WATERMARK_FILE}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(str(batch_id).encode()))
+    finally:
+        out.close()
 
 
 def _user_counts_increment(batch_df: DataFrame) -> DataFrame:
@@ -108,14 +159,13 @@ def apply_additive_batch(
     batch to its (keys + sum_cols) increment; the merge is a full-outer
     join of two aggregate-sized tables plus coalesce-adds, staged and
     atomically published. The batch-id guard makes crash-replayed
-    batches no-ops (same contract as ``apply_user_counts_batch``)."""
-    if _table_exists(spark, serving):
-        cur = spark.read.parquet(serving)
-        applied = cur.agg(F.max("applied_batch_id")).collect()[0][0]
-        if applied is not None and batch_id <= applied:
-            return False
-    else:
-        cur = None
+    batches no-ops (same contract as ``apply_user_counts_batch``),
+    including EMPTY batches — the watermark survives zero-row state
+    via the ``applied_watermark`` sidecar."""
+    applied = applied_watermark(spark, serving)
+    if applied is not None and batch_id <= applied:
+        return False
+    cur = spark.read.parquet(serving) if _table_exists(spark, serving) else None
 
     inc = inc_fn(batch_df)
     if cur is None:
@@ -147,6 +197,7 @@ def apply_additive_batch(
     merged.withColumn("applied_batch_id", F.lit(batch_id)).write.mode(
         "overwrite"
     ).parquet(staged)
+    _stage_watermark(spark, staged, batch_id)
     publish_swap(spark, staged, serving)
     return True
 
@@ -427,12 +478,11 @@ def apply_kmv_batch(
         kmv_partials,
     )
 
+    applied = applied_watermark(spark, serving)
+    if applied is not None and batch_id <= applied:
+        return False
     if _table_exists(spark, serving):
-        cur = spark.read.parquet(serving)
-        applied = cur.agg(F.max("applied_batch_id")).collect()[0][0]
-        if applied is not None and batch_id <= applied:
-            return False
-        pooled = cur.select(group_col, "h")
+        pooled = spark.read.parquet(serving).select(group_col, "h")
     else:
         pooled = None
 
@@ -452,6 +502,7 @@ def apply_kmv_batch(
     )
     staged = serving + _STAGED
     merged.write.mode("overwrite").parquet(staged)
+    _stage_watermark(spark, staged, batch_id)
     publish_swap(spark, staged, serving)
     return True
 
@@ -589,12 +640,13 @@ def apply_ohlc_batch(
     table. Read-time rendering (``ohlc_serving_view``) matches the
     batch ``ohlc_hourly_bars`` bit-for-bit — the parity the driver
     re-verifies."""
+    applied = applied_watermark(spark, serving)
+    if applied is not None and batch_id <= applied:
+        return False
     if _table_exists(spark, serving):
-        cur = spark.read.parquet(serving)
-        applied = cur.agg(F.max("applied_batch_id")).collect()[0][0]
-        if applied is not None and batch_id <= applied:
-            return False
-        state = cur.select("event_type", "hr", *_OHLC_STATE)
+        state = spark.read.parquet(serving).select(
+            "event_type", "hr", *_OHLC_STATE
+        )
     else:
         state = None
 
@@ -623,6 +675,7 @@ def apply_ohlc_batch(
     ).withColumn("applied_batch_id", F.lit(batch_id))
     staged = serving + _STAGED
     merged.write.mode("overwrite").parquet(staged)
+    _stage_watermark(spark, staged, batch_id)
     publish_swap(spark, staged, serving)
     return True
 
