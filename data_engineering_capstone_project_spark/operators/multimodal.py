@@ -85,6 +85,18 @@ def _require_real_backend(op: str):
     )
 
 
+def _non_null_payloads(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Shared decode-entry filter: NULL payloads are DROPPED before the
+    Arrow batch reaches the codec (quarantine-at-ingest semantics — a
+    row without bytes has nothing to decode, and a real backend would
+    route it to a dead-letter sink the same way). Without this, a null
+    in the binary column crashes the Python worker mid-batch (r7
+    all-NULL input audit)."""
+    return df.select(id_col, content_col).filter(
+        F.col(content_col).isNotNull()
+    )
+
+
 META_SCHEMA = "media_id bigint, kind int, width int, height int, n_frames int, n_bytes int"
 
 
@@ -92,7 +104,8 @@ def extract_media_meta(
     df: DataFrame, id_col: str = "media_id", content_col: str = "content",
     backend: str = "fake",
 ) -> DataFrame:
-    """Decode headers -> typed metadata. One output row per input row."""
+    """Decode headers -> typed metadata. One output row per non-null
+    input row (null payloads are dropped — ``_non_null_payloads``)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,7 +123,9 @@ def extract_media_meta(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(gen, META_SCHEMA)
+    return _non_null_payloads(df, id_col, content_col).mapInPandas(
+        gen, META_SCHEMA
+    )
 
 
 RESIZE_SCHEMA = "media_id bigint, width int, height int, content binary"
@@ -146,7 +161,9 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(gen, RESIZE_SCHEMA)
+    return _non_null_payloads(df, id_col, content_col).mapInPandas(
+        gen, RESIZE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = "media_id bigint, frame_no int, frame binary"
@@ -176,7 +193,9 @@ def sample_video_frames(
                     frames.append(body[frame_no * step:(frame_no + 1) * step])
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
-    return df.select(id_col, content_col).mapInPandas(gen, FRAME_SCHEMA)
+    return _non_null_payloads(df, id_col, content_col).mapInPandas(
+        gen, FRAME_SCHEMA
+    )
 
 
 AUDIO_SCHEMA = "media_id bigint, n_bytes int, mean_level double, peak_level double"
@@ -207,7 +226,9 @@ def audio_features(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(gen, AUDIO_SCHEMA)
+    return _non_null_payloads(df, id_col, content_col).mapInPandas(
+        gen, AUDIO_SCHEMA
+    )
 
 
 PHASH_SCHEMA = "media_id bigint, phash string"
@@ -241,4 +262,6 @@ def image_phash(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(gen, PHASH_SCHEMA)
+    return _non_null_payloads(df, id_col, content_col).mapInPandas(
+        gen, PHASH_SCHEMA
+    )

@@ -79,10 +79,14 @@ def sampled_centroids(
     SQL engine, so IVF results built on it are oracle-checkable.
     Quality is below k-means but adequate when the corpus is not
     strongly clustered; swap in ``train_centroids`` where recall
-    matters more than portability."""
+    matters more than portability. NULL vectors are excluded — an
+    unindexable row cannot be a centroid (without the filter a null
+    embedding reaches assign_cells' collect as a None centroid — r7
+    all-NULL input audit)."""
     w = Window.orderBy(id_col)
     return (
-        corpus.orderBy(id_col)
+        corpus.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
         .limit(n_cells)
         .select(
             (F.row_number().over(w) - 1).alias("cell_id"),

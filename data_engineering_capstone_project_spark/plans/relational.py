@@ -4450,9 +4450,10 @@ def revenue_concentration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cr = scoped_persist(cr, "revenue_concentration.cr")
     mxrev, n_cust = cr.agg(F.max("rev"), F.count("*")).collect()[0]
-    if not n_cust:
-        # No customers -> no deciles: the empty report, not int(None)
-        # on the max-revenue scalar (r7 empty-input audit).
+    if not n_cust or mxrev is None:
+        # No customers — or customers whose revenue is entirely NULL
+        # (un-rankable) -> the empty report, not int(None) on the
+        # max-revenue scalar (r7 empty/all-NULL input audits).
         return spark.createDataFrame(
             [],
             "decile int, customers bigint, revenue double, "

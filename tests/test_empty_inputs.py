@@ -69,3 +69,36 @@ def test_query_on_empty_tables(spark, empty_sf, name):
             QUERIES[name](spark, empty_sf).count()
     else:
         assert QUERIES[name](spark, empty_sf).count() >= 0
+
+
+# On ALL-NULL inputs two more contracts join the quantizer one: the
+# sign-LSH bucketer's designed raise_error (null dims), and the media
+# decoders DROPPING null payloads (quarantine-at-ingest; a null in a
+# binary column previously crashed the Python worker mid-batch).
+NULL_INPUT_RAISERS = QUANTIZER_TRAINING | {"lsh_bucket_histogram"}
+
+
+@pytest.fixture(scope="module")
+def allnull_sf(spark, tmp_path_factory):
+    """Twins of every table where EVERY column is NULL (50 rows each,
+    schemas from sf0.001) — the bad-upstream-extract case."""
+    from pyspark.sql import functions as F
+
+    dst = tmp_path_factory.mktemp("sf_allnull")
+    for p in glob.glob(f"{SF_SMALL}/*.parquet"):
+        df = spark.read.parquet(p)
+        df.limit(50).select(
+            [F.lit(None).cast(f.dataType).alias(f.name) for f in df.schema.fields]
+        ).write.mode("overwrite").parquet(str(dst / os.path.basename(p)))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_on_all_null_tables(spark, allnull_sf, name):
+    from pyspark.errors import SparkRuntimeException
+
+    if name in NULL_INPUT_RAISERS:
+        with pytest.raises((ValueError, SparkRuntimeException)):
+            QUERIES[name](spark, allnull_sf).count()
+    else:
+        assert QUERIES[name](spark, allnull_sf).count() >= 0
