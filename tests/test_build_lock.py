@@ -372,3 +372,97 @@ def test_last_verified_rounds_parses_double_digit_rounds(tmp_path):
     (tmp_path / "CORRECTNESS_r2.json").write_text('{"q_c": {}}')
     got = last_verified_rounds(tmp_path)
     assert got == {"q_a": 10, "q_b": 9, "q_c": 2}
+
+
+_BKT_WORKER = r"""
+import json, sys, time
+from pathlib import Path
+
+repo, warehouse, go_file = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, repo)
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("bkt-lock-worker")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from data_engineering_capstone_project_spark.plans.relational import (
+    bucketed_orderkey_tables,
+)
+
+print("READY", flush=True)
+while not Path(go_file).exists():
+    time.sleep(0.05)
+li, orders = bucketed_orderkey_tables(spark, "/root/testdata/sf0.001")
+res = {
+    "li": li.count(),
+    "orders": orders.count(),
+    "joined": li.join(orders, li.l_orderkey == orders.o_orderkey).count(),
+}
+print("RESULT " + json.dumps(res), flush=True)
+spark.stop()
+"""
+
+
+def test_two_process_concurrent_bucketed_pair_build(tmp_path):
+    """The bucketed-pair twin of the pq_codes two-process test: both
+    processes race the FIRST build of the co-bucketed (lineitem,
+    orders) pair over one shared warehouse; both must serve identical
+    counts (including through the zero-Exchange join), the pair dirs
+    must be complete with agreeing _BUCKETS sidecars, and no lock may
+    leak."""
+    warehouse = tmp_path / "wh"
+    warehouse.mkdir()
+    go_file = tmp_path / "go"
+    procs = []
+    for i in range(2):
+        cwd = tmp_path / f"p{i}"
+        cwd.mkdir()
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    "-c",
+                    _BKT_WORKER,
+                    str(_REPO),
+                    str(warehouse),
+                    str(go_file),
+                ],
+                cwd=cwd,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    deadline = time.monotonic() + 240
+    for p in procs:
+        while time.monotonic() < deadline:
+            line = p.stdout.readline()
+            if not line or line.startswith("READY"):
+                break
+    go_file.write_text("")
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"worker failed: {err[-2000:]}"
+        payload = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert payload, f"no RESULT line: {out!r}"
+        results.append(json.loads(payload[-1][len("RESULT ") :]))
+    assert results[0] == results[1], "processes served different counts"
+    assert results[0]["li"] > 0 and results[0]["joined"] > 0
+    pair_dirs = sorted(
+        d.name for d in warehouse.iterdir() if d.name.startswith("bkt_")
+    )
+    assert len(pair_dirs) == 2, pair_dirs
+    sidecars = set()
+    for d in pair_dirs:
+        loc = warehouse / d
+        assert (loc / "_SUCCESS").exists(), f"{d} incomplete"
+        sidecars.add((loc / "_BUCKETS").read_text())
+    assert len(sidecars) == 1, f"pair disagrees on bucket count: {sidecars}"
+    assert not list(warehouse.glob("_BUILDING.*")), "lock leaked"
