@@ -271,17 +271,30 @@ def build_exclusive(
 
     def _break_dead_lock() -> None:
         # Serialize the break itself: only the breaker-lock holder may
-        # unlink, and it re-validates the main lock's content under
-        # the breaker — so a waiter acting on a stale "dead" reading
-        # can never delete a NEW holder's lock (while the main lock
-        # exists, O_EXCL keeps anyone from replacing it; only breakers
-        # remove it, and there is one breaker at a time). A breaker
-        # file older than 60s is itself a crashed breaker's relic
-        # (the critical section below is milliseconds and never
-        # touches the build dir) and is cleared.
+        # remove the main lock, and it re-validates the lock's content
+        # under the breaker. A breaker file older than 60s is itself a
+        # crashed breaker's relic (the critical section below is
+        # milliseconds and never touches the build dir) and is
+        # cleared — ATOMICALLY, by renaming it to a unique trash name
+        # (r8 advice fix): a plain unlink raced a second waiter doing
+        # the same cleanup — one cleared the relic and created a FRESH
+        # breaker, the other then unlinked that fresh breaker, yielding
+        # two concurrent breaker holders. rename has exactly one
+        # winner; the loser sees FileNotFoundError and falls through to
+        # the normal O_EXCL acquire. If the winner's rename grabbed a
+        # breaker that turns out to be FRESH (created inside the
+        # stat->rename window), it is restored via link (no-op if the
+        # slot was re-taken) instead of discarded.
+        trash = breaker.with_name(f"{breaker.name}.relic.{os.getpid()}")
         try:
             if time.time() - breaker.stat().st_mtime > 60:
-                breaker.unlink(missing_ok=True)
+                breaker.rename(trash)
+                if time.time() - trash.stat().st_mtime <= 60:
+                    try:
+                        os.link(trash, breaker)
+                    except FileExistsError:
+                        pass
+                trash.unlink(missing_ok=True)
         except FileNotFoundError:
             pass
         try:
@@ -290,9 +303,28 @@ def build_exclusive(
             return  # someone else is breaking; wait for the result
         try:
             os.close(bfd)
+            # Remove the main lock by ATOMIC rename, then verify what
+            # was actually grabbed: even if two breaker holders ever
+            # coexisted, the rename has one winner, and a winner whose
+            # grabbed file holds a LIVE stamp (a new holder acquired
+            # between this breaker's dead-reading and its rename) puts
+            # the lock back instead of discarding it — the two-builder
+            # window (a second breaker deleting a fresh holder's lock)
+            # stays closed regardless. Residual: restoring via link
+            # can find the slot re-taken, which needs a third process
+            # acquiring inside this microsecond window on top of the
+            # already-double race — accepted and stated, same class as
+            # the multi-host scope limit above.
+            grabbed = lock.with_name(f"{lock.name}.broken.{os.getpid()}")
             try:
                 if not _holder_alive(lock.read_text()):
-                    lock.unlink(missing_ok=True)
+                    lock.rename(grabbed)
+                    if _holder_alive(grabbed.read_text()):
+                        try:
+                            os.link(grabbed, lock)
+                        except FileExistsError:
+                            pass
+                    grabbed.unlink(missing_ok=True)
             except FileNotFoundError:
                 pass
         finally:
@@ -322,8 +354,13 @@ def build_exclusive(
             if stamp and not _holder_alive(stamp):
                 # Holder died without releasing (SIGKILL/OOM). Break
                 # its lock (guarded, see above); the loop re-acquires
-                # and rebuilds over the marker-less partial.
+                # and rebuilds over the marker-less partial. Sleep
+                # before looping (r8 advice fix): when the break is
+                # blocked by a held breaker, _break_dead_lock returns
+                # immediately and an unslept continue busy-spun at
+                # 100% CPU until the breaker cleared.
                 _break_dead_lock()
+                time.sleep(poll_sec)
                 continue
             time.sleep(poll_sec)
             continue

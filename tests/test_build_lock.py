@@ -360,6 +360,95 @@ def test_stale_breaker_relic_is_cleared_and_break_proceeds(tmp_path):
     )
     assert out == "built" and len(calls) == 1
     assert not breaker.exists()
+    # The r8 rename-based cleanup must not leak its trash names.
+    leftovers = [p.name for p in tmp_path.glob("_BUILDING.*")]
+    assert not leftovers, f"lock trash leaked: {leftovers}"
+
+
+_RELIC_RACE_WORKER = r"""
+import json, os, sys, time
+from pathlib import Path
+
+repo, loc, go_file = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, repo)
+from data_engineering_capstone_project_spark.sources.writers import (
+    build_exclusive,
+)
+
+loc = Path(loc)
+print("READY", flush=True)
+while not Path(go_file).exists():  # barrier: race the relic cleanup
+    time.sleep(0.01)
+
+
+def build() -> None:
+    loc.mkdir(parents=True, exist_ok=True)
+    with open(loc / "builder_pids", "a") as f:  # append: double-build shows
+        f.write(f"{os.getpid()}\n")
+    (loc / "_SUCCESS").write_text("")
+
+
+out = build_exclusive(
+    loc, build, lambda: (loc / "_SUCCESS").exists(),
+    timeout_sec=30, poll_sec=0.02,
+)
+print("RESULT " + json.dumps({"outcome": out}), flush=True)
+"""
+
+
+def test_two_waiters_race_on_stale_relic(tmp_path):
+    """The r8 advice scenario: a dead main lock plus a >60s breaker
+    relic, hit by TWO waiters at the same instant. The old unlink-based
+    relic cleanup let one waiter delete the other's FRESH breaker,
+    opening a double-breaker (and ultimately double-builder) window;
+    the rename-based cleanup has one winner. Assert exactly one build,
+    both processes succeed, and no lock/breaker/trash files remain."""
+    child = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    dead_pid = int(child.stdout.strip())
+    loc = tmp_path / "tbl"
+    (tmp_path / "_BUILDING.tbl").write_text(str(dead_pid))
+    breaker = tmp_path / "_BUILDING.tbl.breaker"
+    breaker.write_text("relic")
+    old = time.time() - 120
+    os.utime(breaker, (old, old))
+
+    go_file = tmp_path / "go"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-c",
+                _RELIC_RACE_WORKER,
+                str(_REPO),
+                str(loc),
+                str(go_file),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(2)
+    ]
+    for p in procs:
+        assert p.stdout.readline().startswith("READY")
+    go_file.write_text("")
+    outcomes = []
+    for p in procs:
+        out, err = p.communicate(timeout=60)
+        assert p.returncode == 0, f"worker failed: {err[-2000:]}"
+        payload = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert payload, f"no RESULT line: {out!r}"
+        outcomes.append(json.loads(payload[-1][len("RESULT ") :])["outcome"])
+    assert sorted(outcomes) == ["adopted", "built"], outcomes
+    pids = (loc / "builder_pids").read_text().split()
+    assert len(pids) == 1, f"double build: {pids}"
+    leftovers = [p.name for p in tmp_path.glob("_BUILDING.*")]
+    assert not leftovers, f"lock trash leaked: {leftovers}"
 
 
 def test_last_verified_rounds_parses_double_digit_rounds(tmp_path):
