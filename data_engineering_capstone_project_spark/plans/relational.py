@@ -763,6 +763,21 @@ def revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, warehouse, tag, fingerprint) -> bucket count this
+# process fully validated (counts agree, sidecars match, adoption
+# done). See the memo comment in bucketed_orderkey_tables.
+_VALIDATED_PAIRS: dict[tuple, int] = {}
+
+
+def _forget_validated_pairs() -> None:
+    """Test seam: drop the in-process pair-validation memo, simulating
+    a fresh process meeting the warehouse cold (the lifecycle tests
+    mutate catalog tables behind the builder's back to model crash
+    artifacts a NEW process would see; the memo is per-process by
+    design, so those tests must clear it first)."""
+    _VALIDATED_PAIRS.clear()
+
+
 def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
     """Co-bucketed (lineitem, orders) managed tables keyed on orderkey —
     the ingest-time layout that turns the repo's worst-scaling join
@@ -820,6 +835,26 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
             "file:", ""
         )
     )
+    # Steady-state memo (r8, VERDICT #3): once THIS process has
+    # validated the pair for this (app, warehouse, tag, fingerprint) —
+    # counts agreeing, sidecars matching, adoption done — repeat calls
+    # skip the adoption attempts, the two DESCRIBE TABLE EXTENDED
+    # jobs, and the sidecar reads, on the same pattern as
+    # cached_rowcount/file_signature (registry.py). The fingerprint in
+    # the key keeps regenerated source parquet out (new fp = cache
+    # miss); a DIFFERENT pinned count than the validated one falls
+    # through to the full path (which rebuilds); the residual cheap
+    # tableExists guard keeps a catalog whose tables were dropped
+    # mid-process from being served a dangling name. Cross-process
+    # writers are unaffected — a fresh process always validates once.
+    memo_key = (spark.sparkContext.applicationId, str(warehouse), tag, fp)
+    cached = _VALIDATED_PAIRS.get(memo_key)
+    if (
+        cached is not None
+        and (n_buckets is None or n_buckets == cached)
+        and all(spark.catalog.tableExists(n) for n in names.values())
+    ):
+        return tuple(spark.table(names[tbl]) for tbl, _ in pairs)
     for tbl, key in pairs:
         if not spark.catalog.tableExists(names[tbl]):
             _adopt_bucketed_dir(
@@ -842,6 +877,31 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
             or len(set(counts)) != 1
             or (n_buckets is not None and counts[0] != n_buckets)
         )
+    if not rebuild:
+        # Cross-check the catalog count against the on-disk _BUCKETS
+        # sidecars (r8 advice fix): catalog metadata alone can be
+        # stale relative to the FILES when a concurrent process with a
+        # different pinned count rewrote the pair (allowed by
+        # _build_pair) — serving CLUSTERED BY N metadata over files
+        # hashed into M would silently mis-zip the bucket join. The
+        # adopted path already fails loudly on this; the fast path now
+        # does too. A missing/unreadable sidecar means a partial dir
+        # behind a live catalog entry: rebuild.
+        for n in names.values():
+            try:
+                disk = int((warehouse / n / "_BUCKETS").read_text())
+            except (OSError, ValueError):
+                rebuild = True
+                break
+            if disk != counts[0]:
+                raise RuntimeError(
+                    f"{n}: catalog declares {counts[0]} buckets but its "
+                    f"files' _BUCKETS sidecar records {disk}; a "
+                    "concurrent process with a different pinned count "
+                    "rewrote the pair's files — two writers pinned "
+                    "different counts over one warehouse — rebuild with "
+                    "one pinned count (or none) in both processes"
+                )
     if rebuild:
         if n_buckets is None:
             rows = cached_rowcount(spark, sf_dir, "lineitem")
@@ -940,6 +1000,7 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
                         "counts over one warehouse — rebuild with one "
                         "pinned count (or none) in both processes"
                     )
+    _VALIDATED_PAIRS[memo_key] = n_buckets if rebuild else counts[0]
     return tuple(spark.table(names[tbl]) for tbl, _ in pairs)
 
 

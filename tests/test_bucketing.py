@@ -181,12 +181,73 @@ class TestBucketedPairLifecycle:
         write_bucketed_table(src, victim, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
         assert _table_bucket_count(spark, victim) == 8  # diverged pair
 
+        # The crash artifact is what a FRESH process would meet; this
+        # process's validation memo (r8) must be cleared to model that.
+        from data_engineering_capstone_project_spark.plans.relational import (
+            _forget_validated_pairs,
+        )
+
+        _forget_validated_pairs()
         bucketed_orderkey_tables(spark, src_dir)  # no explicit count
         counts = {
             n: _table_bucket_count(spark, n)
             for n in self._pair_names(spark, src_dir)
         }
         assert len(set(counts.values())) == 1, counts
+
+    def test_sidecar_disagreement_fails_loudly_in_fast_path(self, spark, src_dir):
+        """r8 advice fix: catalog bucket metadata alone is not trusted
+        on the fast path — if the files' _BUCKETS sidecar records a
+        different count than the catalog declares (a concurrent
+        process with a different pinned count rewrote the pair's
+        files), the call must raise the two-writers RuntimeError, not
+        serve CLUSTERED BY N metadata over files hashed into M."""
+        from pathlib import Path
+
+        import pytest as _pytest
+
+        from data_engineering_capstone_project_spark.plans.relational import (
+            _forget_validated_pairs,
+            bucketed_orderkey_tables,
+        )
+
+        bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
+        names = self._pair_names(spark, src_dir)
+        warehouse = Path(
+            spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        )
+        victim = [n for n in names if "orders" in n][0]
+        (warehouse / victim / "_BUCKETS").write_text("8")
+        _forget_validated_pairs()  # the disagreement meets a fresh process
+        with _pytest.raises(RuntimeError, match="sidecar records 8"):
+            bucketed_orderkey_tables(spark, src_dir)
+        # restore so the fixture's cleanup (and later tests) see a
+        # consistent pair
+        (warehouse / victim / "_BUCKETS").write_text("16")
+
+    def test_memoized_repeat_call_skips_describe_jobs(self, spark, src_dir):
+        """r8 VERDICT #3: after one validated call, repeat calls for the
+        same (warehouse, tag, fingerprint) must not re-run DESCRIBE
+        TABLE EXTENDED (a Spark job per table per call) — the memo
+        serves the pair directly. Pinning the same count as validated
+        also hits; a different pin falls through (covered by
+        test_explicit_bucket_count_change_rebuilds_pair)."""
+        from unittest import mock
+
+        from data_engineering_capstone_project_spark.plans import relational
+
+        relational._forget_validated_pairs()
+        li1, _ = relational.bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
+        with mock.patch.object(
+            relational,
+            "_table_bucket_count",
+            side_effect=AssertionError("DESCRIBE ran on a memoized call"),
+        ):
+            li2, o2 = relational.bucketed_orderkey_tables(spark, src_dir)
+            li3, _ = relational.bucketed_orderkey_tables(
+                spark, src_dir, n_buckets=16
+            )
+        assert li2.count() == li1.count() == li3.count()
 
     def test_complete_pair_adopted_not_rebuilt(self, spark, src_dir):
         """A fresh catalog (second process) meeting a COMPLETE pair of
