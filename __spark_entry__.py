@@ -44,42 +44,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # the invariants (priority head first, then monotone non-decreasing
 # staleness, permutation of the full registry).
 #
-# r7 priority head (consolidation round — everything else in the
-# sample is the stale tail: the 6 never-sampled queries, the 17 r1
-# rows, and the oldest r2 rows fill the remaining ~39 slots):
+# r8 priority head (kept deliberately SMALL per VERDICT r7 #1 so the
+# remaining ~46 slots fall on the stale tail — the 26 r2 rows and the
+# oldest r3 rows — and the backlog keeps shrinking):
 _PRIORITY = [
-    # NEW r7: the IVFPQ cost/recall dial (per-tier recall at
-    # n_probe 1/2/4; rerank-tier monotonicity pinned locally)
-    "ann_ivfpq_probe_sweep",
-    # CHANGED r7: first-builds of the fingerprinted warehouse tables
-    # now serialize on the _BUILDING lock (build_exclusive) — these
-    # three read the pq/ivfpq codes index through that path, and the
-    # bucketed pair query adopts through the same lock
-    "ann_pq_topk_indexed",
-    "ann_pq_topk_after_delete",
-    "ann_ivfpq_topk_indexed",
+    # NEW r8: BPE apply/encode — the tokenizer chain's missing half
+    # (learn existed since r6; this encodes the corpus with the
+    # learned merges, oracle re-derives independently in SQL)
+    "bpe_encode",
+    # CHANGED r8: the training loop was refactored onto shared
+    # helpers (_bpe_symbols/_bpe_adjacency/_bpe_merge_apply) that the
+    # new apply path reuses, plus the empty-word sequence(1,0) guard
+    "bpe_learn_merges",
+    # CHANGED r8: packing now routes through the pack_sequences
+    # operator (identical semantics; real-token-count hook added)
+    "sequence_packing",
+    # CHANGED r8: pair validation memoized per (warehouse, tag,
+    # fingerprint) + the fast path now cross-checks _BUCKETS sidecars
     "revenue_by_priority_bucketed",
-    # CHANGED r7 (empty-input audit): the serving tables' batch-id
-    # watermark is now a durable sidecar (applied_watermark) — one
-    # driver row per protocol family whose guard-read changed and is
-    # not already in the head (cms/kmv/percentile parities lead the
-    # never-sampled block below): the REAL-engine path, the
-    # mergeable-aggregate (OHLC) class, and the DQ suite whose
-    # in-plan denominators gained greatest(count, 1)
-    "trending_engine_streamed_parity",
-    "ohlc_streamed_parity",
-    "dq_expectation_suite",
-    # CHANGED r6, never driver-verified on the current code (the r6
-    # sample was consumed by that round's 56 new queries; VERDICT r6
-    # prescription #1 names these five as the r7 head)
-    "co_ordered_parts",          # Apriori min-support prefilter added
-    "length_bucketed_batches",   # corpus-scaled shard count applied
-    "kmv_distinct_users",        # NULL ids filtered before hashing
-    "ab_test_report",            # variant hash mixed before mod-2
-    "snapshot_diff",             # insert shift raised to 10B
-    # PROMOTED (VERDICT r6 prescription #5): reference parity is the
-    # project's core claim; its last driver row is r5
-    "star_schema_summary",
 ]
 
 _DRIVER_SAMPLE_FIRST = rotation_order(

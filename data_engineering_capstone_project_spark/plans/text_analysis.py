@@ -1191,15 +1191,38 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes; unlike the Weyl-residue samplers below this is a
     recompute-per-snapshot recipe, not an append-stable one. Tokens use
     the BPE-ish pre-tokenizer (functions/text.py), all arithmetic
-    integer until the final fixed divisor, so the oracle hash-matches."""
-    from pyspark.sql.window import Window
-
+    integer until the final fixed divisor, so the oracle hash-matches.
+    The packing itself is ``pack_sequences``, which also accepts REAL
+    token counts (e.g. ``bpe_encode``'s) in place of the regexp
+    approximation."""
     docs = table(spark, sf_dir, "documents")
-    n_shards = _corpus_shard_count(spark, sf_dir)
     t = docs.select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
         T.token_count_bpe_ish(F.col("text")).cast("bigint").alias("tokens"),
+    )
+    return pack_sequences(t, _corpus_shard_count(spark, sf_dir))
+
+
+def pack_sequences(
+    doc_tokens: DataFrame, n_shards: int, budget: int = 8192
+) -> DataFrame:
+    """Streaming-greedy sequence packing over ANY (doc_id, tokens)
+    frame — the operator under the registered ``sequence_packing``
+    query (which feeds it the regexp token approximation) and the hook
+    for REAL tokenizer counts: pass ``bpe_encode``'s (doc_id,
+    token_count as tokens) output to pack against the counts the
+    trained tokenizer will actually produce (r8, closing the tokenizer
+    chain end-to-end). Shard by doc_id, then within each shard assign
+    pack_id from the running token count BEFORE the document. Scale
+    shape as documented on the query: one shuffle on shard + per-shard
+    window; ``n_shards`` must scale with the corpus (callers use
+    ``_corpus_shard_count``)."""
+    from pyspark.sql.window import Window
+
+    t = doc_tokens.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col("tokens").cast("bigint").alias("tokens"),
     )
     w = (
         Window.partitionBy("shard")
@@ -1210,7 +1233,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shard",
         "tokens",
-        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / F.lit(8192.0))
+        F.floor(
+            (F.sum("tokens").over(w) - F.col("tokens")) / F.lit(float(budget))
+        )
         .cast("bigint")
         .alias("pack_id"),
     )
@@ -3041,7 +3066,7 @@ def _bpe_oracle_round(n: int) -> str:
     )"""
 
 
-_BPE_ORACLE = (
+_BPE_CTES = (
     """
     WITH w AS (
         SELECT tok AS word, count(*) AS wf
@@ -3056,6 +3081,10 @@ _BPE_ORACLE = (
         FROM w, unnest(generate_series(1, length(word))) g(i)
     ),"""
     + ",".join(_bpe_oracle_round(n) for n in (1, 2, 3))
+)
+
+_BPE_ORACLE = (
+    _BPE_CTES
     + """
     SELECT * FROM (
         SELECT 1 AS round, l AS left_sym, r AS right_sym,
@@ -3068,6 +3097,108 @@ _BPE_ORACLE = (
     """
 )
 
+def _bpe_windows():
+    """The one (word, pos) window spec shared by every BPE stage —
+    training and apply run the identical arithmetic over the identical
+    partitioning. Built lazily: Window specs need an active session,
+    which does not exist at module import."""
+    w = Window.partitionBy("word").orderBy("pos")
+    return (
+        w,
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        w.rowsBetween(Window.unboundedPreceding, -1),
+    )
+
+
+def _bpe_symbols(vocab: DataFrame) -> DataFrame:
+    """(word, wf) vocabulary -> exploded (word, wf, pos, sym)
+    single-character symbol frame. Zero-length words are dropped up
+    front: Spark's ``sequence(1, 0)`` yields ``[1, 0]`` (descending),
+    which would fabricate two empty symbols where the oracle's
+    ``generate_series(1, 0)`` yields none."""
+    return (
+        vocab.filter(F.length("word") >= 1)
+        .select(
+            "word",
+            "wf",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+        )
+        .select(
+            "word", "wf", "pos", F.expr("substring(word, pos, 1)").alias("sym")
+        )
+    )
+
+
+def _bpe_adjacency(wp: DataFrame) -> DataFrame:
+    """Symbol frame -> adjacency frame: each row also carries the NEXT
+    symbol and its position (lead over the shared (word, pos) window)."""
+    w, _, _ = _bpe_windows()
+    return wp.select(
+        "word",
+        "wf",
+        "pos",
+        "sym",
+        F.lead("sym").over(w).alias("nxt"),
+        F.lead("pos").over(w).alias("nxt_pos"),
+    )
+
+
+def _bpe_merge_apply(adj: DataFrame, m: DataFrame) -> DataFrame:
+    """Apply ONE merge — the 1-row (l, r) frame ``m``, broadcast — to
+    an adjacency frame, returning the post-merge (word, wf, pos, sym)
+    symbol frame. Greedy leftmost non-overlapping semantics via run
+    parity (see ``bpe_learn_merges``): a match chains onto the
+    previous match iff its pos IS that match's second element; within
+    a chain, even offsets merge; the consumed second row drops."""
+    w, w_cur, w_prev = _bpe_windows()
+    f = adj.join(broadcast(m.select("l", "r"))).select(
+        "*",
+        ((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r"))).alias(
+            "mt"
+        ),
+        F.concat(F.col("l"), F.col("r")).alias("ms"),
+    )
+    g = f.select(
+        "*",
+        F.sum(F.when(F.col("mt"), 1).otherwise(0)).over(w_cur).alias(
+            "m_sofar"
+        ),
+        F.last(F.when(F.col("mt"), F.col("nxt_pos")), ignorenulls=True)
+        .over(w_prev)
+        .alias("prev_mnxt"),
+    )
+    h = g.select(
+        "*",
+        (
+            F.col("mt")
+            & (
+                F.col("prev_mnxt").isNull()
+                | (F.col("prev_mnxt") != F.col("pos"))
+            )
+        ).alias("brk"),
+    )
+    i = h.select(
+        "*",
+        F.last(F.when(F.col("brk"), F.col("m_sofar")), ignorenulls=True)
+        .over(w_cur)
+        .alias("x_start"),
+    )
+    j = i.select(
+        "*",
+        (
+            F.col("mt")
+            & (F.pmod(F.col("m_sofar") - F.col("x_start"), F.lit(2)) == 0)
+        ).alias("merged"),
+    ).select("*", F.lag("merged").over(w).alias("prev_merged"))
+    return j.filter(~F.coalesce(F.col("prev_merged"), F.lit(False))).select(
+        "word",
+        "wf",
+        "pos",
+        F.when(F.col("merged"), F.col("ms")).otherwise(F.col("sym")).alias(
+            "sym"
+        ),
+    )
+
 
 def bpe_merge_rounds(vocab: DataFrame, rounds: int = 3) -> DataFrame:
     """The shared BPE training loop (used by the registered
@@ -3075,15 +3206,7 @@ def bpe_merge_rounds(vocab: DataFrame, rounds: int = 3) -> DataFrame:
     given a (word, wf) vocabulary, run ``rounds`` greedy merge rounds
     and return the (round, left_sym, right_sym, pair_count) merge
     table. See ``bpe_learn_merges`` for semantics and scale notes."""
-    wp = vocab.select(
-        "word",
-        "wf",
-        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
-    ).select("word", "wf", "pos", F.expr("substring(word, pos, 1)").alias("sym"))
-
-    w = Window.partitionBy("word").orderBy("pos")
-    w_cur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wp = _bpe_symbols(vocab)
     merges = []
     for rnd in range(1, rounds + 1):
         # Each round's adjacency frame feeds TWO consumers (the pair
@@ -3092,17 +3215,7 @@ def bpe_merge_rounds(vocab: DataFrame, rounds: int = 3) -> DataFrame:
         # vocab agg re-run once per reference (7 scans for 3 rounds,
         # measured). The cache is vocab-sized — the Heaps'-law
         # quantity — so this is the dedup-signature convention again.
-        adj = scoped_persist(
-            wp.select(
-                "word",
-                "wf",
-                "pos",
-                "sym",
-                F.lead("sym").over(w).alias("nxt"),
-                F.lead("pos").over(w).alias("nxt_pos"),
-            ),
-            f"bpe_adj_{rnd}",
-        )
+        adj = scoped_persist(_bpe_adjacency(wp), f"bpe_adj_{rnd}")
         m = (
             adj.filter(F.col("nxt").isNotNull())
             .groupBy("sym", "nxt")
@@ -3123,57 +3236,41 @@ def bpe_merge_rounds(vocab: DataFrame, rounds: int = 3) -> DataFrame:
                 F.col("pair_count").cast("bigint").alias("pair_count"),
             )
         )
-        f = adj.join(broadcast(m.select("l", "r"))).select(
-            "*",
-            ((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r"))).alias(
-                "mt"
-            ),
-            F.concat(F.col("l"), F.col("r")).alias("ms"),
-        )
-        g = f.select(
-            "*",
-            F.sum(F.when(F.col("mt"), 1).otherwise(0)).over(w_cur).alias(
-                "m_sofar"
-            ),
-            F.last(F.when(F.col("mt"), F.col("nxt_pos")), ignorenulls=True)
-            .over(w_prev)
-            .alias("prev_mnxt"),
-        )
-        h = g.select(
-            "*",
-            (
-                F.col("mt")
-                & (
-                    F.col("prev_mnxt").isNull()
-                    | (F.col("prev_mnxt") != F.col("pos"))
-                )
-            ).alias("brk"),
-        )
-        i = h.select(
-            "*",
-            F.last(F.when(F.col("brk"), F.col("m_sofar")), ignorenulls=True)
-            .over(w_cur)
-            .alias("x_start"),
-        )
-        j = i.select(
-            "*",
-            (
-                F.col("mt")
-                & (F.pmod(F.col("m_sofar") - F.col("x_start"), F.lit(2)) == 0)
-            ).alias("merged"),
-        ).select("*", F.lag("merged").over(w).alias("prev_merged"))
-        wp = j.filter(~F.coalesce(F.col("prev_merged"), F.lit(False))).select(
-            "word",
-            "wf",
-            "pos",
-            F.when(F.col("merged"), F.col("ms")).otherwise(F.col("sym")).alias(
-                "sym"
-            ),
-        )
+        wp = _bpe_merge_apply(adj, m)
     out = merges[0]
     for mdf in merges[1:]:
         out = out.unionByName(mdf)
     return out
+
+
+def bpe_apply_merges(vocab: DataFrame, merges: list) -> DataFrame:
+    """ENCODE a (word, wf) vocabulary with an already-LEARNED merge
+    list ``[(left_sym, right_sym), ...]`` in training order — the
+    apply half of the tokenizer chain (``bpe_merge_rounds`` is the
+    learn half; through r7 the engine could train merges but not use
+    them). Returns the final (word, wf, pos, sym) symbol frame: each
+    word's token sequence reads off as sym ordered by pos.
+
+    Scale shape: the merges arrive as a driver-side list (the learned
+    table is VOCAB-sized, orders of magnitude below the corpus — the
+    bounded-collect class) and each merge is applied with the same
+    window arithmetic as training: one pass over the Heaps'-law
+    vocab-sized symbol frame, all inside the single Exchange on word
+    that the first window establishes — the CORPUS is never touched
+    here. Plan depth grows linearly with the merge count, so applying
+    a production-sized table (30k+ merges) should checkpoint the
+    symbol frame every few hundred merges to bound the lineage; the
+    per-word independence also admits an Arrow ``applyInPandas``
+    encoder over the distinct vocab as the constant-depth alternative
+    (encode each distinct word once, join back) — same join-back shape
+    as ``bpe_encode`` uses below either way."""
+    wp = _bpe_symbols(vocab)
+    for left, right in merges:
+        m = vocab.sparkSession.createDataFrame(
+            [(left, right)], "l string, r string"
+        )
+        wp = _bpe_merge_apply(_bpe_adjacency(wp), m)
+    return wp
 
 
 @query("bpe_learn_merges", oracle=_BPE_ORACLE)
@@ -3213,6 +3310,168 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("wf"))
     )
     return bpe_merge_rounds(vocab, rounds=3)
+
+
+_BPE_ENCODE_ORACLE = (
+    _BPE_CTES
+    + """,
+    base AS (SELECT DISTINCT sym FROM wp0),
+    base_ids AS (
+        SELECT sym,
+               CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS tid
+        FROM base
+    ),
+    prod AS (
+        SELECT ms AS sym,
+               CAST((SELECT count(*) FROM base) + rnd - 1 AS BIGINT) AS tid
+        FROM (
+            SELECT l || r AS ms, min(round) AS rnd
+            FROM (
+                SELECT 1 AS round, l, r FROM m1
+                UNION ALL SELECT 2, l, r FROM m2
+                UNION ALL SELECT 3, l, r FROM m3
+            )
+            GROUP BY 1
+        )
+    ),
+    sym_ids AS (SELECT * FROM base_ids UNION ALL SELECT * FROM prod),
+    dt AS (
+        SELECT doc_id, CAST(g.i AS INTEGER) AS wpos,
+               arr[CAST(g.i AS INTEGER)] AS word
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents) a,
+             unnest(generate_series(1, len(arr))) g(i)
+    ),
+    enc AS (
+        SELECT dt.doc_id, dt.wpos, wp.pos, si.tid
+        FROM dt JOIN wp3 wp ON dt.word = wp.word
+                JOIN sym_ids si ON wp.sym = si.sym
+    ),
+    seq AS (
+        SELECT doc_id, tid,
+               row_number() OVER (PARTITION BY doc_id ORDER BY wpos, pos)
+                   AS tpos
+        FROM enc
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS token_count,
+           CAST(sum(tid) AS BIGINT) AS id_sum,
+           CAST(sum(tid * tpos) AS BIGINT) AS weighted_id_sum,
+           string_agg(CAST(tid AS VARCHAR), '-' ORDER BY tpos)
+               FILTER (WHERE tpos <= 8) AS prefix_ids
+    FROM seq
+    GROUP BY doc_id
+    """
+)
+
+
+@query("bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY — the missing half of the tokenizer chain
+    through r7 (the engine trained merges but could not encode with
+    them): learn 3 merges from the corpus, apply them to the
+    vocabulary with ``bpe_apply_merges``, assign token ids (sorted
+    base alphabet gets 0..k-1, merge products get k+round-1 — the
+    standard vocab-equals-alphabet-plus-merges convention), then
+    encode every document. Output is one row per encodable document
+    with the token COUNT plus three order-sensitive digests of the id
+    sequence (id_sum, position-weighted id sum, dash-joined first-8
+    prefix) — a near-complete pin of the full encoding that keeps the
+    gate's compare corpus-row-sized instead of token-sized. The oracle
+    re-derives the merges with the same unrolled SQL as
+    ``bpe_learn_merges`` (already hash-verified equal to the Spark
+    trainer) and encodes independently, so argmax tiebreaks, greedy
+    non-overlap parity, id assignment, and per-document token ORDER
+    are all cross-checked.
+
+    Scale shape: the corpus is touched exactly twice — once to build
+    the (word, wf) vocabulary (explode + agg, the Heaps'-law
+    reduction), once at the end to join each document's token stream
+    to the per-WORD encodings (one shuffle on word; every merge in
+    between runs on the vocab-sized symbol frame, see
+    ``bpe_apply_merges``). Token ids come from a broadcast
+    alphabet-sized mapping; the per-document sequence digest is one
+    (doc_id)-partitioned window plus one agg. Encoding each DISTINCT
+    word once and joining back is exactly how a production tokenizer
+    runs over 100 TB — per-document Python encoding would be a
+    corpus-sized UDF; this is a vocab-sized plan instead."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    # The learned table is rounds-sized (3 here; vocab-sized in
+    # production) — the declared bounded-collect class.
+    learned = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_merge_rounds(vocab, rounds=3).orderBy("round").collect()
+    ]
+    wp = bpe_apply_merges(vocab, learned)
+
+    # Token ids. Base alphabet: distinct single chars, sorted, ids
+    # 0..k-1 (alphabet-sized single-partition window — the
+    # aggregate-frame pattern). Merge products: k + round - 1, deduped
+    # to the FIRST round if two rounds ever produce the same string;
+    # k arrives as a broadcast 1-row scalar frame, not a driver job.
+    base = _bpe_symbols(vocab).select("sym").distinct()
+    base_ids = base.select(
+        "sym",
+        (F.row_number().over(Window.orderBy("sym")) - 1)
+        .cast("bigint")
+        .alias("tid"),
+    )
+    seen: dict[str, int] = {}
+    for rnd, (left, right) in enumerate(learned, start=1):
+        seen.setdefault(left + right, rnd)
+    sym_ids = base_ids
+    if seen:
+        prod = spark.createDataFrame(
+            [(s, rnd) for s, rnd in seen.items()], "sym string, rnd int"
+        )
+        kdf = base.agg(F.count("*").alias("k"))
+        sym_ids = base_ids.unionByName(
+            prod.crossJoin(broadcast(kdf)).select(
+                "sym",
+                (F.col("k") + F.col("rnd") - 1).cast("bigint").alias("tid"),
+            )
+        )
+
+    # Per-word token sequences, materialized once per corpus version
+    # (the dedup-signature persist convention): the 3-merge window
+    # chain otherwise re-runs for every action over the result.
+    word_tokens = scoped_persist(
+        wp.join(broadcast(sym_ids), "sym").select("word", "pos", "tid"),
+        "bpe_encode_word_tokens",
+    )
+    dt = docs.select(
+        "doc_id", F.posexplode(D.tokenize(F.col("text"))).alias("wpos", "word")
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("wpos", "pos")
+    seq = dt.join(word_tokens, "word").select(
+        "doc_id",
+        "tid",
+        F.row_number().over(wseq).cast("bigint").alias("tpos"),
+    )
+    return seq.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("token_count"),
+        F.sum("tid").cast("bigint").alias("id_sum"),
+        F.sum(F.col("tid") * F.col("tpos")).cast("bigint").alias(
+            "weighted_id_sum"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("tpos") <= 8, F.struct("tpos", "tid"))
+                    )
+                ),
+                lambda s: s["tid"].cast("string"),
+            ),
+            "-",
+        ).alias("prefix_ids"),
+    )
 
 
 @query(

@@ -972,3 +972,20 @@ def test_probe_sweep_no_corpus_sort_merge(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan  # the declared crosses
     assert "WindowGroupLimit" in plan  # per-(n_probe, query) top-3
+
+
+def test_bpe_encode_vocab_axis_discipline(spark):
+    """bpe_encode (r8): the merge chain and id assignment run on the
+    vocab/alphabet axis — no CartesianProduct anywhere (the k-scalar
+    cross is a broadcast 1-row NLJ), the token-id mapping and the
+    per-merge (l, r) frames broadcast into their joins (zero
+    SortMergeJoin against the symbol frame; the ONLY sort-merge
+    allowed is the final corpus token-stream join on word), and no
+    global Sort (the per-document sequence digest partitions by
+    doc_id)."""
+    plan = _plan(QUERIES["bpe_encode"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    # final corpus join on word may sort-merge (corpus x vocab, both
+    # word-partitioned); anything more means a merge/id join degraded
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "BroadcastHashJoin" in plan  # (l, r) merges + sym_ids

@@ -314,7 +314,9 @@ def test_cms_additivity_and_overestimate(spark, keys, split):
 def _bpe_reference(words, rounds=3):
     """Direct Python BPE: argmax adjacent pair (count desc, lexico
     tiebreak) over corpus-weighted word frequencies, greedy leftmost
-    non-overlapping merge — the Sennrich reference semantics."""
+    non-overlapping merge — the Sennrich reference semantics. Returns
+    (merge table, final per-word symbol sequences) so both the trainer
+    AND the apply/encode operator check against one reference."""
     from collections import Counter
 
     freq = Counter(words)
@@ -340,7 +342,7 @@ def _bpe_reference(words, rounds=3):
                     out.append(s[i])
                     i += 1
             syms[w] = out
-    return merges
+    return merges, syms
 
 
 @settings(**_SETTINGS)
@@ -374,5 +376,37 @@ def test_bpe_merge_rounds_match_python_reference(spark, words):
         .orderBy("round")
         .collect()
     ]
-    expected = _bpe_reference(words, 3)
+    expected, _ = _bpe_reference(words, 3)
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bpe_apply_merges_matches_python_reference(spark, words):
+    """The APPLY half (r8): encoding a vocabulary with a learned merge
+    list must reproduce the sequential reference's final per-word
+    symbol sequences — same hard cases as the trainer test (overlap
+    parity, merged symbols re-pairing, single-char words), now checked
+    on the output sequences rather than the merge table."""
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        bpe_apply_merges,
+    )
+
+    vocab_rows: dict[str, int] = {}
+    for w in words:
+        vocab_rows[w] = vocab_rows.get(w, 0) + 1
+    vocab = spark.createDataFrame(
+        [(w, c) for w, c in vocab_rows.items()], "word string, wf long"
+    )
+    merges, ref_syms = _bpe_reference(words, 3)
+    rows = bpe_apply_merges(vocab, [(l, r) for _, l, r, _ in merges]).collect()
+    got: dict[str, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r.word, r.pos)):
+        got.setdefault(r.word, []).append(r.sym)
+    assert got == ref_syms

@@ -61,6 +61,56 @@ def test_packing_deterministic_across_runs(spark, packed):
     assert again.exceptAll(packed).count() == 0
 
 
+def test_packing_consumes_real_bpe_token_counts(spark):
+    """r8 tokenizer-chain closure: pack_sequences accepts REAL token
+    counts from the trained BPE encoder in place of the regexp
+    approximation, and the streaming-greedy invariant (pack_id ==
+    floor(cum_before / budget)) holds against THOSE counts."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        pack_sequences,
+    )
+
+    counts = QUERIES["bpe_encode"](spark, SF_SMALL).select(
+        "doc_id", F.col("token_count").alias("tokens")
+    )
+    packed = pack_sequences(counts, n_shards=8, budget=256).cache()
+    try:
+        assert packed.count() == counts.count()
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bad = (
+            packed.withColumn(
+                "cum_before", F.sum("tokens").over(w) - F.col("tokens")
+            )
+            .filter(
+                F.col("pack_id")
+                != F.floor(F.col("cum_before") / F.lit(256.0))
+            )
+            .count()
+        )
+        assert bad == 0
+        # the real counts differ from the regexp approximation, so this
+        # is not vacuously the same packing (whitespace tokens vs BPE
+        # symbols after 3 merges)
+        approx = QUERIES["sequence_packing"](spark, SF_SMALL).select(
+            "doc_id", "tokens"
+        )
+        diff = (
+            counts.alias("r")
+            .join(approx.alias("a"), "doc_id")
+            .filter(F.col("r.tokens") != F.col("a.tokens"))
+            .count()
+        )
+        assert diff > 0
+    finally:
+        packed.unpersist()
+
+
 def test_quality_sample_is_subset_and_deterministic(spark):
     sample = QUERIES["quality_weighted_sample"](spark, SF_SMALL).cache()
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
