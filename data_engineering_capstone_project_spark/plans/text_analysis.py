@@ -3243,7 +3243,9 @@ def bpe_merge_rounds(vocab: DataFrame, rounds: int = 3) -> DataFrame:
     return out
 
 
-def bpe_apply_merges(vocab: DataFrame, merges: list) -> DataFrame:
+def bpe_apply_merges(
+    vocab: DataFrame, merges: list, checkpoint_every: int = 64
+) -> DataFrame:
     """ENCODE a (word, wf) vocabulary with an already-LEARNED merge
     list ``[(left_sym, right_sym), ...]`` in training order — the
     apply half of the tokenizer chain (``bpe_merge_rounds`` is the
@@ -3257,19 +3259,26 @@ def bpe_apply_merges(vocab: DataFrame, merges: list) -> DataFrame:
     window arithmetic as training: one pass over the Heaps'-law
     vocab-sized symbol frame, all inside the single Exchange on word
     that the first window establishes — the CORPUS is never touched
-    here. Plan depth grows linearly with the merge count, so applying
-    a production-sized table (30k+ merges) should checkpoint the
-    symbol frame every few hundred merges to bound the lineage; the
+    here. Plan depth grows linearly with the merge count, so
+    ``checkpoint_every`` truncates the lineage for production-sized
+    tables (30k+ merges): every N merges the symbol frame is
+    localCheckpoint-ed (eager, executor storage — no HDFS dir
+    needed), so K merges cost K window passes over MATERIALIZED data
+    instead of a K-deep expression tree the optimizer must re-analyze
+    per action. The default (64) never engages for the registered
+    3-merge query, keeping its plan fully inspectable/pinnable. The
     per-word independence also admits an Arrow ``applyInPandas``
     encoder over the distinct vocab as the constant-depth alternative
     (encode each distinct word once, join back) — same join-back shape
     as ``bpe_encode`` uses below either way."""
     wp = _bpe_symbols(vocab)
-    for left, right in merges:
+    for i, (left, right) in enumerate(merges, start=1):
         m = vocab.sparkSession.createDataFrame(
             [(left, right)], "l string, r string"
         )
         wp = _bpe_merge_apply(_bpe_adjacency(wp), m)
+        if checkpoint_every and i % checkpoint_every == 0 and i < len(merges):
+            wp = wp.localCheckpoint(eager=True)
     return wp
 
 

@@ -410,3 +410,28 @@ def test_bpe_apply_merges_matches_python_reference(spark, words):
     for r in sorted(rows, key=lambda r: (r.word, r.pos)):
         got.setdefault(r.word, []).append(r.sym)
     assert got == ref_syms
+
+
+def test_bpe_apply_checkpoint_batching_is_transparent(spark):
+    """checkpoint_every (the lineage bound for production-sized merge
+    tables) must not change results: applying 4 merges with a
+    checkpoint every 2 equals the sequential reference exactly."""
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        bpe_apply_merges,
+    )
+
+    words = ["abab", "ababab", "aab", "bb", "abba", "baba"] * 3
+    merges, ref_syms = _bpe_reference(words, 4)
+    vocab_rows: dict[str, int] = {}
+    for w in words:
+        vocab_rows[w] = vocab_rows.get(w, 0) + 1
+    vocab = spark.createDataFrame(
+        [(w, c) for w, c in vocab_rows.items()], "word string, wf long"
+    )
+    rows = bpe_apply_merges(
+        vocab, [(l, r) for _, l, r, _ in merges], checkpoint_every=2
+    ).collect()
+    got: dict[str, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r.word, r.pos)):
+        got.setdefault(r.word, []).append(r.sym)
+    assert got == ref_syms

@@ -227,6 +227,8 @@ def _run_probes(k: int, out: str):
         "bloom_semi_join_orders",  # broadcast bit-probe, zero fact shuffle
         "join_size_estimate",    # keyed-count join, fact rows never joined
         "bpe_learn_merges",      # corpus agg once, 3 vocab-sized merge rounds
+        "bpe_encode",            # r8: learn + vocab-axis apply + one corpus
+        #   token-stream join back — the 2 corpus passes are the linear term
         "name_ed1_blocking",     # deletion-neighborhood fuzzy equi-join
         "user_daily_streaks",    # (user,day) distinct + user-partition windows
         "rollup_cascade_daily",  # minute agg once, hour/day re-aggregate it
