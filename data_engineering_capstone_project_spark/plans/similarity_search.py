@@ -1442,6 +1442,7 @@ def _ivfpq_score(
     sf_dir: str,
     codes: DataFrame,
     cents: DataFrame | None = None,
+    n_probe: int = 2,
 ) -> DataFrame:
     """IVFPQ scoring tail over a (vec_id, cell_id, s, code) frame:
     broadcast the (query x probed-cell x codeword) probe, ADC-sum per
@@ -1449,7 +1450,10 @@ def _ivfpq_score(
     (inline fused encode — passes its already-built ``cents`` so the
     8-centroid collect job runs once per query, not twice) and
     ``ann_ivfpq_topk_indexed`` (codes read from the materialized
-    cell-partitioned index; derives the quantizer here)."""
+    cell-partitioned index; derives the quantizer here). ``n_probe``
+    (default 2, the registered queries' config) widens the probed-cell
+    set — the scale-probe harness uses 4 for the production-config
+    leg prescribed by the r7 review (#8)."""
     from pyspark.sql.window import Window
 
     from data_engineering_capstone_project_spark.operators.vector_index import (
@@ -1467,7 +1471,7 @@ def _ivfpq_score(
             F.col("vec_id").alias("query_id"), "embedding"
         ),
         cents,
-        n_probe=2,
+        n_probe=n_probe,
     ).select("query_id", "cell_id")
     probe = qcells.join(_pq_query_dists(spark, sf_dir), "query_id")
     adc = (

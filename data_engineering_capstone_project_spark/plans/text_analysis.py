@@ -3023,7 +3023,7 @@ def _bpe_oracle_round(n: int) -> str:
         SELECT a.word, a.wf, a.pos, a.sym, a.nxt, a.nxt_pos,
                (a.sym = m.l AND a.nxt = m.r) AS mt,
                m.l || m.r AS ms
-        FROM adj{n} a CROSS JOIN m{n} m
+        FROM adj{n} a LEFT JOIN m{n} m ON TRUE
     ),
     g{n} AS (
         SELECT *,
