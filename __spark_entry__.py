@@ -62,6 +62,18 @@ _PRIORITY = [
     # CHANGED r8: pair validation memoized per (warehouse, tag,
     # fingerprint) + the fast path now cross-checks _BUCKETS sidecars
     "revenue_by_priority_bucketed",
+    # CHANGED r8 (adversarial-corpus audit): quality-score denominators
+    # now greatest(length, 1) on BOTH engines (an empty-string document
+    # crashed every quality consumer under ANSI divide-by-zero), plus
+    # two NULL-text single-cell alignments (shingle count, span input)
+    "doc_quality",
+    "curation_funnel",
+    "dedup_canonical",
+    "quality_threshold_per_lang",
+    "quality_weighted_sample",
+    "token_budget_select",
+    "doc_repetition",
+    "span_corruption_examples",
 ]
 
 _DRIVER_SAMPLE_FIRST = rotation_order(

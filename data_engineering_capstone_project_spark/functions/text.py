@@ -45,15 +45,19 @@ def char_count(col: Column) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of characters that are punctuation ([.,!?;:])."""
+    """Fraction of characters that are punctuation ([.,!?;:]).
+    Denominator floored at 1 (r8): an EMPTY string crashed every
+    quality consumer under ANSI divide-by-zero; ''/NULL-safe ratio 0
+    is the contract, mirrored in every oracle's greatest(length, 1)."""
     n_punct = F.length(col) - F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
-    return n_punct / F.length(col)
+    return n_punct / F.greatest(F.length(col), F.lit(1))
 
 
 def alpha_ratio(col: Column) -> Column:
-    """Fraction of characters that are ASCII letters."""
+    """Fraction of characters that are ASCII letters (0 for the empty
+    string — see punct_ratio's denominator note)."""
     n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
-    return n_alpha / F.length(col)
+    return n_alpha / F.greatest(F.length(col), F.lit(1))
 
 
 def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:

@@ -54,16 +54,16 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(length(text) AS INTEGER) AS chars,
            floor((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                 / length(text) * 10000) / 10000.0 AS punct_ratio,
+                 / greatest(length(text), 1) * 10000) / 10000.0 AS punct_ratio,
            floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                 / length(text) * 10000) / 10000.0 AS alpha_ratio,
+                 / greatest(length(text), 1) * 10000) / 10000.0 AS alpha_ratio,
            floor(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                      t -> t IN ('the','a','of','and','to','in','is','it')))
                  / len(string_split_regex(lower(trim(text)), '\\s+')) * 10000) / 10000.0 AS stop_ratio,
-           floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
+           floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1))
                  + 0.3 * least(length(text) / 500.0, 1.0)
                  + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                              / length(text))) * 10000) / 10000.0 AS quality
+                              / greatest(length(text), 1))) * 10000) / 10000.0 AS quality
     FROM documents
     """,
 )
@@ -82,8 +82,11 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("n_alpha"),
         T.words(F.lower(t)).alias("toks"),
     )
-    punct_r = F.col("n_punct") / F.col("chars")
-    alpha_r = F.col("n_alpha") / F.col("chars")
+    # Denominator floored at 1 (r8): empty text crashed the whole
+    # query under ANSI divide-by-zero; ratio 0 for '' is the contract,
+    # mirrored by greatest(length(text), 1) in every quality oracle.
+    punct_r = F.col("n_punct") / F.greatest(F.col("chars"), F.lit(1))
+    alpha_r = F.col("n_alpha") / F.greatest(F.col("chars"), F.lit(1))
     n_toks = F.size("toks")
     stop_r = F.when(n_toks == 0, F.lit(0.0)).otherwise(
         F.size(F.filter(F.col("toks"), lambda x: x.isin(*T.EN_STOPWORDS))) / n_toks
@@ -777,10 +780,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quality expression shared with doc_quality's oracle (kept textually in
 # sync so canonical selection sorts by the exact same floored double).
 _QUALITY = """
-    floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
+    floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1))
           + 0.3 * least(length(text) / 500.0, 1.0)
           + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                       / length(text))) * 10000) / 10000.0
+                       / greatest(length(text), 1))) * 10000) / 10000.0
 """
 
 
@@ -1049,9 +1052,12 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = toked.select(
         "doc_id",
         total.alias("total_shingles"),
-        F.size(D.word_shingles(F.col("toks"), 3)).cast("long").alias(
-            "distinct_shingles"
-        ),
+        # coalesce: NULL text -> 0 shingles, matching the oracle (and
+        # the total_shingles path, where greatest(NULL, 0) is already
+        # 0 Spark-side) — found by the adversarial-corpus sweep (r8)
+        F.coalesce(
+            F.size(D.word_shingles(F.col("toks"), 3)).cast("long"), F.lit(0)
+        ).alias("distinct_shingles"),
     )
     rep = F.when(F.col("total_shingles") == 0, F.lit(0.0)).otherwise(
         F.floor(
@@ -1246,10 +1252,10 @@ def pack_sequences(
     oracle="""
     WITH q AS (
         SELECT doc_id, lang,
-               floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
+               floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1))
                      + 0.3 * least(length(text) / 500.0, 1.0)
                      + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                                  / length(text))) * 10000) / 10000.0 AS quality
+                                  / greatest(length(text), 1))) * 10000) / 10000.0 AS quality
         FROM documents
     )
     SELECT doc_id, lang, quality
@@ -1315,10 +1321,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT doc_id, lang,
-               CAST(floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
+               CAST(floor((0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1))
                      + 0.3 * least(length(text) / 500.0, 1.0)
                      + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                                  / length(text))) * 10000) AS BIGINT) AS q_fp
+                                  / greatest(length(text), 1))) * 10000) AS BIGINT) AS q_fp
         FROM documents
     ),
     cuts AS (
@@ -1343,10 +1349,14 @@ def quality_threshold_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer_spend_tiers, plans/relational.py)."""
     docs = table(spark, sf_dir, "documents")
     t = F.col("text")
+    # greatest(len, 1) denominators: the r8 empty-text contract (see
+    # functions/text.py punct_ratio)
     punct_r = (
         F.length(t) - F.length(F.regexp_replace(t, T.PUNCT_CLASS, ""))
-    ) / F.length(t)
-    alpha_r = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.length(t)
+    ) / F.greatest(F.length(t), F.lit(1))
+    alpha_r = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
     length_term = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
     q_fp = F.floor(
         (0.5 * alpha_r + 0.3 * length_term + 0.2 * (1 - punct_r)) * 10000
@@ -2092,12 +2102,12 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT doc_id,
-           array_to_string(flatten(list_transform(
+           COALESCE(array_to_string(flatten(list_transform(
                generate_series(0, nb - 1), blk ->
                CASE WHEN blk % 5 = doc_id % 5
                     THEN ['<extra_id_' || CAST(blk // 5 AS VARCHAR) || '>']
                     ELSE list_slice(toks, blk * 3 + 1, blk * 3 + 3) END
-           )), ' ') AS input_text,
+           )), ' '), '') AS input_text,
            COALESCE(array_to_string(list_transform(
                list_filter(generate_series(0, nb - 1),
                            blk -> blk % 5 = doc_id % 5),
@@ -2479,7 +2489,7 @@ def grid_offset_stratum_rank(
     WITH base AS (
         SELECT doc_id,
                floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                     / length(text) * 10000) / 10000.0 AS quality,
+                     / greatest(length(text), 1) * 10000) / 10000.0 AS quality,
                CAST(len(regexp_extract_all(text,
                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS tokens
         FROM documents
@@ -2518,7 +2528,7 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.floor(
                     F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-                    / F.length(t)
+                    / F.greatest(F.length(t), F.lit(1))
                     * 10000
                 )
                 / F.lit(10000.0)
