@@ -74,6 +74,23 @@ _PRIORITY = [
     "token_budget_select",
     "doc_repetition",
     "span_corruption_examples",
+    # CHANGED r8 (adversarial-EVENTS audit): NULLS-LAST rank ties for
+    # NULL event_type, ts-IS-NOT-NULL contract for time-bucketed
+    # series, clamp-before-cast percentile buckets, nullif/json_valid
+    # parse guards
+    "trending_event_types",
+    "trending_streamed_parity",
+    "trending_engine_streamed_parity",
+    "weekly_cohort_retention",
+    "week_over_week_report",
+    "cusum_changepoint",
+    "decayed_streamed_parity",
+    "percentile_streamed_parity",
+    "parse_event_props",
+    "event_props_json",
+    "events_tumbling_hourly",
+    "events_sliding_halfhour",
+    "events_sessionization",
 ]
 
 _DRIVER_SAMPLE_FIRST = rotation_order(

@@ -46,6 +46,7 @@ def _fixed_sum(col, alias):
            count(*) AS events,
            {_FIXED_SUM_SQL} AS value_sum
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -68,10 +69,10 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH expanded AS (
         SELECT CAST(floor(floor(epoch(ts) / 1800) * 1800) AS BIGINT) AS window_start, value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         UNION ALL
         SELECT CAST(floor(floor(epoch(ts) / 1800) * 1800 - 1800) AS BIGINT), value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT window_start,
            count(*) AS events,
@@ -104,7 +105,7 @@ def events_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 600
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     tagged AS (
         SELECT user_id, ts,
@@ -1218,7 +1219,11 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rnk = F.row_number().over(
         Window.partitionBy("window_start").orderBy(
-            F.desc("events"), F.asc("event_type")
+            F.desc("events"),
+            # nulls_last: Spark asc() sorts NULL FIRST, ANSI/DuckDB default
+            # is NULLS LAST — a NULL event_type flipped the tie rank (r8
+            # adversarial-events audit)
+            F.asc_nulls_last("event_type")
         )
     )
     return counted.withColumn("rnk", rnk).filter(F.col("rnk") <= 3)
@@ -1551,7 +1556,7 @@ def drift_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
         SELECT user_id,
-               least(63, greatest(0, CAST(floor(value * 4) AS INTEGER)))
+               CAST(least(63, greatest(0, floor(value * 4))) AS INTEGER)
                    AS bucket,
                count(*) AS n
         FROM events WHERE value IS NOT NULL
@@ -1805,7 +1810,11 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     ev = events_table(spark, sf_dir)
-    act = ev.select(
+    # user_id IS NOT NULL: an anonymous event has no cohort. Spark's
+    # window partitionBy GROUPS null keys (so a NULL-user "cohort"
+    # appeared) while the oracle's equi-join drops them — the SQL join
+    # semantics are the contract (r8 adversarial-events audit).
+    act = ev.filter(F.col("user_id").isNotNull()).select(
         "user_id",
         F.floor(F.col("ts").cast("long") / F.lit(604800)).alias("wk"),
     ).distinct()
@@ -2562,7 +2571,7 @@ def hourly_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
                count(*) AS n,
                coalesce(sum(CAST(floor(value * 10000) AS BIGINT)), 0) AS v
-        FROM events WHERE user_id IS NOT NULL
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         GROUP BY 1, 2
     ),
     a AS (SELECT max(d) AS anchor FROM g)
@@ -2925,7 +2934,7 @@ def ltob_pick(e: DataFrame) -> DataFrame:
         SELECT event_type,
                CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk,
                count(*) AS events
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT event_type, wk, CAST(events AS BIGINT) AS events,
            CAST(lag(events) OVER (PARTITION BY event_type ORDER BY wk)
@@ -2953,7 +2962,12 @@ def week_over_week_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, week) grid would be maintained incrementally and this
     query becomes a pure grid scan."""
     w = (
+        # ts IS NOT NULL: untimestamped events have no week; the NULL
+        # bucket otherwise gets a meaningless WoW delta whose position
+        # in the lag ordering even differs across engines (Spark NULLS
+        # FIRST vs ANSI NULLS LAST — r8 adversarial-events audit).
         events_table(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
         .groupBy(
             "event_type",
             F.floor(F.col("ts").cast("long") / F.lit(604800)).alias("wk"),
@@ -3289,7 +3303,7 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
                CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS days,
                    CAST(sum(n) AS BIGINT) AS total FROM daily),
@@ -3329,7 +3343,11 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound: D·S_i <= days · total_events ~ 1e4 · 1e12 = 1e16 at 100 TB
     scale — inside int64 with three decades to spare."""
     ev = events_table(spark, sf_dir)
-    daily = ev.groupBy(
+    # ts IS NOT NULL: a NULL "day" would join the ordered series at a
+    # different position per engine (Spark NULLS FIRST vs ANSI NULLS
+    # LAST) and shift every prefix sum — untimestamped events are out
+    # of scope for a time series (r8 adversarial-events audit).
+    daily = ev.filter(F.col("ts").isNotNull()).groupBy(
         F.floor(F.col("ts").cast("long") / F.lit(86400)).alias("d")
     ).agg(F.count("*").alias("n"))
     tot = daily.agg(

@@ -338,7 +338,8 @@ def dim_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parse_event_props",
     oracle="""
     SELECT event_type,
-           CAST(sum(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS k_sum,
+           CAST(sum(CAST(nullif(regexp_extract(props, '"k":\\s*([0-9]+)', 1), '')
+                    AS INTEGER)) AS BIGINT) AS k_sum,
            count(*) AS events
     FROM events
     GROUP BY event_type
@@ -346,7 +347,14 @@ def dim_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def parse_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = events_table(spark, sf_dir)
-    k = F.regexp_extract(F.col("props"), r'"k":\s*([0-9]+)', 1).cast("int")
+    # nullif(..., ''): Spark regexp_extract returns '' (not NULL) on a
+    # non-matching props payload, and CAST('' AS INT) crashes the whole
+    # query under ANSI; the oracle's regexp_extract returns NULL there,
+    # which is also the semantics we want — unparseable payloads
+    # contribute nothing (r8 adversarial-events audit).
+    k = F.nullif(
+        F.regexp_extract(F.col("props"), r'"k":\s*([0-9]+)', 1), F.lit("")
+    ).cast("int")
     return events.groupBy("event_type").agg(
         F.sum(k).cast("bigint").alias("k_sum"),
         F.count("*").alias("events"),
@@ -642,7 +650,9 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "event_props_json",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k')::INTEGER // 10 AS INTEGER) AS k_decile,
+    SELECT CAST(floor((CASE WHEN props IS NOT NULL AND json_valid(props)
+                            THEN json_extract_string(props, '$.k')
+                       END)::INTEGER / 10.0) AS INTEGER) AS k_decile,
            count(*) AS events
     FROM events
     GROUP BY 1

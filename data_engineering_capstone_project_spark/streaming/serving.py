@@ -261,7 +261,11 @@ def trending_topk_view(spark: SparkSession, serving: str, k: int = 3) -> DataFra
     counts = spark.read.parquet(serving)
     rnk = F.row_number().over(
         Window.partitionBy("window_start").orderBy(
-            F.desc("events"), F.asc("event_type")
+            F.desc("events"),
+            # nulls_last: Spark asc() sorts NULL FIRST, ANSI/DuckDB default
+            # is NULLS LAST — a NULL event_type flipped the tie rank (r8
+            # adversarial-events audit)
+            F.asc_nulls_last("event_type")
         )
     )
     return (
@@ -286,9 +290,13 @@ def value_histogram_increment(batch_df: DataFrame) -> DataFrame:
     # a NULL value must stay a NULL bucket (merged across batches by
     # the null-safe key equality, surfaced to the reader as its own
     # row rather than laundered into real mass).
+    # Clamp BEFORE the int cast: floor(value*4) on an extreme value
+    # (4e9 at value=1e9) overflowed the INT cast under ANSI before the
+    # clamp could bound it (r8 adversarial-events audit); clamping in
+    # the long domain makes the final cast provably in [0, 63].
     clamped = F.least(
-        F.lit(63), F.greatest(F.lit(0), F.floor(F.col("value") * 4).cast("int"))
-    )
+        F.lit(63), F.greatest(F.lit(0), F.floor(F.col("value") * 4))
+    ).cast("int")
     bucket = F.when(F.col("value").isNotNull(), clamped)
     return (
         batch_df.groupBy(F.col("user_id"), bucket.alias("bucket"))
@@ -540,7 +548,12 @@ def decayed_partials_increment(batch_df: DataFrame) -> DataFrame:
     coalesced to 0 (additive state must be NULL-free from birth — see
     _user_counts_increment)."""
     return (
-        batch_df.filter(F.col("user_id").isNotNull())
+        # ts IS NOT NULL (r8): an untimestamped event has no DAY, and a
+        # NULL-day partial would age differently per engine at read
+        # time — same contract as every day/week-grain query.
+        batch_df.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
         .groupBy(
             "user_id",
             F.floor(F.col("ts").cast("long") / F.lit(86400)).alias("d"),

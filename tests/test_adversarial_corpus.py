@@ -1,25 +1,44 @@
-"""Adversarial-corpus contract: every documents-only query matches its
-DuckDB oracle VALUE-EXACTLY on a corpus of edge-case documents.
+"""Adversarial-corpus contract: every documents-only and events-only
+query matches its DuckDB oracle VALUE-EXACTLY on tables of edge-case
+rows.
 
 The r7 empty/all-NULL audit covered empty tables and all-NULL columns;
 this r8 axis covers the shapes in between — REAL rows with degenerate
-text (empty string, whitespace-only, NULL text among valid docs, case
-folding, overlap runs, punctuation/digit soup, exact + near
-duplicates) and realistic metadata. The sweep found and pinned two bug
-classes on first run:
+values among valid ones. The query lists are DERIVED (every registered
+oracle that references exactly one of the two tables), so new queries
+on either surface are swept automatically.
 
-* ANSI DIVIDE_BY_ZERO in every quality-score consumer (curation
-  funnel, doc_quality, per-lang thresholds, weighted sampling, token
-  budget, dedup-canonical pick) — an empty-string document crashed the
-  WHOLE query. Fixed with greatest(length, 1) denominators on both
-  engines (ratio 0 for '' is the contract).
+Documents sweep (degenerate text: empty string, whitespace-only, NULL
+text, case folding, overlap runs, punctuation soup, exact/near dups)
+found two bug classes on first run:
+
+* ANSI DIVIDE_BY_ZERO in every quality-score consumer — an
+  empty-string document crashed the WHOLE query. Fixed with
+  greatest(length, 1) denominators on both engines.
 * NULL-text single-cell divergences: Spark size(NULL array) vs DuckDB
   len on the shingle count (doc_repetition), and concat over an empty
   block list ('') vs NULL (span_corruption input_text).
 
-The query list is DERIVED (every registered oracle that references the
-documents view and no other table), so new documents-surface queries
-are swept automatically.
+Events sweep (NULL ts/user/type/value/props among valid rows,
+malformed JSON, duplicate rows, negative and large values, session
+bursts) found three more classes, all fixed on both engines:
+
+* NULL-ordering divergence: Spark asc() sorts NULL FIRST, ANSI/DuckDB
+  default NULLS LAST — flipped rank ties on a NULL event_type
+  (trending family) and shifted lag/prefix windows when a NULL
+  time-bucket joined an ordered series (week_over_week, cusum).
+  Contract: rank ties use asc_nulls_last; untimestamped events are
+  excluded from every time-bucketed series (ts IS NOT NULL on both
+  engines — Spark's window()/session_window already dropped them).
+* ANSI crash-on-edge-value: CAST('' AS INT) on a non-matching
+  regexp_extract (parse_event_props — BOTH engines return '' on no
+  match, nullif on both), and an INT cast of floor(value*4) running
+  BEFORE the [0,63] clamp (percentile histogram bucket, overflowed at
+  value>5.4e8).
+* Engine strictness/semantics: DuckDB json_extract errors on
+  malformed JSON where Spark's from_json is lenient (json_valid
+  guard), and DuckDB // truncates toward zero where Spark floor()
+  floors (explicit floor in the oracle).
 """
 
 from __future__ import annotations
@@ -113,3 +132,137 @@ def test_docs_query_matches_oracle_on_adversarial_corpus(
     finally:
         con.close()
     assert not problems, problems
+
+
+# --------------------------------------------------------------------------
+# Events surface
+
+_EVENTS_OTHER = (
+    "region nation customer supplier part orders lineitem documents embeddings"
+).split()
+
+EVENTS_ONLY = sorted(
+    name
+    for name, sql in ORACLES.items()
+    if "events" in sql.lower()
+    and not any(re.search(rf"\b{t}\b", sql.lower()) for t in _EVENTS_OTHER)
+)
+
+import datetime as _dt  # noqa: E402
+
+_TS = _dt.datetime
+# (event_id, ts, user_id, event_type, value, props). Value stays within
+# ab_test_report's DOCUMENTED fixed-point domain (|value| < ~3e5 per
+# user total — its docstring declares larger values fail loudly under
+# ANSI; pinned separately below).
+EVENTS = [
+    (0, _TS(2024, 1, 1, 0, 0, 0), 1, "view", 10.0, '{"k": 1}'),
+    (1, _TS(2024, 1, 1, 0, 0, 0), 1, "view", 10.0, '{"k": 1}'),   # dup row
+    (2, _TS(2024, 1, 1, 0, 0, 0, 1), 1, "purchase", -5.5, '{"k": -2}'),
+    (3, None, 2, "view", 1.0, '{"k": 3}'),                         # NULL ts
+    (4, _TS(2024, 1, 1, 1, 30, 0), None, "view", 2.0, "{}"),       # NULL user
+    (5, _TS(2024, 1, 1, 2, 0, 0), 3, None, 3.0, None),             # NULL type
+    (6, _TS(2024, 1, 1, 2, 0, 1), 3, "purchase", None, "not json"),
+    (7, _TS(2023, 12, 31, 23, 59, 59, 999999), 4, "view", 0.0, '{"k": 0}'),
+    (8, _TS(2024, 1, 2, 0, 0, 0), 4, "purchase", 9e4, '{"k": 99999}'),
+    (9, _TS(2024, 1, 1, 12, 0, 0), 5, "error", 7.25, '{"nested": {"k": 1}}'),
+    (10, _TS(2024, 1, 1, 12, 0, 30), 5, "view", 7.25, '{"k": 5}'),
+    (11, _TS(2024, 1, 1, 12, 40, 0), 5, "purchase", 2.0, '{"k": 6}'),
+    (12, _TS(2024, 1, 1, 12, 41, 0), 5, "view", 3.0, '{"k": 7}'),
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_sf(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("adversarial_events_sf")
+    for p in glob.glob(f"{SF_SMALL}/*.parquet"):
+        if os.path.basename(p) != "events.parquet":
+            shutil.copy(p, dst / os.path.basename(p))
+    schema = pq.read_table(f"{SF_SMALL}/events.parquet").schema
+    cols = {
+        "event_id": pa.array([e[0] for e in EVENTS], type=pa.int64()),
+        "ts": pa.array([e[1] for e in EVENTS], type=pa.timestamp("us")),
+        "user_id": pa.array([e[2] for e in EVENTS], type=pa.int64()),
+        "event_type": pa.array([e[3] for e in EVENTS], type=pa.string()),
+        "value": pa.array([e[4] for e in EVENTS], type=pa.float64()),
+        "props": pa.array([e[5] for e in EVENTS], type=pa.string()),
+    }
+    pq.write_table(
+        pa.table([cols[f.name] for f in schema], schema=schema),
+        str(dst / "events.parquet"),
+    )
+    return str(dst)
+
+
+def test_events_only_list_is_substantial():
+    assert len(EVENTS_ONLY) >= 45, EVENTS_ONLY
+
+
+@pytest.mark.parametrize("name", EVENTS_ONLY)
+def test_events_query_matches_oracle_on_adversarial_corpus(
+    spark, adversarial_events_sf, name
+):
+    con = duck_connection(adversarial_events_sf)
+    try:
+        problems = compare_query(
+            spark, con, QUERIES[name], ORACLES[name], adversarial_events_sf
+        )
+    finally:
+        con.close()
+    assert not problems, problems
+
+
+def test_percentile_bucket_clamps_before_int_cast(spark):
+    """Regression for the r8 overflow: bucket = floor(value*4) must
+    clamp to [0, 63] BEFORE the INT cast — value 1e9 (4e9 > INT_MAX)
+    previously crashed under ANSI inside the cast."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        value_histogram_increment,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1e9), (2, -7.0), (3, None), (4, 0.4)],
+        "user_id long, value double",
+    )
+    rows = {
+        r.user_id: (r.bucket, r.n)
+        for r in value_histogram_increment(df).collect()
+    }
+    assert rows[1] == (63, 1)      # clamped, no overflow
+    assert rows[2] == (0, 1)       # negative clamps to 0
+    assert rows[3] == (None, 1)    # NULL value stays a NULL bucket
+    assert rows[4] == (1, 1)
+
+
+def test_ab_test_report_fails_loudly_out_of_fixed_point_domain(
+    spark, tmp_path_factory
+):
+    """ab_test_report's docstring declares its int64 fixed-point domain
+    (per-user purchase total < ~3.03e9 fixed-point units) and promises
+    ANSI fails LOUDLY past it, never silently — pin that: a 1e9-value
+    purchase must raise, not return a wrong statistic."""
+    from pyspark.errors import ArithmeticException
+
+    dst = tmp_path_factory.mktemp("ab_overflow_sf")
+    for p in glob.glob(f"{SF_SMALL}/*.parquet"):
+        if os.path.basename(p) != "events.parquet":
+            shutil.copy(p, dst / os.path.basename(p))
+    schema = pq.read_table(f"{SF_SMALL}/events.parquet").schema
+    rows = [
+        (0, _TS(2024, 1, 1), 1, "purchase", 1e9, "{}"),
+        (1, _TS(2024, 1, 1), 2, "purchase", 1.0, "{}"),
+    ]
+    cols = {
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+        "value": pa.array([r[4] for r in rows], type=pa.float64()),
+        "props": pa.array([r[5] for r in rows], type=pa.string()),
+    }
+    pq.write_table(
+        pa.table([cols[f.name] for f in schema], schema=schema),
+        str(dst / "events.parquet"),
+    )
+    with pytest.raises(ArithmeticException, match="ARITHMETIC_OVERFLOW"):
+        QUERIES["ab_test_report"](spark, str(dst)).collect()
