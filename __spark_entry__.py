@@ -91,7 +91,33 @@ _PRIORITY = [
     "events_tumbling_hourly",
     "events_sliding_halfhour",
     "events_sessionization",
+    # CHANGED r8 (adversarial-EMBEDDINGS audit): the indexable-vector
+    # quarantine (NULL/zero-norm vectors excluded from every cosine
+    # path on both engines), PQ's non-NULL encode filter, NULL labels
+    # seeding no class centroid, NULL-projection alignment
+    "cosine_topk",
+    "ann_lsh_topk",
+    "lsh_bucket_histogram",
+    "embedding_near_dups",
+    "embedding_projection",
+    "nearest_centroid_assign",
+    "kmeans_refine",
+    "cluster_balanced_sample",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_topk",
+    "pq_encode_incremental",
+    "ann_pq_topk_indexed",
+    "ann_pq_topk_after_delete",
+    "ann_ivfpq_topk_indexed",
+    "ann_ivfpq_probe_sweep",
 ]
+# r8 note: the head is unusually large (42 of the 50-row sample)
+# because the adversarial audits changed three whole surfaces' shared
+# paths; the r2/r3 stale tail resumes draining in r9 (the standing
+# rule — changed code invalidates old driver rows — outranks tail
+# freshness for one round).
 
 _DRIVER_SAMPLE_FIRST = rotation_order(
     QUERIES, last_verified_rounds(_REPO), _PRIORITY

@@ -35,6 +35,17 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def indexable(vec: Column) -> Column:
+    """A vector the similarity family can score: non-NULL with a
+    POSITIVE norm. A NULL row has no vector; a zero-norm vector has no
+    direction, so cosine to it is undefined (and divides by zero under
+    ANSI). Every family entry point FILTERS on this — quarantine, the
+    same contract as the media decoders' null payloads — and every
+    oracle carries the matching ``embedding IS NOT NULL AND dot > 0``
+    clause (r8 adversarial-embeddings audit)."""
+    return vec.isNotNull() & (dot(vec, vec) > 0)
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -54,10 +65,12 @@ def brute_force_topk(
     and runs (unrounded doubles can differ at 1 ulp between engines,
     which must not reorder the top-k boundary).
     """
-    q = queries.select(
+    q = queries.filter(indexable(F.col(vec_col))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.filter(indexable(F.col(vec_col))).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     if broadcast_queries:
         q = broadcast(q)
     scored = (
@@ -89,19 +102,26 @@ def sign_lsh_bucket(vec: Column, dims: tuple[int, ...] = SIGN_DIMS) -> Column:
 
     Vectors shorter than max(dims) raise a clear error rather than
     ANSI INVALID_ARRAY_INDEX (or a silent all-'0' tail in non-ANSI
-    mode)."""
+    mode). A NULL vector yields a NULL bucket (standard SQL f(NULL)
+    semantics — the r8 audit found the raise also firing for NULL
+    rows, where "no vector" is quarantinable data, not corruption; a
+    NULL bucket never equi-joins, so such rows drop out of candidate
+    generation naturally)."""
     max_d = max(dims)
     bits = [
         F.when(F.element_at(vec, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for d in dims
     ]
     return F.when(F.size(vec) >= max_d, F.concat(*bits)).otherwise(
-        F.raise_error(
-            F.format_string(
-                "sign_lsh_bucket: vector has %d dims, needs >= "
-                + str(max_d),
-                F.size(vec),
-            )
+        F.when(
+            vec.isNotNull(),
+            F.raise_error(
+                F.format_string(
+                    "sign_lsh_bucket: vector has %d dims, needs >= "
+                    + str(max_d),
+                    F.size(vec),
+                )
+            ),
         )
     )
 
@@ -116,12 +136,12 @@ def ann_lsh_topk(
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine rank within bucket. The cross join becomes
     an equi-join on the bucket key -- linear shuffle, no all-pairs."""
-    q = queries.select(
+    q = queries.filter(indexable(F.col(vec_col))).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         sign_lsh_bucket(F.col(vec_col)).alias("bkt"),
     )
-    c = corpus.select(
+    c = corpus.filter(indexable(F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         sign_lsh_bucket(F.col(vec_col)).alias("bkt"),

@@ -41,6 +41,7 @@ from pyspark.sql.window import Window
 
 from data_engineering_capstone_project_spark.operators.similarity import (
     cosine,
+    indexable,
     norm,
 )
 
@@ -56,7 +57,9 @@ def train_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    feats = corpus.filter(indexable(F.col(vec_col))).select(
+        array_to_vector(F.col(vec_col)).alias("features")
+    )
     model = KMeans(
         k=n_cells, seed=seed, distanceMeasure="cosine", featuresCol="features"
     ).fit(feats)
@@ -79,13 +82,16 @@ def sampled_centroids(
     SQL engine, so IVF results built on it are oracle-checkable.
     Quality is below k-means but adequate when the corpus is not
     strongly clustered; swap in ``train_centroids`` where recall
-    matters more than portability. NULL vectors are excluded — an
-    unindexable row cannot be a centroid (without the filter a null
-    embedding reaches assign_cells' collect as a None centroid — r7
-    all-NULL input audit)."""
+    matters more than portability. Non-indexable vectors (NULL or
+    zero-norm — similarity.indexable) are excluded: an unindexable row
+    cannot be a centroid (a NULL embedding reached assign_cells'
+    collect as a None centroid in the r7 all-NULL audit; a zero-norm
+    centroid would divide every cosine assignment by zero — r8
+    adversarial-embeddings audit). Oracle ids CTEs carry the matching
+    WHERE clause."""
     w = Window.orderBy(id_col)
     return (
-        corpus.filter(F.col(vec_col).isNotNull())
+        corpus.filter(indexable(F.col(vec_col)))
         .orderBy(id_col)
         .limit(n_cells)
         .select(
@@ -161,6 +167,12 @@ def assign_cells(
                 F.lit(cid).cast("int").alias("cell_id"),
             )
         )
+    # Non-indexable rows (NULL/zero-norm vector) are unassignable —
+    # their cosine to every centroid divides by zero — and are
+    # quarantined here so every caller (IVF corpus/query assignment,
+    # IVFPQ fused encode, the probe sweep) inherits one contract (r8
+    # adversarial-embeddings audit; oracles filter identically).
+    df = df.filter(indexable(v))
     # _vnorm staged in its own projection: sqrt(aggregate(...)) is
     # non-cheap, so CollapseProject keeps it one-eval-per-row instead
     # of inlining it into every struct (see the word_shingles note).

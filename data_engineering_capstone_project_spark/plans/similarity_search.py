@@ -25,14 +25,24 @@ def _dot(a: str, b: str) -> str:
     )
 
 
+def _valid(col: str) -> str:
+    """SQL twin of ``operators.similarity.indexable``: non-NULL vector
+    with a positive norm. Every similarity-family oracle filters its
+    embedding sources on this, mirroring the Spark-side quarantine
+    (r8 adversarial-embeddings audit)."""
+    return f"({col} IS NOT NULL AND {_dot(col, col)} > 0)"
+
+
 _COS = f"floor({_dot('q.qv', 'c.cv')} / (sqrt({_dot('q.qv', 'q.qv')}) * sqrt({_dot('c.cv', 'c.cv')})) * 10000) / 10000.0"
 
 
 @query(
     "cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10 AND {_valid('embedding')}),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+               WHERE {_valid('embedding')}),
          scored AS (
              SELECT q.query_id, c.neighbor_id, {_COS} AS cos
              FROM q CROSS JOIN c
@@ -67,10 +77,11 @@ _BKT = (
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
                       {_BKT.format(v='embedding')} AS bkt
-               FROM embeddings WHERE vec_id < 10),
+               FROM embeddings
+               WHERE vec_id < 10 AND {_valid('embedding')}),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
                       {_BKT.format(v='embedding')} AS bkt
-               FROM embeddings),
+               FROM embeddings WHERE {_valid('embedding')}),
          scored AS (
              SELECT q.query_id, c.neighbor_id, {_COS} AS cos
              FROM q JOIN c USING (bkt)
@@ -96,13 +107,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS vectors,
            CAST(count(DISTINCT label) AS BIGINT) AS labels
     FROM embeddings
+    WHERE {_valid('embedding')}
     GROUP BY 1
     """,
 )
 def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-occupancy diagnostics for the sign-LSH index: shows skew
-    a production deployment would need to salt/split."""
-    emb = table(spark, sf_dir, "embeddings")
+    a production deployment would need to salt/split. Scoped to the
+    INDEXABLE vectors (similarity.indexable) — the histogram describes
+    the index, and non-indexable rows are quarantined out of it."""
+    emb = table(spark, sf_dir, "embeddings").filter(
+        S.indexable(F.col("embedding"))
+    )
     return emb.groupBy(
         S.sign_lsh_bucket(F.col("embedding")).alias("bkt")
     ).agg(
@@ -115,7 +131,7 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dups",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding, {_BKT.format(v='embedding')} AS bkt
-               FROM embeddings),
+               FROM embeddings WHERE {_valid('embedding')}),
          a AS (SELECT vec_id AS id_a, embedding AS qv, bkt FROM e),
          b AS (SELECT vec_id AS id_b, embedding AS cv, bkt FROM e)
     SELECT id_a, id_b, cos
@@ -133,7 +149,9 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sign-LSH bucket equi-join, exact cosine as the residual filter.
     The dedup twin of ann_lsh_topk — at 100 TB the all-pairs compare is
     impossible; the bucket join bounds it to O(n x bucket_size)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        S.indexable(F.col("embedding"))
+    )
     withb = emb.select(
         "vec_id", "embedding", S.sign_lsh_bucket(F.col("embedding")).alias("bkt")
     )
@@ -171,13 +189,15 @@ _IVF_FSIM = (
 @query(
     "ann_ivf_topk",
     oracle=f"""
-    WITH ids AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+    WITH ids AS (SELECT vec_id, embedding FROM embeddings
+           WHERE {_valid('embedding')} ORDER BY vec_id LIMIT 8),
     cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id,
                     embedding AS centroid
              FROM ids),
     sc AS (
         SELECT e.vec_id, cent.cell_id, {_IVF_FSIM} AS fsim
         FROM embeddings e CROSS JOIN cent
+        WHERE {_valid('e.embedding')}
     ),
     corpus_assign AS (
         SELECT vec_id, cell_id FROM (
@@ -226,13 +246,15 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cluster_balanced_sample",
     oracle=f"""
-    WITH ids AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+    WITH ids AS (SELECT vec_id, embedding FROM embeddings
+           WHERE {_valid('embedding')} ORDER BY vec_id LIMIT 8),
     cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id,
                     embedding AS centroid
              FROM ids),
     sc AS (
         SELECT e.vec_id, cent.cell_id, {_IVF_FSIM} AS fsim
         FROM embeddings e CROSS JOIN cent
+        WHERE {_valid('e.embedding')}
     ),
     corpus_assign AS (
         SELECT vec_id, cell_id FROM (
@@ -436,8 +458,12 @@ def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("string"),
         ),
     )
+    # NULL embedding -> NULL projection (concat_ws would otherwise
+    # skip every NULL term and emit '' where the oracle's
+    # array_to_string yields NULL — r8 adversarial-embeddings audit).
     return table(spark, sf_dir, "embeddings").select(
-        "vec_id", proj.alias("proj")
+        "vec_id",
+        F.when(F.col("embedding").isNotNull(), proj).alias("proj"),
     )
 
 
@@ -464,6 +490,12 @@ def _cached_label_centroids(
         return _CENTROID_CACHE[key]
     by_label: dict[int, dict[int, float]] = {}
     for r in label_centroids(spark, sf_dir).collect():
+        # A NULL label is not a class: it cannot seed a centroid (and
+        # a None key would crash the sorted() over labels downstream) —
+        # r8 adversarial-embeddings audit; the oracle's cent CTE
+        # filters label IS NOT NULL identically.
+        if r["label"] is None:
+            continue
         by_label.setdefault(r["label"], {})[r["dim"]] = r["mean_val"]
     if not by_label:
         # Training a codebook on nothing is undefined (FAISS raises
@@ -488,6 +520,7 @@ _CENT_ASSIGN_CTES = """cent AS (
                (sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000)
                          AS BIGINT)) / count(*)) / 10000000.0 AS mean_val
         FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+        WHERE label IS NOT NULL
         GROUP BY 1, 2
     ),
     dist AS (
@@ -496,6 +529,7 @@ _CENT_ASSIGN_CTES = """cent AS (
                               * (CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.mean_val)
                               * 10000000) AS BIGINT)) AS dist_fp
         FROM embeddings e JOIN cent c ON TRUE
+        WHERE e.embedding IS NOT NULL
         GROUP BY 1, 2, 3
     ),
     asg AS (
@@ -562,7 +596,12 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE summation, so the argmin is over exact integers with the
     class id as tiebreak — no float summation order anywhere."""
     assigned = _nearest_label_expr(_cached_label_centroids(spark, sf_dir))
-    emb = table(spark, sf_dir, "embeddings")
+    # embedding IS NOT NULL: a vector-less row cannot be assigned (its
+    # NULL distances would tie-rank arbitrarily) — oracle's dist CTE
+    # filters identically (r8 adversarial-embeddings audit).
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return (
         emb.select("label", assigned.alias("assigned"))
         .groupBy("label", "assigned")
@@ -606,7 +645,11 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     means are int64 fixed-point sums / count divided once — the same
     scheme label_centroids hash-verifies."""
     assigned = _nearest_label_expr(_cached_label_centroids(spark, sf_dir))
-    emb = table(spark, sf_dir, "embeddings")
+    # embedding IS NOT NULL: same assignability contract as
+    # nearest_centroid_assign (the oracle's dist CTE filters it).
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     e = emb.select(assigned.alias("assigned"), "embedding").select(
         "assigned", F.posexplode("embedding").alias("dim", "x")
     )
@@ -738,6 +781,7 @@ _PQ_SCODE_CTES = """cent AS (
                (sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000)
                          AS BIGINT)) / count(*)) / 10000000.0 AS mean_val
         FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+        WHERE label IS NOT NULL
         GROUP BY 1, 2
     ),
     scode AS (
@@ -747,6 +791,7 @@ _PQ_SCODE_CTES = """cent AS (
                    * (CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.mean_val)
                    * 10000000) AS BIGINT)) AS BIGINT) AS d
         FROM embeddings e JOIN cent c ON TRUE
+        WHERE e.embedding IS NOT NULL
         GROUP BY 1, 2, 3
     ),
     codes AS (
@@ -860,6 +905,10 @@ def _pq_corpus_codes(
     by_label = _cached_label_centroids(spark, sf_dir)
     labels = sorted(by_label)
     emb = source if source is not None else table(spark, sf_dir, "embeddings")
+    # A NULL embedding has no codes (its sub-distances are all NULL and
+    # the argmin garbage); the oracle's scode CTE filters identically.
+    # Zero-norm vectors DO encode — PQ/ADC is L2, no normalization.
+    emb = emb.filter(F.col("embedding").isNotNull())
 
     def code_expr(s: int):
         cand = F.array(
@@ -919,9 +968,11 @@ def _pq_query_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     cent = spark.createDataFrame(rows, "s int, label int, cent array<double>")
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # NULL-embedding queries have no distance table (oracle's qd comes
+    # from the NULL-filtered scode CTE).
+    q = emb.filter(
+        (F.col("vec_id") < 10) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     sub = F.slice(
         F.col("embedding"),
         F.col("s") * F.lit(_PQ_SUBDIM) + F.lit(1),
@@ -1348,7 +1399,8 @@ _IVFPQ_FSIM = (
 # inline fused encode, so ONE oracle covers both.
 _IVFPQ_ORACLE = f"""
     WITH {_PQ_SCODE_CTES},
-    ids AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+    ids AS (SELECT vec_id, embedding FROM embeddings
+           WHERE {_valid('embedding')} ORDER BY vec_id LIMIT 8),
     ccent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                          AS cell_id,
                      embedding AS centroid
@@ -1356,6 +1408,7 @@ _IVFPQ_ORACLE = f"""
     sc AS (
         SELECT e.vec_id, ccent.cell_id, {_IVFPQ_FSIM} AS fsim
         FROM embeddings e CROSS JOIN ccent
+        WHERE {_valid('e.embedding')}
     ),
     corpus_assign AS (
         SELECT vec_id, cell_id FROM (
@@ -1500,7 +1553,8 @@ _SWEEP_PROBES = (1, 2, 4)
 
 _IVFPQ_SWEEP_ORACLE = f"""
     WITH {_PQ_SCODE_CTES},
-    ids AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+    ids AS (SELECT vec_id, embedding FROM embeddings
+           WHERE {_valid('embedding')} ORDER BY vec_id LIMIT 8),
     ccent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                          AS cell_id,
                      embedding AS centroid
@@ -1508,6 +1562,7 @@ _IVFPQ_SWEEP_ORACLE = f"""
     sc AS (
         SELECT e.vec_id, ccent.cell_id, {_IVFPQ_FSIM} AS fsim
         FROM embeddings e CROSS JOIN ccent
+        WHERE {_valid('e.embedding')}
     ),
     corpus_assign AS (
         SELECT vec_id, cell_id FROM (
@@ -1565,6 +1620,7 @@ _IVFPQ_SWEEP_ORACLE = f"""
                 FROM embeddings eq
                 JOIN embeddings ec
                   ON eq.vec_id < 10 AND eq.vec_id <> ec.vec_id
+                 AND {_valid('eq.embedding')} AND {_valid('ec.embedding')}
             )
         ) WHERE r <= 3
     )
@@ -1682,10 +1738,14 @@ def ann_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-L2 reference: the brute-force verifier tier (10 queries
     # broadcast x corpus), fixed-point per-element terms so any engine
     # reproduces the exact ranking.
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    c = emb.select(
+    # Ground truth over the INDEXABLE corpus (the exact top-3 the index
+    # could ever serve): non-indexable rows are quarantined from the
+    # index, and a NULL distance would rank NULLS-FIRST into Spark's
+    # top-3 while DuckDB ranks it last (r8 adversarial audit).
+    q = emb.filter(
+        (F.col("vec_id") < 10) & S.indexable(F.col("embedding"))
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    c = emb.filter(S.indexable(F.col("embedding"))).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
     dist = F.aggregate(

@@ -39,6 +39,21 @@ bursts) found three more classes, all fixed on both engines:
   malformed JSON where Spark's from_json is lenient (json_valid
   guard), and DuckDB // truncates toward zero where Spark floor()
   floors (explicit floor in the oracle).
+
+Embeddings sweep (zero-norm vector, NULL embedding, NULL label, exact
+duplicate, large magnitude) drove one family-wide contract, fixed on
+both engines: a vector is INDEXABLE iff non-NULL with positive norm
+(operators.similarity.indexable; SQL twin similarity_search._valid).
+Every cosine path — brute force, sign-LSH, IVF assignment, the IVFPQ
+fused encode, the probe sweep's exact verifier tier — QUARANTINES
+non-indexable rows (previously: ANSI divide-by-zero on the zero
+vector, the short-vector raise misfiring on NULL rows, NULL distances
+ranking NULLS-FIRST into Spark top-k while DuckDB ranked them last,
+and float(None) crashes in the collected centroid sets). PQ encode
+(pure L2) keeps zero-norm vectors but requires non-NULL ones; NULL
+labels seed no class centroid (Spark window-partitions group NULL
+keys; SQL equi-joins drop them). The sign-LSH short-vector raise
+stays loud for non-null corruption.
 """
 
 from __future__ import annotations
@@ -210,6 +225,141 @@ def test_events_query_matches_oracle_on_adversarial_corpus(
     finally:
         con.close()
     assert not problems, problems
+
+
+# --------------------------------------------------------------------------
+# Embeddings surface
+
+_EMB_OTHER = (
+    "region nation customer supplier part orders lineitem documents events"
+).split()
+
+EMB_ONLY = sorted(
+    name
+    for name, sql in ORACLES.items()
+    if "embeddings" in sql.lower()
+    and not any(re.search(rf"\b{t}\b", sql.lower()) for t in _EMB_OTHER)
+)
+
+_DIM = 64
+
+
+def _vec(seed: int, scale: float = 1.0) -> list[float]:
+    import random
+
+    r = random.Random(seed)
+    return [round(r.uniform(-1, 1) * scale, 4) for _ in range(_DIM)]
+
+
+def _emb_rows():
+    """40 vectors with adversarial rows mixed in: a zero-norm vector
+    (no direction — cosine undefined), a NULL embedding, a NULL label,
+    an exact duplicate (distance ties), and a large-magnitude vector.
+    The family's contract: non-INDEXABLE vectors (NULL or zero-norm —
+    operators.similarity.indexable) are QUARANTINED from every cosine
+    path, PQ additionally requires a non-NULL vector, and every oracle
+    carries the matching WHERE clause. A vector with a NULL ELEMENT is
+    also non-indexable (its dot product is NULL) — pinned separately
+    below rather than mixed in, because the PQ encode contract only
+    covers well-formed vectors."""
+    rows = [(i, _vec(i), i % 4) for i in range(40)]
+    rows[12] = (12, [0.0] * _DIM, 2)
+    rows[13] = (13, None, 1)
+    rows[14] = (14, _vec(14), None)
+    rows[15] = (15, _vec(5), 3)
+    rows[16] = (16, _vec(16, scale=1000.0), 0)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_sf(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("adversarial_emb_sf")
+    for p in glob.glob(f"{SF_SMALL}/*.parquet"):
+        if os.path.basename(p) != "embeddings.parquet":
+            shutil.copy(p, dst / os.path.basename(p))
+    schema = pq.read_table(f"{SF_SMALL}/embeddings.parquet").schema
+    rows = _emb_rows()
+    cols = {
+        "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "embedding": pa.array(
+            [r[1] for r in rows], type=pa.list_(pa.float32())
+        ),
+        "label": pa.array([r[2] for r in rows], type=pa.int32()),
+    }
+    pq.write_table(
+        pa.table([cols[f.name] for f in schema], schema=schema),
+        str(dst / "embeddings.parquet"),
+    )
+    return str(dst)
+
+
+def test_emb_only_list_is_substantial():
+    assert len(EMB_ONLY) >= 20, EMB_ONLY
+
+
+@pytest.mark.parametrize("name", EMB_ONLY)
+def test_emb_query_matches_oracle_on_adversarial_corpus(
+    spark, adversarial_emb_sf, name
+):
+    con = duck_connection(adversarial_emb_sf)
+    try:
+        problems = compare_query(
+            spark, con, QUERIES[name], ORACLES[name], adversarial_emb_sf
+        )
+    finally:
+        con.close()
+    assert not problems, problems
+
+
+def test_null_element_vector_is_not_indexable(spark):
+    """A vector containing a NULL element has a NULL dot product, so
+    indexable() excludes it — the cosine family quarantines it with
+    the NULL/zero-norm rows instead of scoring garbage."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project_spark.operators.similarity import (
+        indexable,
+    )
+
+    bad = _vec(99)
+    bad[7] = None
+    df = spark.createDataFrame(
+        [(1, _vec(1)), (2, bad), (3, None), (4, [0.0] * _DIM)],
+        "vec_id long, embedding array<float>",
+    )
+    kept = [
+        r.vec_id
+        for r in df.filter(indexable(F.col("embedding"))).collect()
+    ]
+    assert kept == [1]
+
+
+def test_sign_lsh_short_vector_still_raises(spark):
+    """The r8 quarantine (NULL vector -> NULL bucket) must not soften
+    the corruption contract: a SHORT non-null vector still raises."""
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project_spark.operators.similarity import (
+        sign_lsh_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    # NULL vector -> NULL bucket, no raise
+    rows = {
+        r.vec_id: r.bkt
+        for r in df.filter(F.col("vec_id") == 2)
+        .select(sign_lsh_bucket(F.col("embedding")).alias("bkt"))
+        .selectExpr("2 AS vec_id", "bkt")
+        .collect()
+    }
+    assert rows[2] is None
+    with pytest.raises(SparkRuntimeException, match="needs >= 57"):
+        df.filter(F.col("vec_id") == 1).select(
+            sign_lsh_bucket(F.col("embedding")).alias("bkt")
+        ).collect()
 
 
 def test_percentile_bucket_clamps_before_int_cast(spark):
