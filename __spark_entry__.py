@@ -112,8 +112,18 @@ _PRIORITY = [
     "ann_pq_topk_after_delete",
     "ann_ivfpq_topk_indexed",
     "ann_ivfpq_probe_sweep",
+    # CHANGED r8 (adversarial-RELATIONAL audit): NULLS-LAST order-date
+    # windows, vacuous-true percentile check, NULL-axis skyline
+    # exclusion, z-score NULL balance/segment filters, total-key NULL
+    # encoding mirrored in the surrogate oracle
+    "customer_order_progression",
+    "orders_moving_avg",
+    "approx_percentile_check",
+    "part_price_skyline",
+    "segment_zscore_pandas",
+    "surrogate_keys",
 ]
-# r8 note: the head is unusually large (42 of the 50-row sample)
+# r8 note: the head is unusually large (48 of the 50-row sample)
 # because the adversarial audits changed three whole surfaces' shared
 # paths; the r2/r3 stale tail resumes draining in r9 (the standing
 # rule — changed code invalidates old driver rows — outranks tail

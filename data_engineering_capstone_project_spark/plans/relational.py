@@ -388,7 +388,9 @@ def sas_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "surrogate_keys",
     oracle="""
     SELECT c_custkey,
-           sha256(concat_ws(chr(31), CAST(c_custkey AS VARCHAR), c_name)) AS sk
+           sha256(concat_ws(chr(31),
+                            coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+                            coalesce(c_name, chr(0)))) AS sk
     FROM customer
     """,
 )
@@ -723,7 +725,12 @@ def customer_order_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-frame matches DuckDB's default range-frame."""
     orders = table(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # nulls_last: Spark asc() orders NULL dates FIRST, ANSI/DuckDB
+    # default LAST — a dateless order shifted every later seq/lag/sum
+    # in its customer's series (r8 adversarial audit).
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+    )
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         "o_orderkey",
@@ -1279,9 +1286,16 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     exact = F.expr("percentile(l_extendedprice, 0.5)")
     approx = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    # Vacuous-true guard (r8 adversarial audit): a group whose prices
+    # are all NULL has no median to check (exact NULL made the flag
+    # NULL where the oracle's literal is TRUE), and an exact median of
+    # 0 would divide by zero — both are "nothing to check".
+    within = F.when(
+        exact.isNull() | (exact == 0), F.lit(True)
+    ).otherwise(F.abs(approx - exact) / exact <= 0.01)
     return li.groupBy("l_returnflag").agg(
         (F.floor(exact * 10000) / F.lit(10000.0)).alias("p50_exact"),
-        (F.abs(approx - exact) / exact <= 0.01).alias("approx_within_1pct"),
+        within.alias("approx_within_1pct"),
     )
 
 
@@ -1339,9 +1353,10 @@ def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same two integers in any engine, so the double result is
     bit-identical regardless of frame evaluation order."""
     orders = table(spark, sf_dir, "orders")
+    # nulls_last: see customer_order_progression (same window family)
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
         .rowsBetween(-2, Window.currentRow)
     )
     fixed = F.sum(
@@ -3019,6 +3034,7 @@ def fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_mktsegment,
                CAST(floor(c_acctbal * 100) AS BIGINT) AS xfp
         FROM customer
+        WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL
     ),
     m AS (
         SELECT c_mktsegment,
@@ -3076,8 +3092,16 @@ def segment_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    cust = table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
+    # NULL balance has no z-score (floor(NaN).astype(int64) crashed the
+    # Arrow worker); NULL segment has no group (Spark groupBy keeps a
+    # NULL-key group, the oracle's equi-join drops it — join semantics
+    # win, as for cohorts). r8 adversarial audit.
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_acctbal").isNotNull() & F.col("c_mktsegment").isNotNull()
+        )
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
     )
     schema = StructType(
         [
@@ -4031,7 +4055,8 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.p_partkey, a.p_size,
            floor(a.p_retailprice * 10000) / 10000.0 AS price
     FROM part a
-    WHERE NOT EXISTS (
+    WHERE a.p_size IS NOT NULL AND a.p_retailprice IS NOT NULL
+      AND NOT EXISTS (
         SELECT 1 FROM part b
         WHERE b.p_size >= a.p_size
           AND b.p_retailprice <= a.p_retailprice
@@ -4084,7 +4109,14 @@ def pareto_frontier_2d(
     and all survive. One corpus hash agg to the maximize-domain grid, a
     running-min window over that grid, and a broadcast semi-filter back
     (property-tested against a brute-force dominance check in
-    tests/test_property_round6c.py)."""
+    tests/test_property_round6c.py). Rows with a NULL on either axis
+    are excluded up front: dominance is undefined for them — SQL
+    three-valued logic would let a NULL row survive every NOT EXISTS
+    check and sit vacuously on the frontier (r8 adversarial audit;
+    the oracle filters identically)."""
+    df = df.filter(
+        F.col(maximize_col).isNotNull() & F.col(minimize_col).isNotNull()
+    )
     gmin = df.groupBy(maximize_col).agg(F.min(minimize_col).alias("m"))
     # Min of the minimize axis over STRICTLY larger maximize values:
     # order the grid descending, running min of the preceding rows.

@@ -311,6 +311,116 @@ def test_emb_query_matches_oracle_on_adversarial_corpus(
     assert not problems, problems
 
 
+# --------------------------------------------------------------------------
+# Relational (TPC-H) surface: every query whose oracle touches only the
+# TPC-H tables, against tables with adversarial rows APPENDED to the
+# real sf0.001 rows (joins stay meaningful): NULL keys/dates/amounts/
+# attributes, orphan foreign keys, negative amounts, zero and extreme
+# prices, far-future dates, a NULL-regionkey nation. First sweep: 79 of
+# 85 passed outright (the fixed-point/floor discipline is inherently
+# NULL-safe); the 6 findings, fixed on both engines:
+#   * NULLS-ordering in per-customer windows ordered by o_orderdate
+#     (progression seq/lag/run-sum and the moving average) ->
+#     asc_nulls_last, matching ANSI.
+#   * approx_percentile_check emitted NULL where the oracle's literal
+#     is TRUE for an all-NULL-price group (vacuous-true guard, which
+#     also guards an exact-median-of-0 division).
+#   * part_price_skyline: SQL three-valued logic let a NULL-axis part
+#     sit vacuously on the frontier via NOT EXISTS while the fast plan
+#     dropped it — dominance is undefined for NULL axes; both engines
+#     now exclude them (pareto_frontier_2d filters up front).
+#   * segment_zscore_pandas: floor(NaN).astype(int64) crashed the
+#     Arrow worker on a NULL balance; NULL segments survived Spark's
+#     NULL-key groupBy but not the oracle's equi-join (join semantics
+#     win — both filtered).
+#   * surrogate_keys: the Spark function's documented total-key NULL
+#     encoding (chr(0), distinct from '') was not mirrored by the
+#     oracle's concat_ws, which SKIPS NULLs (oracle now coalesces).
+
+_REL_TABLES = ("orders", "lineitem", "customer", "supplier", "part",
+               "nation", "region")
+_NONREL = ("documents", "events", "embeddings")
+
+REL_ONLY = sorted(
+    name
+    for name, sql in ORACLES.items()
+    if not any(re.search(rf"\b{t}\b", sql.lower()) for t in _NONREL)
+    and any(re.search(rf"\b{t}\b", sql.lower()) for t in _REL_TABLES)
+)
+
+_REL_TS = _dt.datetime
+_REL_EXTRA = {
+    "orders": [
+        (900001, None, "O", 100.0, _REL_TS(1995, 6, 1), "1-URGENT"),
+        (900002, 1, None, None, None, None),
+        (900003, 888888, "F", -50.0, _REL_TS(1995, 6, 2), "5-LOW"),
+        (900004, 2, "P", 1e7, _REL_TS(2055, 1, 1), "2-HIGH"),
+        (900005, 3, "O", 0.0, _REL_TS(1995, 6, 3), "3-MEDIUM"),
+    ],
+    "lineitem": [
+        (900001, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O",
+         _REL_TS(1995, 6, 5)),
+        (900002, 2, 2, 1, None, None, None, None, None, None, None),
+        (777777, 3, 3, 1, 10.0, 200.0, 0.1, 0.0, "R", "F",
+         _REL_TS(1995, 6, 6)),
+        (900003, None, None, 2, -4.0, 80.0, 1.5, 0.0, "A", "F",
+         _REL_TS(1995, 6, 7)),
+        (900004, 4, 1, 1, 1.0, 0.0, 0.0, 0.0, "N", "O",
+         _REL_TS(2055, 1, 2)),
+    ],
+    "customer": [
+        (900101, None, None, None, None),
+        (900102, "Customer#900102", 99, 100.0, "BUILDING"),
+    ],
+    "supplier": [(900201, None, None, None)],
+    "part": [
+        (900301, None, None, None, None, None),
+        (900302, "adversarial part", "Brand#99", "SHINY STEEL", -12, -1.0),
+    ],
+    "nation": [(91, "NULLLAND", None)],
+}
+
+
+@pytest.fixture(scope="module")
+def adversarial_rel_sf(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("adversarial_rel_sf")
+    for p in glob.glob(f"{SF_SMALL}/*.parquet"):
+        t = os.path.basename(p)[:-8]
+        if t not in _REL_EXTRA:
+            shutil.copy(p, dst / os.path.basename(p))
+    for t, rows in _REL_EXTRA.items():
+        base = pq.read_table(f"{SF_SMALL}/{t}.parquet")
+        add = pa.table(
+            {
+                f.name: pa.array([r[i] for r in rows], type=f.type)
+                for i, f in enumerate(base.schema)
+            },
+            schema=base.schema,
+        )
+        pq.write_table(
+            pa.concat_tables([base, add]), str(dst / f"{t}.parquet")
+        )
+    return str(dst)
+
+
+def test_rel_only_list_is_substantial():
+    assert len(REL_ONLY) >= 75, REL_ONLY
+
+
+@pytest.mark.parametrize("name", REL_ONLY)
+def test_rel_query_matches_oracle_on_adversarial_corpus(
+    spark, adversarial_rel_sf, name
+):
+    con = duck_connection(adversarial_rel_sf)
+    try:
+        problems = compare_query(
+            spark, con, QUERIES[name], ORACLES[name], adversarial_rel_sf
+        )
+    finally:
+        con.close()
+    assert not problems, problems
+
+
 def test_null_element_vector_is_not_indexable(spark):
     """A vector containing a NULL element has a NULL dot product, so
     indexable() excludes it — the cosine family quarantines it with
