@@ -421,6 +421,41 @@ def test_rel_query_matches_oracle_on_adversarial_corpus(
     assert not problems, problems
 
 
+def test_hybrid_rrf_on_combined_adversarial_corpus(
+    spark, adversarial_sf, adversarial_emb_sf, tmp_path_factory
+):
+    """The one multi-surface query (documents + embeddings): swept on a
+    dir combining BOTH adversarial tables — with this, every query
+    except star_schema_summary (which reads the fixed reference raw
+    files, not sf_dir — N/A by design) is adversarially contract-
+    checked: 211 of 212. The fused ranking holds because Spark's side
+    QUARANTINES non-indexable vectors while DuckDB ranks their NULL
+    cosines last — the same top-10 either way."""
+    dst = tmp_path_factory.mktemp("adversarial_hybrid_sf")
+    for p in glob.glob(f"{SF_SMALL}/*.parquet"):
+        shutil.copy(p, dst / os.path.basename(p))
+    shutil.copy(
+        os.path.join(adversarial_sf, "documents.parquet"),
+        dst / "documents.parquet",
+    )
+    shutil.copy(
+        os.path.join(adversarial_emb_sf, "embeddings.parquet"),
+        dst / "embeddings.parquet",
+    )
+    con = duck_connection(str(dst))
+    try:
+        problems = compare_query(
+            spark,
+            con,
+            QUERIES["hybrid_retrieval_rrf"],
+            ORACLES["hybrid_retrieval_rrf"],
+            str(dst),
+        )
+    finally:
+        con.close()
+    assert not problems, problems
+
+
 def test_null_element_vector_is_not_indexable(spark):
     """A vector containing a NULL element has a NULL dot product, so
     indexable() excludes it — the cosine family quarantines it with
