@@ -871,7 +871,38 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
         and (n_buckets is None or n_buckets == cached)
         and all(spark.catalog.tableExists(n) for n in names.values())
     ):
-        return tuple(spark.table(names[tbl]) for tbl, _ in pairs)
+        # A memo hit still re-reads the two tiny _BUCKETS sidecars (r9
+        # advice fix): the memo skips the DESCRIBE Spark jobs and the
+        # adoption attempts, but the loud two-writers guarantee below
+        # (catalog count vs the count the FILES were really hashed
+        # into) must hold on EVERY call, not just the first one per
+        # process — a concurrent process with a different pinned count
+        # is allowed to rewrite the pair at any time, and serving the
+        # memoized count over its files would silently mis-zip the
+        # bucket join. Two plain file reads, no Spark jobs, so the
+        # steady-state saving the memo exists for is intact.
+        sidecars_ok = True
+        for n in names.values():
+            try:
+                disk = int((warehouse / n / "_BUCKETS").read_text())
+            except (OSError, ValueError):
+                # Partial/vanished dir behind a live catalog entry:
+                # drop the memo and take the full path, which rebuilds.
+                sidecars_ok = False
+                break
+            if disk != cached:
+                del _VALIDATED_PAIRS[memo_key]
+                raise RuntimeError(
+                    f"{n}: this process validated {cached} buckets but "
+                    f"the files' _BUCKETS sidecar now records {disk}; a "
+                    "concurrent process with a different pinned count "
+                    "rewrote the pair's files — two writers pinned "
+                    "different counts over one warehouse — rebuild with "
+                    "one pinned count (or none) in both processes"
+                )
+        if sidecars_ok:
+            return tuple(spark.table(names[tbl]) for tbl, _ in pairs)
+        del _VALIDATED_PAIRS[memo_key]
     for tbl, key in pairs:
         if not spark.catalog.tableExists(names[tbl]):
             _adopt_bucketed_dir(

@@ -3210,12 +3210,18 @@ def _bpe_merge_apply(adj: DataFrame, m: DataFrame) -> DataFrame:
     )
 
 
-def bpe_merge_rounds(vocab: DataFrame, rounds: int = 3) -> DataFrame:
+def bpe_merge_rounds(
+    vocab: DataFrame, rounds: int = 3, return_symbols: bool = False
+):
     """The shared BPE training loop (used by the registered
     ``bpe_learn_merges`` AND the property tests, one definition):
     given a (word, wf) vocabulary, run ``rounds`` greedy merge rounds
     and return the (round, left_sym, right_sym, pair_count) merge
-    table. See ``bpe_learn_merges`` for semantics and scale notes."""
+    table. With ``return_symbols`` also return the POST-training
+    (word, wf, pos, sym) symbol frame — the loop state the r9
+    empty-round guard protects (see below), exposed so its contract
+    (pass-through, never wiped) is testable. See ``bpe_learn_merges``
+    for semantics and scale notes."""
     wp = _bpe_symbols(vocab)
     merges = []
     for rnd in range(1, rounds + 1):
@@ -3246,10 +3252,26 @@ def bpe_merge_rounds(vocab: DataFrame, rounds: int = 3) -> DataFrame:
                 F.col("pair_count").cast("bigint").alias("pair_count"),
             )
         )
+        # Empty merge round (no adjacent pair anywhere — every word is
+        # a single symbol): STOP, passing the symbol frame through
+        # unchanged (r9 advice fix). _bpe_merge_apply inner-joins the
+        # merge frame, so applying an empty ``m`` would wipe ``wp``,
+        # while the oracle's LEFT JOIN ON TRUE passes symbols through;
+        # the merge-table OUTPUT coincided either way (no pairs in
+        # round N implies none later, so rounds N.. emit no rows on
+        # both engines), but the post-round symbol frame diverged
+        # semantically — a trap for any future reuse of the loop
+        # state. The take(1) is one action over the already-persisted
+        # vocab-sized adjacency frame; ``m`` itself stays lazy for the
+        # non-empty (every real) case so plan pins are unchanged.
+        if not m.take(1):
+            break
         wp = _bpe_merge_apply(adj, m)
     out = merges[0]
     for mdf in merges[1:]:
         out = out.unionByName(mdf)
+    if return_symbols:
+        return out, wp
     return out
 
 
@@ -3491,6 +3513,63 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-",
         ).alias("prefix_ids"),
     )
+
+
+@query(
+    "sequence_packing_bpe",
+    # The inner relation IS bpe_encode's registered oracle (the
+    # packing_efficiency composition pattern), so the packed token
+    # counts can never drift from the encoder they claim to pack
+    # against — the oracle independently re-learns the merges,
+    # re-encodes every document, and re-packs, all in SQL.
+    oracle="""
+    WITH n AS (
+        SELECT CAST(power(2, ceil(log2(greatest(count(*) / 5000.0, 64.0))))
+                    AS BIGINT) AS n_shards
+        FROM documents
+    ),
+    enc AS (SELECT doc_id, token_count FROM ({encode}) e),
+    t AS (
+        SELECT doc_id,
+               CAST(doc_id % (SELECT n_shards FROM n) AS INTEGER) AS shard,
+               CAST(token_count AS BIGINT) AS tokens
+        FROM enc
+    ),
+    c AS (
+        SELECT doc_id, shard, tokens,
+               sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, shard, tokens,
+           CAST(floor((cum - tokens) / 8192.0) AS BIGINT) AS pack_id
+    FROM c
+    """.format(encode=_ORACLES["bpe_encode"]),
+)
+def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over REAL tokenizer counts — the tokenizer
+    chain driver-visible END-TO-END (r9, VERDICT #5): ``bpe_encode``
+    learns 3 merges from the corpus and encodes every document; its
+    per-document ``token_count`` feeds ``pack_sequences`` in place of
+    the regexp approximation the registered ``sequence_packing`` uses.
+    This is the packing a training run actually wants — pack against
+    the counts the trained tokenizer will produce, not a heuristic
+    that drifts from them (the two differ whenever merges change the
+    token-per-word ratio). Output rows are the ENCODABLE documents
+    (``bpe_encode`` drops empty/whitespace-only texts, which carry no
+    tokens to pack); shard count still derives from the FULL corpus
+    size so the layout matches ``sequence_packing``'s shards.
+
+    Scale shape: the encode half's two corpus passes (vocab agg +
+    token-stream join-back, see ``bpe_encode``) plus packing's one
+    shuffle on shard — nothing new; the composition adds a shard-
+    partitioned window over the already corpus-row-sized encode
+    output. Reference: the reference's ETL has no tokenizer; this is
+    the training-export extension (SURVEY.md LLM-pipeline family)."""
+    enc = bpe_encode(spark, sf_dir).select(
+        "doc_id", F.col("token_count").alias("tokens")
+    )
+    return pack_sequences(enc, _corpus_shard_count(spark, sf_dir))
 
 
 @query(

@@ -290,10 +290,26 @@ def build_exclusive(
             if time.time() - breaker.stat().st_mtime > 60:
                 breaker.rename(trash)
                 if time.time() - trash.stat().st_mtime <= 60:
-                    try:
-                        os.link(trash, breaker)
-                    except FileExistsError:
-                        pass
+                    # The rename grabbed a FRESH breaker (created inside
+                    # the stat->rename window): restore the holder's
+                    # on-disk file. If a third process O_EXCL-acquired
+                    # the emptied slot before the restore, do NOT
+                    # discard the fresh holder's file (r9 advice fix —
+                    # the old immediate unlink left that holder
+                    # file-less, so LATER waiters' O_EXCL acquires kept
+                    # succeeding while it was still mid-critical-
+                    # section): keep it under the trash name and retry
+                    # briefly — breaker sections are milliseconds, so
+                    # the slot clears almost immediately. A restore
+                    # still pending at the deadline falls back to the
+                    # old discard, now requiring a breaker that held
+                    # the slot for seconds on top of the already-triple
+                    # race — accepted and stated, same class as the
+                    # multi-host scope limit above. (A restore landing
+                    # after the fresh holder already finished leaves a
+                    # young-mtime relic that delays the NEXT break by
+                    # <60s — a bounded wait, never a correctness hole.)
+                    _restore_slot(trash, breaker)
                 trash.unlink(missing_ok=True)
         except FileNotFoundError:
             pass
@@ -375,6 +391,33 @@ def build_exclusive(
             return "built"
         finally:
             lock.unlink(missing_ok=True)
+
+
+def _restore_slot(src, slot, retry_sec: float = 5.0) -> bool:
+    """Hard-link ``src`` back into the lock/breaker ``slot`` it was
+    grabbed from, retrying briefly while a third process momentarily
+    occupies the slot (its critical section is milliseconds). Returns
+    True once restored, False if the slot never cleared within
+    ``retry_sec`` — the caller then falls back to discarding ``src``,
+    which now requires a multi-second occupier on top of the
+    already-triple race (see _break_dead_lock). Extracted so the
+    retry contract is unit-testable without staging the race."""
+    import os
+    import time
+
+    deadline = time.monotonic() + retry_sec
+    while True:
+        try:
+            os.link(src, slot)
+            return True
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                return False
+            time.sleep(0.02)
+        except FileNotFoundError:
+            # src vanished (another cleaner's trash.unlink of the same
+            # inode path family) — nothing left to restore.
+            return False
 
 
 def _proc_starttime(pid: int) -> str | None:

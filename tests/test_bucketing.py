@@ -249,6 +249,64 @@ class TestBucketedPairLifecycle:
             )
         assert li2.count() == li1.count() == li3.count()
 
+    def test_sidecar_disagreement_fails_loudly_on_memo_hit(self, spark, src_dir):
+        """r9 advice fix: the r8 memo fast path skipped the sidecar
+        cross-check after the first validated call, so a concurrent
+        process rewriting the pair with a different pinned count was
+        served silently from the second call on. Memo hits must
+        re-read the sidecars (plain file I/O) and raise the same
+        two-writers RuntimeError — the loud-failure guarantee is
+        every-call, not first-call-only."""
+        from pathlib import Path
+
+        import pytest as _pytest
+
+        from data_engineering_capstone_project_spark.plans import relational
+
+        relational._forget_validated_pairs()
+        relational.bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
+        relational.bucketed_orderkey_tables(spark, src_dir)  # prime the memo
+        names = self._pair_names(spark, src_dir)
+        warehouse = Path(
+            spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        )
+        victim = [n for n in names if "orders" in n][0]
+        (warehouse / victim / "_BUCKETS").write_text("8")
+        # NO _forget_validated_pairs() here: this call IS the memo hit.
+        with _pytest.raises(RuntimeError, match="sidecar now records 8"):
+            relational.bucketed_orderkey_tables(spark, src_dir)
+        (warehouse / victim / "_BUCKETS").write_text("16")
+
+    def test_vanished_sidecar_on_memo_hit_falls_through_and_rebuilds(
+        self, spark, src_dir
+    ):
+        """A memo hit meeting a MISSING sidecar (partial dir behind a
+        live catalog entry — e.g. a concurrent rewrite killed between
+        rmtree and publish) must drop the memo and take the full path,
+        which rebuilds the pair, rather than serving the dangling
+        tables."""
+        from pathlib import Path
+
+        from data_engineering_capstone_project_spark.plans import relational
+
+        relational._forget_validated_pairs()
+        relational.bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
+        relational.bucketed_orderkey_tables(spark, src_dir)  # prime the memo
+        names = self._pair_names(spark, src_dir)
+        warehouse = Path(
+            spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        )
+        victim = [n for n in names if "orders" in n][0]
+        (warehouse / victim / "_BUCKETS").unlink()
+        li, o = relational.bucketed_orderkey_tables(spark, src_dir)
+        assert (warehouse / victim / "_BUCKETS").exists()  # pair rebuilt
+        counts = {
+            n: relational._table_bucket_count(spark, n)
+            for n in self._pair_names(spark, src_dir)
+        }
+        assert len(set(counts.values())) == 1, counts
+        assert li.count() > 0 and o.count() > 0
+
     def test_complete_pair_adopted_not_rebuilt(self, spark, src_dir):
         """A fresh catalog (second process) meeting a COMPLETE pair of
         fingerprint dirs must ADOPT them as external tables, declaring

@@ -451,6 +451,62 @@ def test_two_waiters_race_on_stale_relic(tmp_path):
     assert not leftovers, f"lock trash leaked: {leftovers}"
 
 
+def test_restore_slot_retries_until_transient_occupier_clears(tmp_path):
+    """r9 advice fix: a fresh breaker grabbed by the relic cleanup must
+    be RESTORED even when a third process momentarily O_EXCL-holds the
+    slot — the old code discarded the grabbed file on FileExistsError,
+    leaving the fresh holder file-less so later waiters could acquire
+    while it was mid-critical-section. The helper retries until the
+    transient occupier clears."""
+    import threading
+
+    from data_engineering_capstone_project_spark.sources.writers import (
+        _restore_slot,
+    )
+
+    src = tmp_path / "grabbed"
+    src.write_text("fresh-holder")
+    slot = tmp_path / "breaker"
+    slot.write_text("third-process")  # transient occupier
+
+    def clear_soon():
+        time.sleep(0.15)
+        slot.unlink()
+
+    t = threading.Thread(target=clear_soon)
+    t.start()
+    assert _restore_slot(src, slot, retry_sec=5.0) is True
+    t.join()
+    assert slot.read_text() == "fresh-holder"
+
+
+def test_restore_slot_gives_up_on_persistent_occupier(tmp_path):
+    """The retry is BOUNDED: a slot that never clears (would need a
+    multi-second breaker section on top of the triple race) returns
+    False so the caller's documented discard fallback runs instead of
+    hanging the waiter."""
+    from data_engineering_capstone_project_spark.sources.writers import (
+        _restore_slot,
+    )
+
+    src = tmp_path / "grabbed"
+    src.write_text("fresh-holder")
+    slot = tmp_path / "breaker"
+    slot.write_text("stuck")
+    assert _restore_slot(src, slot, retry_sec=0.1) is False
+    assert slot.read_text() == "stuck"  # occupier untouched
+
+
+def test_restore_slot_handles_vanished_source(tmp_path):
+    """A vanished src (another cleaner unlinked the same trash path)
+    is 'nothing left to restore', not a crash."""
+    from data_engineering_capstone_project_spark.sources.writers import (
+        _restore_slot,
+    )
+
+    assert _restore_slot(tmp_path / "gone", tmp_path / "breaker") is False
+
+
 def test_last_verified_rounds_parses_double_digit_rounds(tmp_path):
     """Round 10+ artifacts must not be silently dropped (the r7 review
     caught a glob requiring a literal '0' after 'r')."""

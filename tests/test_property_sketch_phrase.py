@@ -435,3 +435,41 @@ def test_bpe_apply_checkpoint_batching_is_transparent(spark):
     for r in sorted(rows, key=lambda r: (r.word, r.pos)):
         got.setdefault(r.word, []).append(r.sym)
     assert got == ref_syms
+
+
+def test_bpe_empty_merge_round_passes_symbols_through(spark):
+    """r9 advice fix: an EMPTY merge round (no adjacent pair anywhere)
+    must pass the training loop's symbol frame through unchanged, the
+    way the oracle's LEFT JOIN ON TRUE does — the old inner-join apply
+    wiped it. The merge-table output coincided either way (no pairs in
+    round N implies none later), so this pins the loop STATE via
+    return_symbols: all-single-char words keep their one-symbol rows."""
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        bpe_merge_rounds,
+    )
+
+    vocab = spark.createDataFrame(
+        [("a", 2), ("b", 3), ("c", 1)], "word string, wf long"
+    )
+    table, syms = bpe_merge_rounds(vocab, 3, return_symbols=True)
+    assert table.count() == 0  # no pairs -> no merges, both engines
+    got = {(r.word, r.pos, r.sym) for r in syms.collect()}
+    assert got == {("a", 1, "a"), ("b", 1, "b"), ("c", 1, "c")}
+
+
+def test_bpe_merge_round_going_dry_mid_training_stops_cleanly(spark):
+    """Round 1 merges the only pair; round 2 finds the corpus fully
+    merged (every word one symbol) and must stop with the post-merge
+    symbols intact rather than wiping them."""
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        bpe_merge_rounds,
+    )
+
+    vocab = spark.createDataFrame([("ab", 4)], "word string, wf long")
+    table, syms = bpe_merge_rounds(vocab, 3, return_symbols=True)
+    rows = [
+        (r.round, r.left_sym, r.right_sym, r.pair_count)
+        for r in table.orderBy("round").collect()
+    ]
+    assert rows == [(1, "a", "b", 4)]
+    assert [(r.word, r.pos, r.sym) for r in syms.collect()] == [("ab", 1, "ab")]
