@@ -3153,21 +3153,38 @@ def _bpe_adjacency(wp: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_merge_apply(adj: DataFrame, m: DataFrame) -> DataFrame:
-    """Apply ONE merge — the 1-row (l, r) frame ``m``, broadcast — to
-    an adjacency frame, returning the post-merge (word, wf, pos, sym)
-    symbol frame. Greedy leftmost non-overlapping semantics via run
-    parity (see ``bpe_learn_merges``): a match chains onto the
-    previous match iff its pos IS that match's second element; within
-    a chain, even offsets merge; the consumed second row drops."""
+def _bpe_merge_apply(adj: DataFrame, m) -> DataFrame:
+    """Apply ONE merge ``m`` to an adjacency frame, returning the
+    post-merge (word, wf, pos, sym) symbol frame. ``m`` is either the
+    1-row (l, r) frame the TRAINING argmax produces (joined broadcast,
+    keeping the whole round lazy) or a plain ``(left, right)`` string
+    tuple for APPLY-side driver-known merges (r9): inlining literals
+    instead of broadcasting a 1-row frame removes one
+    BroadcastExchange + join per merge — at production merge counts
+    that per-merge plan bloat was both the dominant wall-clock term
+    and the stack-depth term that overflowed Catalyst's recursive
+    plan walk (measured: 64 joined merges at checkpoint_every=64 =
+    driver StackOverflowError; see bpe_apply_merges). Greedy leftmost
+    non-overlapping semantics via run parity (see
+    ``bpe_learn_merges``): a match chains onto the previous match iff
+    its pos IS that match's second element; within a chain, even
+    offsets merge; the consumed second row drops."""
     w, w_cur, w_prev = _bpe_windows()
-    f = adj.join(broadcast(m.select("l", "r"))).select(
-        "*",
-        ((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r"))).alias(
-            "mt"
-        ),
-        F.concat(F.col("l"), F.col("r")).alias("ms"),
-    )
+    if isinstance(m, tuple):
+        lc, rc = F.lit(m[0]), F.lit(m[1])
+        f = adj.select(
+            "*",
+            ((F.col("sym") == lc) & (F.col("nxt") == rc)).alias("mt"),
+            F.concat(lc, rc).alias("ms"),
+        )
+    else:
+        f = adj.join(broadcast(m.select("l", "r"))).select(
+            "*",
+            ((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r"))).alias(
+                "mt"
+            ),
+            F.concat(F.col("l"), F.col("r")).alias("ms"),
+        )
     g = f.select(
         "*",
         F.sum(F.when(F.col("mt"), 1).otherwise(0)).over(w_cur).alias(
@@ -3276,7 +3293,7 @@ def bpe_merge_rounds(
 
 
 def bpe_apply_merges(
-    vocab: DataFrame, merges: list, checkpoint_every: int = 64
+    vocab: DataFrame, merges: list, checkpoint_every: int = 16
 ) -> DataFrame:
     """ENCODE a (word, wf) vocabulary with an already-LEARNED merge
     list ``[(left_sym, right_sym), ...]`` in training order — the
@@ -3297,18 +3314,30 @@ def bpe_apply_merges(
     localCheckpoint-ed (eager, executor storage — no HDFS dir
     needed), so K merges cost K window passes over MATERIALIZED data
     instead of a K-deep expression tree the optimizer must re-analyze
-    per action. The default (64) never engages for the registered
-    3-merge query, keeping its plan fully inspectable/pinnable. The
-    per-word independence also admits an Arrow ``applyInPandas``
-    encoder over the distinct vocab as the constant-depth alternative
-    (encode each distinct word once, join back) — same join-back shape
-    as ``bpe_encode`` uses below either way."""
+    per action. The default (16) never engages for the registered
+    3-merge query, keeping its plan fully inspectable/pinnable, and
+    carries a measured safety margin: Catalyst's plan walk is
+    RECURSIVE, and the r9 production-shape probe (VERDICT #4) showed
+    batch depth bounded by the DRIVER STACK, not taste — on a
+    default-stack JVM the old broadcast-join-per-merge shape
+    overflowed (StackOverflowError at analysis) at a 32-merge batch
+    (24 safe), and even the literal shape below overflows at 64 (32
+    safe). 16 = half the measured literal-shape bound. Shallower
+    batches also ANALYZE faster (the per-action analysis term grows
+    super-linearly with depth), trading against one more checkpoint
+    materialization per batch boundary. Driver-known merges
+    are inlined as LITERAL columns rather than per-merge 1-row
+    createDataFrame+broadcast joins (r9): the old shape paid one
+    driver->JVM round-trip plus a BroadcastExchange per merge — pure
+    fixed overhead at 30k merges — and was the depth term that blew
+    the stack. The per-word independence also admits an Arrow
+    ``applyInPandas`` encoder over the distinct vocab as the
+    constant-depth alternative (encode each distinct word once, join
+    back) — same join-back shape as ``bpe_encode`` uses below either
+    way."""
     wp = _bpe_symbols(vocab)
     for i, (left, right) in enumerate(merges, start=1):
-        m = vocab.sparkSession.createDataFrame(
-            [(left, right)], "l string, r string"
-        )
-        wp = _bpe_merge_apply(_bpe_adjacency(wp), m)
+        wp = _bpe_merge_apply(_bpe_adjacency(wp), (left, right))
         if checkpoint_every and i % checkpoint_every == 0 and i < len(merges):
             wp = wp.localCheckpoint(eager=True)
     return wp

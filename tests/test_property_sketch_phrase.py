@@ -437,6 +437,49 @@ def test_bpe_apply_checkpoint_batching_is_transparent(spark):
     assert got == ref_syms
 
 
+def test_bpe_apply_production_merge_count_is_stack_safe(spark):
+    """r9 probe finding (VERDICT #4): Catalyst's plan walk is
+    recursive, so the apply loop's batch depth is bounded by the
+    DRIVER STACK — the old per-merge broadcast-join shape with its
+    checkpoint_every=64 default overflowed (StackOverflowError) from
+    ~32 unbatched merges. Pin the fix end-to-end: 64 merges (2x the
+    old crash point, crossing four checkpoint_every=16 batch
+    boundaries) must complete at the DEFAULT batching AND match a
+    direct sequential apply reference."""
+    import itertools
+
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        bpe_apply_merges,
+    )
+
+    merges = list(itertools.product("etaoinsr", repeat=2))[:64]
+
+    def apply_ref(words, merges):
+        syms = {w: list(w) for w in set(words)}
+        for l, r in merges:
+            for w, s in syms.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return syms
+
+    words = ["notaries", "senorita", "aeration", "eastern", "toast",
+             "resonate", "antsier", "naan", "eee", "ratio"]
+    ref = apply_ref(words, merges)
+    vocab = spark.createDataFrame([(w, 1) for w in words], "word string, wf long")
+    rows = bpe_apply_merges(vocab, merges).collect()  # default batching
+    got: dict[str, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r.word, r.pos)):
+        got.setdefault(r.word, []).append(r.sym)
+    assert got == ref
+
+
 def test_bpe_empty_merge_round_passes_symbols_through(spark):
     """r9 advice fix: an EMPTY merge round (no adjacent pair anywhere)
     must pass the training loop's symbol frame through unchanged, the

@@ -111,6 +111,38 @@ def test_packing_consumes_real_bpe_token_counts(spark):
         packed.unpersist()
 
 
+def test_pack_sequences_degenerate_counts_contract(spark):
+    """Adversarial token-count inputs (r9): zero-token documents pack
+    into the running position WITHOUT advancing it (they cost no
+    budget); a document larger than the whole budget overflows its
+    pack by itself without shifting neighbors by more than its size;
+    and a NULL count yields a NULL pack_id for THAT document only —
+    the window sum skips NULLs, so every later document's placement is
+    unaffected (the unplaceable row is visible, not silently dropped
+    and not poisoning the shard)."""
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        pack_sequences,
+    )
+
+    rows = [
+        (0, 0),       # zero-token doc at the front
+        (8, 100),
+        (16, 0),      # zero-token doc mid-stream
+        (24, 300),    # larger than the 256 budget on its own
+        (32, None),   # NULL count
+        (40, 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(df, n_shards=8, budget=256).collect()
+    }
+    # shard = doc_id % 8 == 0 for every row: one shard, doc_id order.
+    # cum_before: 0:0, 8:0, 16:100, 24:100, 32:NULL (its own count is
+    # NULL), 40:400 (the NULL was skipped, not sticky)
+    assert got == {0: 0, 8: 0, 16: 0, 24: 0, 32: None, 40: 1}
+
+
 def test_quality_sample_is_subset_and_deterministic(spark):
     sample = QUERIES["quality_weighted_sample"](spark, SF_SMALL).cache()
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
