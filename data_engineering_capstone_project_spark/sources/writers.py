@@ -318,6 +318,8 @@ def build_exclusive(
         except FileExistsError:
             return  # someone else is breaking; wait for the result
         try:
+            bst = os.fstat(bfd)
+            own_breaker_ino = (bst.st_dev, bst.st_ino)
             os.close(bfd)
             # Remove the main lock by ATOMIC rename, then verify what
             # was actually grabbed: even if two breaker holders ever
@@ -344,7 +346,12 @@ def build_exclusive(
             except FileNotFoundError:
                 pass
         finally:
-            breaker.unlink(missing_ok=True)
+            # Inode-verified release (r9): if a relic-cleanup race
+            # renamed THIS breaker away while we ran, whatever now
+            # occupies the slot belongs to another process — a bare
+            # unlink here would cascade the race one more generation
+            # by deleting that holder's file. See _release_own.
+            _release_own(breaker, own_breaker_ino)
 
     deadline = time.monotonic() + timeout_sec
     while True:
@@ -381,6 +388,8 @@ def build_exclusive(
             time.sleep(poll_sec)
             continue
         try:
+            st = os.fstat(fd)
+            own_ino = (st.st_dev, st.st_ino)
             os.write(fd, _stamp().encode())
         finally:
             os.close(fd)
@@ -390,7 +399,43 @@ def build_exclusive(
             build_fn()
             return "built"
         finally:
-            lock.unlink(missing_ok=True)
+            # Inode-verified release (r9): unlink the lock only if it
+            # is still the very file this process created. A bare
+            # unlink(lock) could, after a breaker-race rename, delete
+            # a NEW builder's lock instead of this process's (whose
+            # file would already be gone) — cascading the race one
+            # more generation. See _release_own.
+            _release_own(lock, own_ino)
+
+
+def _release_own(slot, ino: tuple) -> bool:
+    """Unlink ``slot`` only if the file there is still the very one
+    this process created (same ``(st_dev, st_ino)``) — the release
+    half of the inode-verified lock/breaker protocol (r9). After a
+    relic-cleanup or breaker race renamed the holder's file away, the
+    slot may hold a DIFFERENT process's live lock; the old bare
+    ``unlink(missing_ok=True)`` release deleted it anyway, cascading
+    the race one more generation (the new holder then also found its
+    file gone at release time, and so on). Returns True if this
+    process's own file was unlinked. The stat->unlink pair is not
+    atomic — a swap inside that window could still lose a foreign
+    file — but that needs OUR file replaced in the microseconds
+    between the two calls, strictly narrower than the always-unlink
+    behaviour it replaces; accepted and stated, same class as the
+    multi-host scope limit in build_exclusive."""
+    import os
+
+    try:
+        st = os.stat(slot)
+    except (FileNotFoundError, OSError):
+        return False
+    if (st.st_dev, st.st_ino) != ino:
+        return False
+    try:
+        os.unlink(slot)
+    except FileNotFoundError:
+        return False
+    return True
 
 
 def _restore_slot(src, slot, retry_sec: float = 5.0) -> bool:

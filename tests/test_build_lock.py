@@ -497,6 +497,40 @@ def test_restore_slot_gives_up_on_persistent_occupier(tmp_path):
     assert slot.read_text() == "stuck"  # occupier untouched
 
 
+def test_release_own_unlinks_only_own_inode(tmp_path):
+    """r9 inode-verified release: a holder whose lock file was renamed
+    away by a breaker race must NOT unlink the different file now in
+    the slot (another process's live lock); it must unlink its own
+    file when the slot is untouched."""
+    import os
+
+    from data_engineering_capstone_project_spark.sources.writers import (
+        _release_own,
+    )
+
+    slot = tmp_path / "lock"
+    slot.write_text("mine")
+    st = os.stat(slot)
+    ino = (st.st_dev, st.st_ino)
+
+    # The race being modelled: the holder's file is RENAMED away (its
+    # inode stays alive under the trash name, so it cannot be
+    # recycled) and a different process's file occupies the slot.
+    slot.rename(tmp_path / "grabbed")
+    slot.write_text("theirs")
+    assert _release_own(slot, ino) is False
+    assert slot.read_text() == "theirs"
+
+    # Vanished slot: nothing to release.
+    slot.unlink()
+    assert _release_own(slot, ino) is False
+
+    # Untouched slot (the normal case): released.
+    (tmp_path / "grabbed").rename(slot)
+    assert _release_own(slot, ino) is True
+    assert not slot.exists()
+
+
 def test_restore_slot_handles_vanished_source(tmp_path):
     """A vanished src (another cleaner unlinked the same trash path)
     is 'nothing left to restore', not a crash."""
