@@ -18,6 +18,28 @@ from pathlib import Path
 _REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(_REPO))
 
+DRIFT_GATE_PCT = 5.0
+
+
+def choose_series(first: dict, rerun: dict | None, gate: float = DRIFT_GATE_PCT):
+    """The canary-gate selection rule (r9, VERDICT #3), extracted pure
+    so tests can pin it without timing anything: prefer whichever
+    series has the smaller |canary drift| (a missing drift — canary
+    failed — counts as infinitely unstable), and flag the chosen
+    record ``unstable`` when even it sits outside ±gate%. Returns
+    (series, unstable, reruns)."""
+
+    def _abs_drift(s: dict) -> float:
+        d = s.get("drift_pct")
+        return abs(d) if d is not None else float("inf")
+
+    chosen = first
+    if rerun is not None and _abs_drift(rerun) < _abs_drift(first):
+        chosen = rerun
+    unstable = _abs_drift(chosen) > gate
+    return chosen, unstable, (1 if rerun is not None else 0)
+
+
 # Queries that exercise the main physical patterns: scan+agg, broadcast
 # join chains, window rank, union+distinct, regex extraction, as-of
 # join, event-time sessionization, MinHash/LSH dedup, ANN search,
@@ -221,26 +243,19 @@ def main() -> None:
     # `unstable: true` so no cross-round comparison can mistake it for
     # a stable anchor. One rerun max — the bench must terminate on a
     # permanently-loaded box, flagged rather than looping.
-    DRIFT_GATE_PCT = 5.0
-    series = _run_series()
-    reruns = 0
-    if series["drift_pct"] is not None and abs(series["drift_pct"]) > DRIFT_GATE_PCT:
+    first = _run_series()
+    rerun = None
+    if (
+        first["drift_pct"] is None
+        or abs(first["drift_pct"]) > DRIFT_GATE_PCT
+    ):
         print(
-            f"bench: canary drift {series['drift_pct']}% exceeds "
+            f"bench: canary drift {first['drift_pct']}% outside "
             f"±{DRIFT_GATE_PCT}%; rerunning series once",
             file=sys.stderr,
         )
         rerun = _run_series()
-        reruns = 1
-        def _abs_drift(s: dict) -> float:
-            d = s["drift_pct"]
-            return abs(d) if d is not None else float("inf")
-        if _abs_drift(rerun) < _abs_drift(series):
-            series = rerun
-    unstable = (
-        series["drift_pct"] is None
-        or abs(series["drift_pct"]) > DRIFT_GATE_PCT
-    )
+    series, unstable, reruns = choose_series(first, rerun)
 
     timings = series["timings"]
     errors = series["errors"]

@@ -31,9 +31,20 @@ def _update_user_profile(
         n, total, last = 0, 0.0, None
     for pdf in pdfs:
         n += len(pdf)
+        # nansum semantics: NULL values contribute nothing to the
+        # running total (a profile counter starts at 0.0 and only real
+        # values move it — deliberately NOT SQL SUM's all-NULL -> NULL).
         total += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
-        last = batch_max if last is None else max(last, batch_max)
+        # NULL timestamps must not reach the state tuple: an all-NaT
+        # batch made batch_max NaT, and serializing NaT into the
+        # TimestampType state cell crashed the Arrow worker
+        # ("NaTType does not support timetuple") — found by the r9
+        # adversarial-stream sweep. dropna() first; a batch with no
+        # real ts leaves last unchanged.
+        ts_valid = pdf["ts"].dropna()
+        if len(ts_valid):
+            batch_max = ts_valid.max()
+            last = batch_max if last is None else max(last, batch_max)
     state.update((n, total, last))
     yield pd.DataFrame(
         {
@@ -167,8 +178,13 @@ def closed_sessions(
             else:
                 start = last = None
                 n = 0
+            # dropna: a NULL event time belongs to no session — the
+            # batch twin's session_window drops it, and a leading NaT
+            # here would seed start/last with NaT whose state
+            # serialization crashes the Arrow worker (same class as
+            # the running-profile fix above; r9 adversarial sweep).
             ts_sorted = sorted(
-                ts for pdf in pdfs for ts in pdf["ts"].tolist()
+                ts for pdf in pdfs for ts in pdf["ts"].dropna().tolist()
             )
             for ts in ts_sorted:
                 if last is None:

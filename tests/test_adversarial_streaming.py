@@ -250,6 +250,118 @@ def test_drift_histogram_maintained_on_adversarial_stream(
     assert got == want
 
 
+def test_stateful_profiles_on_adversarial_stream(spark, adv_stream_src):
+    """The applyInPandasWithState operator over the adversarial stream:
+    per-user running profiles must converge to the batch aggregate with
+    a NULL user_id group (its own state cell), a NULL value inside a
+    group (pandas nansum == Spark's NULL-skipping sum here), and a
+    NULL ts row (NaT must not poison the count/sum state). last_ts is
+    not compared — its NaT-vs-NULL edge semantics are engine-internal;
+    the counted/summed state is the contract."""
+    from data_engineering_capstone_project_spark.streaming import (
+        run_available_now_to_memory,
+    )
+    from data_engineering_capstone_project_spark.streaming.stateful import (
+        running_user_profiles,
+    )
+
+    stream = _stream(spark, adv_stream_src)
+    run_available_now_to_memory(
+        running_user_profiles(stream, watermark="900 days"),
+        "t_adv_profiles",
+        output_mode="update",
+    )
+    # Update mode emits one row per user per micro-batch; the FINAL
+    # emission is the one with the largest (monotonic) n_events. A bare
+    # max(value_sum) — the clean test's shortcut — is order-dependent
+    # here because the adversarial corpus has NEGATIVE values, and the
+    # file source's batch order is mod-time-arbitrary (observed flaking
+    # under load).
+    final = (
+        spark.table("t_adv_profiles")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "value_sum")).alias("s"))
+        .select("user_id", "s.n_events", "s.value_sum")
+    )
+    batch = (
+        _batch(spark, adv_stream_src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+    )
+
+    def _rd(v):
+        return None if v is None else round(v, 6)
+
+    got = {r.user_id: (r.n_events, _rd(r.value_sum)) for r in final.collect()}
+    exp = {r.user_id: (r.n_events, _rd(r.value_sum)) for r in batch.collect()}
+    assert None in exp  # the NULL-user state cell is part of the contract
+    assert got == exp
+
+
+def test_closed_sessions_ignore_null_timestamps(spark, tmp_path):
+    """Emit-on-timeout sessionization fed NULL event times (r9
+    adversarial sweep): a NULL ts belongs to no session — the batch
+    session_window twin drops it, and before the fix a batch-LEADING
+    NaT seeded the (start, last) state with NaT, whose TimestampType
+    serialization crashed the Arrow worker. Sessions and their event
+    counts must be exactly those of the non-NULL rows."""
+    import time
+
+    from data_engineering_capstone_project_spark.streaming import (
+        run_available_now_to_memory,
+        session_aggregate as batch_sessions,
+    )
+    from data_engineering_capstone_project_spark.streaming.stateful import (
+        closed_sessions,
+    )
+
+    src = str(tmp_path / "adv_sessions_src")
+    T = "2024-03-01 {}"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # file-source batches order by mod time
+
+    # batch 1 LEADS with NULL-ts rows (the crash shape), then a real
+    # session; a NULL-user row rides along too.
+    write_batch(
+        [(1, None), (None, None), (1, T.format("10:00:00")),
+         (1, T.format("10:01:00"))])
+    # batch 2: NULL ts mixed INTO an open session, then the gap-closer.
+    write_batch([(1, None), (1, T.format("11:00:00"))])
+    # batch 3: sentinel advances the watermark past everything.
+    write_batch([(99, T.format("23:00:00"))])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now_to_memory(
+        closed_sessions(stream, gap_seconds=600), "t_adv_closed",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("t_adv_closed").collect()
+    )
+    final_wm = T.format("23:00:00")
+    expected = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch_sessions(
+            spark.read.parquet(src), gap="10 minutes"
+        )
+        .filter(F.col("session_end") <= F.lit(final_wm).cast("timestamp"))
+        .collect()
+    )
+    # sessions A (2 events at 10:00-10:01) and B (1 event at 11:00);
+    # the four NULL-ts rows are invisible to both engines.
+    assert [e[3] for e in expected] == [2, 1]
+    assert got == expected
+
+
 def test_checkpointed_restart_on_adversarial_stream_is_noop(
     spark, adv_stream_src, tmp_path
 ):

@@ -125,3 +125,30 @@ def test_rotation_order_properties():
         assert tail_keys == sorted(tail_keys)
 
     check()
+
+
+def test_choose_series_prefers_stabler_canary():
+    """r9 canary gate: the recorded bench series is whichever run has
+    the smaller |canary drift|; the record is flagged unstable only
+    when even the chosen run sits outside the +-5% band."""
+    a = {"drift_pct": -21.8}
+    b = {"drift_pct": 1.7}
+    chosen, unstable, reruns = bench.choose_series(a, b)
+    assert chosen is b and not unstable and reruns == 1
+
+    # Both drifting: the less-bad one is recorded, flagged unstable.
+    c = {"drift_pct": 9.0}
+    chosen, unstable, _ = bench.choose_series(a, c)
+    assert chosen is c and unstable
+
+    # Stable first run, no rerun requested.
+    chosen, unstable, reruns = bench.choose_series(b, None)
+    assert chosen is b and not unstable and reruns == 0
+
+    # A failed canary (None drift) is infinitely unstable: lose to any
+    # measured rerun, and flag unstable if it is all there is.
+    d = {"drift_pct": None}
+    chosen, unstable, _ = bench.choose_series(d, c)
+    assert chosen is c and unstable
+    chosen, unstable, _ = bench.choose_series(d, None)
+    assert chosen is d and unstable
