@@ -298,6 +298,82 @@ def test_stateful_profiles_on_adversarial_stream(spark, adv_stream_src):
     assert got == exp
 
 
+def _canon_ns(df):
+    """None-safe canonical rows: round floats (micro-batch float sums
+    differ from batch sums in the last ulps) and sort with a NULL-last
+    total order (the adversarial corpus puts None in every column the
+    clean tests' plain sorted() would choke on)."""
+    rows = [
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in df.collect()
+    ]
+    return sorted(rows, key=lambda t: [(v is None, str(type(v)), v) for v in t])
+
+
+def test_windowed_transforms_stream_equals_batch_on_adversarial(
+    spark, adv_stream_src
+):
+    """The batch/stream parity anchor (file source is exactly-once and
+    replayable) must hold on the adversarial corpus for every windowed
+    transform: tumbling and sliding counts (NULL ts rows fall into no
+    window; NULL event_type is a visible group) and session aggregates
+    (NULL ts rows belong to no session). Watermark is far wider than
+    the corpus span so no late-row drops confound the comparison."""
+    from data_engineering_capstone_project_spark.streaming import (
+        run_available_now_to_memory,
+        session_aggregate,
+        sliding_counts,
+        tumbling_counts,
+    )
+
+    batch = _batch(spark, adv_stream_src)
+    cases = [
+        ("tumbling", tumbling_counts, dict()),
+        ("sliding", sliding_counts, dict()),
+        ("session", session_aggregate, dict(gap="10 minutes")),
+    ]
+    for name, fn, kw in cases:
+        expected = _canon_ns(fn(batch, **kw))
+        assert expected, f"{name}: batch twin produced no rows"
+        stream = _stream(spark, adv_stream_src)
+        run_available_now_to_memory(
+            fn(stream, watermark="900 days", **kw), f"t_adv_{name}"
+        )
+        got = _canon_ns(spark.table(f"t_adv_{name}"))
+        assert got == expected, f"{name}: stream != batch"
+
+
+def test_interval_join_stream_equals_batch_on_adversarial(
+    spark, adv_stream_src
+):
+    """Stream-stream interval join on the adversarial corpus: NULL ts
+    on either side joins nothing (the interval predicate is
+    three-valued NULL -> no match), NULL user_id equi-joins nothing,
+    and the NULL purchase value rides through as a NULL payload —
+    stream must equal batch under a corpus-wide watermark. The corpus
+    has a same-timestamp-microsecond view->purchase pair (user 1) and
+    a converted pair (user 5), so the join is non-vacuous."""
+    from data_engineering_capstone_project_spark.streaming import (
+        run_available_now_to_memory,
+    )
+    from data_engineering_capstone_project_spark.streaming.events import (
+        views_purchase_interval_join,
+    )
+
+    expected = _canon_ns(
+        views_purchase_interval_join(_batch(spark, adv_stream_src))
+    )
+    assert expected, "batch twin found no conversions in the corpus"
+    run_available_now_to_memory(
+        views_purchase_interval_join(
+            _stream(spark, adv_stream_src), watermark="900 days"
+        ),
+        "t_adv_ij",
+        output_mode="append",
+    )
+    assert _canon_ns(spark.table("t_adv_ij")) == expected
+
+
 def test_closed_sessions_ignore_null_timestamps(spark, tmp_path):
     """Emit-on-timeout sessionization fed NULL event times (r9
     adversarial sweep): a NULL ts belongs to no session — the batch
