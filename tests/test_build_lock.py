@@ -531,6 +531,47 @@ def test_release_own_unlinks_only_own_inode(tmp_path):
     assert not slot.exists()
 
 
+def test_raced_holder_release_leaves_foreign_lock_alone(tmp_path):
+    """Integration pin for the r9 inode-verified release wiring: a
+    builder whose lock file is renamed away MID-BUILD (the breaker-race
+    shape) must not, at release time, delete the different lock file
+    now occupying the slot — that file is another process's live lock,
+    and deleting it cascaded the race one more generation."""
+    import threading
+
+    from data_engineering_capstone_project_spark.sources.writers import (
+        build_exclusive,
+    )
+
+    loc = tmp_path / "tbl"
+    lock = tmp_path / "_BUILDING.tbl"
+    built_gate = threading.Event()
+    release_gate = threading.Event()
+
+    def build():
+        loc.mkdir(parents=True, exist_ok=True)
+        (loc / "_SUCCESS").write_text("")
+        built_gate.set()
+        assert release_gate.wait(30)  # hold the build while we race it
+
+    out: list = []
+    t = threading.Thread(
+        target=lambda: out.append(
+            build_exclusive(loc, build, lambda: (loc / "_SUCCESS").exists())
+        )
+    )
+    t.start()
+    assert built_gate.wait(30)
+    # The race: the holder's lock is renamed away and a "foreign"
+    # process's lock takes the slot while the build is still running.
+    lock.rename(tmp_path / "stolen")
+    lock.write_text("99999:foreign")
+    release_gate.set()
+    t.join(30)
+    assert out == ["built"]
+    assert lock.read_text() == "99999:foreign"  # foreign lock survived
+
+
 def test_restore_slot_handles_vanished_source(tmp_path):
     """A vanished src (another cleaner unlinked the same trash path)
     is 'nothing left to restore', not a crash."""

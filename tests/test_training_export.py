@@ -143,6 +143,61 @@ def test_pack_sequences_degenerate_counts_contract(spark):
     assert got == {0: 0, 8: 0, 16: 0, 24: 0, 32: None, 40: 1}
 
 
+def test_pack_sequences_invariants_property(spark):
+    """Property pin over arbitrary corpora (r9): for ANY (doc_id,
+    tokens) set, packing must keep every row and assign EXACTLY
+    pack_id == floor(cum_before / budget) within each shard's doc_id
+    order — a sequential Python recomputation is the oracle, so the
+    streaming-greedy contract (prior pack content under budget,
+    overflow at most one document) is pinned by construction. Several
+    budgets and shard counts swept, one Spark round-trip per case."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        pack_sequences,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=4000),
+                st.integers(min_value=0, max_value=600),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        n_shards=st.sampled_from([1, 4, 8]),
+        budget=st.sampled_from([64, 256]),
+    )
+    def run(rows, n_shards, budget):
+        df = spark.createDataFrame(rows, "doc_id long, tokens long")
+        out = pack_sequences(df, n_shards, budget=budget).collect()
+        got = {r.doc_id: (r.shard, r.tokens, r.pack_id) for r in out}
+        # nothing dropped, nothing duplicated
+        assert len(out) == len(rows) and len(got) == len(rows)
+        per_shard: dict = {}
+        for doc_id, tokens in sorted(rows):
+            per_shard.setdefault(doc_id % n_shards, []).append(
+                (doc_id, tokens)
+            )
+        for shard, docs in per_shard.items():
+            cum = 0
+            for doc_id, tokens in docs:
+                s, t, p = got[doc_id]
+                assert s == shard and t == tokens
+                assert p == cum // budget  # the exact greedy rule
+                cum += tokens
+
+    run()
+
+
 def test_quality_sample_is_subset_and_deterministic(spark):
     sample = QUERIES["quality_weighted_sample"](spark, SF_SMALL).cache()
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
