@@ -55,11 +55,14 @@ _PRIORITY = [
     # tokenizer chain driver-visible end-to-end (VERDICT #5); oracle
     # composes the bpe_encode and packing oracles
     "sequence_packing_bpe",
-    # CHANGED r9 (advice fix): the training loop now STOPS on an empty
-    # merge round, passing the symbol frame through like the oracle's
-    # LEFT JOIN ON TRUE, instead of letting the inner-join apply wipe
-    # it (latent state divergence; outputs coincided). bpe_encode
-    # consumes the same loop via bpe_merge_rounds.
+    # CHANGED r9 (advice fix + stack fix): the training loop now STOPS
+    # on an empty merge round, passing the symbol frame through like
+    # the oracle's LEFT JOIN ON TRUE, instead of letting the inner-join
+    # apply wipe it (latent state divergence; outputs coincided); and
+    # bpe_apply_merges — which bpe_encode runs — now inlines
+    # driver-known merges as literals with a 16-merge checkpoint batch
+    # (the 64-deep default overflowed the driver stack at production
+    # merge counts; found by this round's prescribed probe).
     "bpe_learn_merges",
     "bpe_encode",
     # CHANGED r9 (advice fix): the _VALIDATED_PAIRS memo fast path now
