@@ -891,7 +891,11 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
                 sidecars_ok = False
                 break
             if disk != cached:
-                del _VALIDATED_PAIRS[memo_key]
+                # pop, not del (r9 advice): two driver threads can both
+                # hit the memo and both invalidate; the second del
+                # would mask the loud two-writers RuntimeError below
+                # with a confusing KeyError.
+                _VALIDATED_PAIRS.pop(memo_key, None)
                 raise RuntimeError(
                     f"{n}: this process validated {cached} buckets but "
                     f"the files' _BUCKETS sidecar now records {disk}; a "
@@ -902,7 +906,7 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
                 )
         if sidecars_ok:
             return tuple(spark.table(names[tbl]) for tbl, _ in pairs)
-        del _VALIDATED_PAIRS[memo_key]
+        _VALIDATED_PAIRS.pop(memo_key, None)
     for tbl, key in pairs:
         if not spark.catalog.tableExists(names[tbl]):
             _adopt_bucketed_dir(

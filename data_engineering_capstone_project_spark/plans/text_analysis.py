@@ -3178,7 +3178,16 @@ def _bpe_merge_apply(adj: DataFrame, m) -> DataFrame:
             F.concat(lc, rc).alias("ms"),
         )
     else:
-        f = adj.join(broadcast(m.select("l", "r"))).select(
+        # LEFT join ON TRUE, mirroring the oracle's LEFT JOIN ON TRUE
+        # (r10, advice fix): an EMPTY merge frame then yields NULL
+        # l/r, so ``mt`` is never satisfied and every symbol row
+        # passes through unchanged — LAZILY, with no eager emptiness
+        # probe at plan-construction time (the r9 take(1) guard ran
+        # one real Spark job per merge round even for EXPLAIN-only
+        # builds). For the non-empty (every real) case the 1-row
+        # broadcast left join is plan-identical to the old inner
+        # cross: one BroadcastNestedLoopJoin, no new Exchange.
+        f = adj.join(broadcast(m.select("l", "r")), F.lit(True), "left").select(
             "*",
             ((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r"))).alias(
                 "mt"
@@ -3235,10 +3244,10 @@ def bpe_merge_rounds(
     given a (word, wf) vocabulary, run ``rounds`` greedy merge rounds
     and return the (round, left_sym, right_sym, pair_count) merge
     table. With ``return_symbols`` also return the POST-training
-    (word, wf, pos, sym) symbol frame — the loop state the r9
-    empty-round guard protects (see below), exposed so its contract
-    (pass-through, never wiped) is testable. See ``bpe_learn_merges``
-    for semantics and scale notes."""
+    (word, wf, pos, sym) symbol frame — the loop state the empty-round
+    LEFT-join pass-through protects (see below), exposed so its
+    contract (pass-through, never wiped) is testable. See
+    ``bpe_learn_merges`` for semantics and scale notes."""
     wp = _bpe_symbols(vocab)
     merges = []
     for rnd in range(1, rounds + 1):
@@ -3270,19 +3279,16 @@ def bpe_merge_rounds(
             )
         )
         # Empty merge round (no adjacent pair anywhere — every word is
-        # a single symbol): STOP, passing the symbol frame through
-        # unchanged (r9 advice fix). _bpe_merge_apply inner-joins the
-        # merge frame, so applying an empty ``m`` would wipe ``wp``,
-        # while the oracle's LEFT JOIN ON TRUE passes symbols through;
-        # the merge-table OUTPUT coincided either way (no pairs in
-        # round N implies none later, so rounds N.. emit no rows on
-        # both engines), but the post-round symbol frame diverged
-        # semantically — a trap for any future reuse of the loop
-        # state. The take(1) is one action over the already-persisted
-        # vocab-sized adjacency frame; ``m`` itself stays lazy for the
-        # non-empty (every real) case so plan pins are unchanged.
-        if not m.take(1):
-            break
+        # a single symbol): the apply's LEFT JOIN ON TRUE passes the
+        # symbol frame through unchanged, exactly like the oracle's
+        # LEFT JOIN ON TRUE (r10 — replaces the r9 eager take(1)
+        # guard, which ran one real Spark job per merge round at
+        # plan-CONSTRUCTION time, breaking the keep-plan-build-lazy
+        # convention for EXPLAIN-only builds). The merge-table OUTPUT
+        # is unchanged either way: no pairs in round N implies none
+        # later, so rounds N.. emit no rows, and the loop state — the
+        # post-round symbol frame — now passes through lazily instead
+        # of being wiped (r9's semantic fix) or eagerly probed.
         wp = _bpe_merge_apply(adj, m)
     out = merges[0]
     for mdf in merges[1:]:

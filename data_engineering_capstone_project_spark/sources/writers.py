@@ -427,8 +427,19 @@ def _release_own(slot, ino: tuple) -> bool:
 
     try:
         st = os.stat(slot)
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         return False
+    except OSError:
+        # Transient stat failure (EIO/EACCES — r9 advice): retry once;
+        # if it still fails, PROPAGATE. Swallowing it returned False,
+        # which silently left the holder's live lock behind while
+        # build_exclusive reported "built" — waiters then wedged until
+        # this process exited or timeout_sec. A stuck lock must fail
+        # loudly at release time instead.
+        try:
+            st = os.stat(slot)
+        except FileNotFoundError:
+            return False
     if (st.st_dev, st.st_ino) != ino:
         return False
     try:

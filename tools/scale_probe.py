@@ -357,10 +357,12 @@ def _run_probes(k: int, out: str):
         ("ann_ivfpq_probe4_indexed", None, _run_ivfpq_probe4, False),
         # r9 (VERDICT #4): the checkpoint_every lineage-batching path
         # at a production-shaped merge count — 256 merges engage the
-        # localCheckpoint every 64; the 64-merge leg is the linearity
-        # reference (sec_256/sec_64 ~ 4 at fixed corpus means the
-        # batching holds wall-time linear in merges, no super-linear
-        # plan-analysis term).
+        # localCheckpoint every 16 (the default; r9 halved it from 64
+        # after the 64-deep literal batch overflowed the driver
+        # stack); the 64-merge leg is the linearity reference
+        # (sec_256/sec_64 ~ 4 at fixed corpus means the batching holds
+        # wall-time linear in merges, no super-linear plan-analysis
+        # term).
         ("bpe_apply_merges_64", None, _bpe_apply_runner(64), False),
         ("bpe_apply_merges_256", None, _bpe_apply_runner(256), False),
         ("scd2_apply", None, _run_scd2, False),
@@ -400,7 +402,7 @@ def _bpe_apply_runner(n_merges: int):
     count (r9, VERDICT #4): build the corpus vocabulary (untimed cost
     is inside the run — identical across legs, so the 256/64 ratio
     isolates the per-merge term) and apply ``n_merges`` synthetic
-    merges with the default checkpoint_every=64 lineage batching. The
+    merges with the default checkpoint_every=16 lineage batching. The
     merge list is a fixed frequent-letter pair grid: every merge does
     REAL match/window work on the symbol frame (the apply cost is one
     window pass per merge regardless of how many rows match), while
