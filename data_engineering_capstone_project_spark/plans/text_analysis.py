@@ -3298,8 +3298,120 @@ def bpe_merge_rounds(
     return out
 
 
+def _bpe_apply_arrow(vocab: DataFrame, merges: list) -> DataFrame:
+    """One-pass Arrow encoder twin of ``bpe_apply_merges`` — the
+    PRODUCTION apply path for large merge tables (r10, VERDICT #1):
+    the window-arithmetic path costs one vocab-sized window pass PER
+    MERGE (measured linear in merge count: 4.0x wall for 4x merges,
+    SCALE_PROBE_r09.jsonl), so a realistic 30k-merge vocabulary is
+    hours of passes. A production tokenizer instead encodes each
+    DISTINCT word once with a sequential greedy loop whose cost
+    depends on the word's length and the merges that actually FIRE,
+    not the merge-table size — exactly the per-partition imperative
+    shape the Arrow ``mapInPandas`` escape hatch exists for.
+
+    Semantics are EXACTLY the window path's (training-order apply):
+    merges apply in learned order, each as ONE greedy
+    leftmost-non-overlapping pass ("aaaa" + (a,a) -> [aa, aa]). The
+    loop implements that as min-PRESENT-rank-first with a MONOTONE
+    rank floor: pick the lowest-rank pair ≥ floor present in the
+    word, run its single greedy pass, set floor past it. Equivalence:
+    state is unchanged between fired merges, so every merge skipped
+    below the floor had no occurrence at its training-order turn; and
+    one pass per merge is complete because a merge's product (l+r)
+    can never equal l or r, so firing a merge cannot create a new
+    occurrence of ITSELF. The floor also pins the one true
+    divergence trap of rank-order encoders: a LATER merge whose
+    product string re-creates an EARLIER merge's pair (possible only
+    when two training rounds emit the same product string) must NOT
+    resurrect the earlier merge — training-order already passed it.
+    Rank lookups map pair -> sorted rank list (training can relearn a
+    pair after intermediate merges re-create it), bisected at the
+    floor. tests/test_bpe_arrow_twin.py pins both the value-exact
+    twin contract and the duplicate-product pathology against the
+    window path.
+
+    Scale shape: one Arrow-batched map over the Heaps'-law vocab —
+    ZERO shuffles, zero window passes, plan depth constant in merge
+    count; the merge table rides the task closure (vocab-sized, the
+    bounded-collect class; ~30k pairs is well under a MB pickled —
+    switch to ``SparkContext.broadcast`` if a tokenizer ever ships
+    multi-GB vocabularies). Per word the loop is O(len^2) dict work
+    independent of merge-table size; output is the same
+    (word, wf, pos, sym) frame (pos = 1-based position of the
+    symbol's first character), so ``bpe_encode``'s join-back is
+    byte-identical either way."""
+    from bisect import bisect_left
+
+    ranks: dict[tuple, list] = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault((pair[0], pair[1]), []).append(i)
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_word, out_wf, out_pos, out_sym = [], [], [], []
+            for word, wf in zip(pdf["word"], pdf["wf"]):
+                if word is None or len(word) == 0:
+                    continue  # _bpe_symbols drops zero-length words too
+                syms = list(word)
+                poss = list(range(1, len(syms) + 1))
+                floor = 0
+                while len(syms) > 1:
+                    best = None
+                    best_pair = None
+                    for a, b in zip(syms, syms[1:]):
+                        lst = ranks.get((a, b))
+                        if lst is None:
+                            continue
+                        j = bisect_left(lst, floor)
+                        if j < len(lst) and (best is None or lst[j] < best):
+                            best, best_pair = lst[j], (a, b)
+                    if best is None:
+                        break
+                    left, right = best_pair
+                    ns, np_ = [], []
+                    i = 0
+                    n = len(syms)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            ns.append(left + right)
+                            np_.append(poss[i])
+                            i += 2
+                        else:
+                            ns.append(syms[i])
+                            np_.append(poss[i])
+                            i += 1
+                    syms, poss = ns, np_
+                    floor = best + 1
+                out_word.extend([word] * len(syms))
+                out_wf.extend([wf] * len(syms))
+                out_pos.extend(poss)
+                out_sym.extend(syms)
+            yield pd.DataFrame(
+                {
+                    "word": out_word,
+                    "wf": out_wf,
+                    "pos": out_pos,
+                    "sym": out_sym,
+                }
+            )
+
+    return vocab.select("word", "wf").mapInPandas(
+        encode_batches, schema="word string, wf bigint, pos int, sym string"
+    )
+
+
 def bpe_apply_merges(
-    vocab: DataFrame, merges: list, checkpoint_every: int = 16
+    vocab: DataFrame,
+    merges: list,
+    checkpoint_every: int = 16,
+    mode: str = "window",
 ) -> DataFrame:
     """ENCODE a (word, wf) vocabulary with an already-LEARNED merge
     list ``[(left_sym, right_sym), ...]`` in training order — the
@@ -3336,11 +3448,20 @@ def bpe_apply_merges(
     createDataFrame+broadcast joins (r9): the old shape paid one
     driver->JVM round-trip plus a BroadcastExchange per merge — pure
     fixed overhead at 30k merges — and was the depth term that blew
-    the stack. The per-word independence also admits an Arrow
-    ``applyInPandas`` encoder over the distinct vocab as the
-    constant-depth alternative (encode each distinct word once, join
-    back) — same join-back shape as ``bpe_encode`` uses below either
-    way."""
+    the stack.
+
+    ``mode="arrow"`` (r10) routes to ``_bpe_apply_arrow``, the
+    one-pass Arrow ``mapInPandas`` twin that encodes each distinct
+    word once and is ~FLAT in merge count — the production path for
+    realistic (30k+) merge tables, where the window path's
+    linear-in-merges cost model breaks down. Default stays "window":
+    the registered 3-merge queries keep the fully inspectable
+    declarative plan, and the two paths are value-exact twins
+    (tests/test_bpe_arrow_twin.py)."""
+    if mode == "arrow":
+        return _bpe_apply_arrow(vocab, merges)
+    if mode != "window":
+        raise ValueError(f"mode must be 'window' or 'arrow', got {mode!r}")
     wp = _bpe_symbols(vocab)
     for i, (left, right) in enumerate(merges, start=1):
         wp = _bpe_merge_apply(_bpe_adjacency(wp), (left, right))
@@ -3443,7 +3564,9 @@ _BPE_ENCODE_ORACLE = (
 
 
 @query("bpe_encode", oracle=_BPE_ENCODE_ORACLE)
-def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode(
+    spark: SparkSession, sf_dir: str, mode: str = "window"
+) -> DataFrame:
     """BPE tokenizer APPLY — the missing half of the tokenizer chain
     through r7 (the engine trained merges but could not encode with
     them): learn 3 merges from the corpus, apply them to the
@@ -3484,7 +3607,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.left_sym, r.right_sym)
         for r in bpe_merge_rounds(vocab, rounds=3).orderBy("round").collect()
     ]
-    wp = bpe_apply_merges(vocab, learned)
+    wp = bpe_apply_merges(vocab, learned, mode=mode)
 
     # Token ids. Base alphabet: distinct single chars, sorted, ids
     # 0..k-1 (alphabet-sized single-partition window — the
@@ -3519,7 +3642,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain otherwise re-runs for every action over the result.
     word_tokens = scoped_persist(
         wp.join(broadcast(sym_ids), "sym").select("word", "pos", "tid"),
-        "bpe_encode_word_tokens",
+        f"bpe_encode_word_tokens_{mode}",
     )
     dt = docs.select(
         "doc_id", F.posexplode(D.tokenize(F.col("text"))).alias("wpos", "word")
@@ -3548,6 +3671,24 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-",
         ).alias("prefix_ids"),
     )
+
+
+@query("bpe_encode_arrow", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bpe_encode`` on the PRODUCTION apply path (r10, VERDICT #1):
+    identical training, id assignment, and per-document digesting, but
+    the learned merges are applied by the one-pass Arrow encoder
+    (``_bpe_apply_arrow``) instead of one window pass per merge.
+    Registered as its own query — against the SAME DuckDB oracle as
+    ``bpe_encode`` — so the driver hash-verifies the Arrow encoder's
+    greedy semantics (training-order merge application, leftmost
+    non-overlap, id order) end-to-end, independently of the in-engine
+    window/arrow twin tests. At the registered 3 merges both paths
+    cost about the same; the Arrow path's reason to exist is a 30k+
+    merge production vocabulary, where it is ~flat in merge count
+    while the window path is linear (SCALE_PROBE rows
+    ``bpe_apply_arrow_256`` / ``_1024``)."""
+    return bpe_encode(spark, sf_dir, mode="arrow")
 
 
 @query(

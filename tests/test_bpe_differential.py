@@ -8,7 +8,7 @@ pass-through, not a row-killer: found by this suite's design review and
 fixed by LEFT JOIN ON TRUE in ``_bpe_oracle_round``), whitespace-only
 and empty documents, NULL text, case folding, and the classic overlap
 runs — each compared value-exactly against the same DuckDB oracle the
-driver uses (tools/compare.compare_query)."""
+driver uses (tools/compare.compare_query). Since r10 every corpus\nruns through BOTH encode paths (window and Arrow one-pass apply), so\nthe production encoder faces the same degenerate shapes."""
 
 from __future__ import annotations
 
@@ -42,16 +42,17 @@ CORPORA = {
 }
 
 
+@pytest.mark.parametrize("qname", ["bpe_encode", "bpe_encode_arrow"])
 @pytest.mark.parametrize("name", sorted(CORPORA))
 def test_bpe_encode_matches_oracle_on_adversarial_corpus(
-    spark, tmp_path_factory, name
+    spark, tmp_path_factory, name, qname
 ):
     # Single-FILE parquet throughout (DuckDB's view-per-table reads a
     # plain file path, same as the real testdata): copy every
     # non-documents table verbatim, synthesize documents with pyarrow
     # preserving the real file's schema (non-text columns all NULL).
     texts = CORPORA[name]
-    dst = tmp_path_factory.mktemp(f"bpe_diff_{name}")
+    dst = tmp_path_factory.mktemp(f"bpe_diff_{qname}_{name}")
     for p in glob.glob(f"{SF_SMALL}/*.parquet"):
         if os.path.basename(p) != "documents.parquet":
             shutil.copy(p, dst / os.path.basename(p))
@@ -72,7 +73,7 @@ def test_bpe_encode_matches_oracle_on_adversarial_corpus(
     con = duck_connection(str(dst))
     try:
         problems = compare_query(
-            spark, con, QUERIES["bpe_encode"], ORACLES["bpe_encode"], str(dst)
+            spark, con, QUERIES[qname], ORACLES[qname], str(dst)
         )
     finally:
         con.close()

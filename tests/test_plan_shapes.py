@@ -989,3 +989,17 @@ def test_bpe_encode_vocab_axis_discipline(spark):
     # word-partitioned); anything more means a merge/id join degraded
     assert plan.count("SortMergeJoin") <= 1, plan
     assert "BroadcastHashJoin" in plan  # (l, r) merges + sym_ids
+
+
+def test_bpe_encode_arrow_apply_is_constant_depth(spark):
+    """bpe_encode_arrow (r10): the one-pass Arrow apply replaces the
+    per-merge window chain with EXACTLY ONE MapInPandas over the
+    vocab — plan depth constant in merge count. Only the two
+    legitimate windows remain (sorted-alphabet id assignment + the
+    per-document sequence digest); no cartesian, no sort-merge
+    against the symbol frame."""
+    plan = _plan(QUERIES["bpe_encode_arrow"](spark, SF_SMALL))
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Window") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 1, plan

@@ -365,6 +365,18 @@ def _run_probes(k: int, out: str):
         # term).
         ("bpe_apply_merges_64", None, _bpe_apply_runner(64), False),
         ("bpe_apply_merges_256", None, _bpe_apply_runner(256), False),
+        # r10 (VERDICT #1): the one-pass Arrow apply at 256 vs 1024
+        # merges — sec(1024)/sec(256) ~ 1 at fixed corpus is the
+        # flat-in-merge-count claim (the window path measured 4.0x
+        # per 4x); sec_kx/sec_1x per leg is the usual corpus-axis
+        # check (one Arrow map over the vocab -> sub-linear).
+        ("bpe_apply_arrow_256", None, _bpe_apply_runner(256, "arrow"), False),
+        (
+            "bpe_apply_arrow_1024",
+            None,
+            _bpe_apply_runner(1024, "arrow"),
+            False,
+        ),
         ("scd2_apply", None, _run_scd2, False),
         ("merge_upsert_partitioned", _setup_merge, _run_merge, False),
         ("delete_keys_partitioned", _setup_merge, _run_delete, False),
@@ -397,23 +409,29 @@ def _run_probes(k: int, out: str):
         )
 
 
-def _bpe_apply_runner(n_merges: int):
+def _bpe_apply_runner(n_merges: int, mode: str = "window"):
     """Timed leg for ``bpe_apply_merges`` at a production-shaped merge
     count (r9, VERDICT #4): build the corpus vocabulary (untimed cost
     is inside the run — identical across legs, so the 256/64 ratio
     isolates the per-merge term) and apply ``n_merges`` synthetic
-    merges with the default checkpoint_every=16 lineage batching. The
-    merge list is a fixed frequent-letter pair grid: every merge does
-    REAL match/window work on the symbol frame (the apply cost is one
-    window pass per merge regardless of how many rows match), while
-    staying deterministic — learning 256 merges first would probe the
-    trainer, not the apply path."""
+    merges with the default checkpoint_every=16 lineage batching
+    (window mode) or the one-pass Arrow encoder (mode="arrow", r10).
+    The merge list is a fixed frequent-letter pair grid: every merge
+    does REAL match work on the symbol frame — single-char pairs over
+    the corpus's most frequent letters fire constantly, so the Arrow
+    legs measure genuine merge traffic, not a table of never-present
+    pairs — while staying deterministic (learning the merges first
+    would probe the trainer, not the apply path)."""
     import itertools
 
-    letters = "etaoinsrhldcumfp"  # 16 letters -> 256 ordered pairs
+    # 16 letters -> 256 ordered pairs; +16 more symbols -> 1024.
+    letters = "etaoinsrhldcumfp"
+    if n_merges > 256:
+        letters += "gwybvkxjqz.,0123"
     merges = [
         (a, b) for a, b in itertools.product(letters, repeat=2)
     ][:n_merges]
+    assert len(merges) == n_merges
 
     def run(spark, d: str, scratch: str) -> None:
         from data_engineering_capstone_project_spark.operators import (
@@ -429,9 +447,9 @@ def _bpe_apply_runner(n_merges: int):
             .groupBy("word")
             .agg(F.count("*").alias("wf"))
         )
-        bpe_apply_merges(vocab, merges).write.mode("overwrite").format(
-            "noop"
-        ).save()
+        bpe_apply_merges(vocab, merges, mode=mode).write.mode(
+            "overwrite"
+        ).format("noop").save()
 
     return run
 
