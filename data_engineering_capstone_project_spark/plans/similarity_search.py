@@ -1249,6 +1249,110 @@ def pq_codes_table(
 
 
 @query(
+    "codes_table_adoption_parity",
+    oracle=f"""
+    WITH {_PQ_SCODE_CTES}
+    SELECT CAST(s AS INTEGER) AS s,
+           CAST(count(*) AS BIGINT) AS n_codes,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           CAST(sum(code) AS BIGINT) AS code_sum
+    FROM codes
+    GROUP BY s
+    """,
+)
+def codes_table_adoption_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-lifecycle parity for the PQ codes index (r10, VERDICT
+    #6): the adoption guarantee — a fresh catalog meeting a COMPLETE
+    same-fingerprint codes directory must ADOPT it byte-identically,
+    never re-encode or lose files — exercised end-to-end and verified
+    two ways. In-engine: build (or adopt) the codes table, digest it,
+    DROP the catalog entry while preserving the files (stash/restore
+    for a managed first build; an external adopted table keeps its
+    files across DROP by definition), re-enter ``pq_codes_table`` —
+    which must take the adopt branch — and require the post-adoption
+    digest AND the file listing (names + sizes) to be identical,
+    raising RuntimeError otherwise. Cross-engine: the returned
+    per-subspace digest of the ADOPTED table (row counts, distinct
+    vectors, code sum) is hash-checked against DuckDB re-deriving the
+    PQ codes from the raw embeddings — so an adoption that served
+    stale, partial, or re-encoded-differently files is a red driver
+    row, not just a failed assertion. This gives the build-lock /
+    adoption protocol (tests/test_build_lock.py's two-process suite)
+    a standing driver-visible row, the same promotion the streaming
+    serving tables got in r8.
+
+    Scale shape: one digest aggregation over the codes table per side
+    of the parity check — the table itself is the ~4-bytes/vector
+    index, and the lifecycle operations are catalog + filesystem
+    metadata, no data rewrite (that is exactly what the file-listing
+    assertion proves)."""
+    import re as _re
+    import shutil
+    from pathlib import Path
+
+    from data_engineering_capstone_project_spark.plans.relational import (
+        _source_fingerprint,
+    )
+
+    def digest(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("s").cast("int").alias("s")).agg(
+            F.count("*").cast("bigint").alias("n_codes"),
+            F.countDistinct("vec_id").cast("bigint").alias("n_vecs"),
+            F.sum("code").cast("bigint").alias("code_sum"),
+        )
+
+    before = sorted(map(tuple, digest(pq_codes_table(spark, sf_dir)).collect()))
+
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
+    name = f"pq_codes_{tag}_{_source_fingerprint(sf_dir, ('embeddings',))}"
+    warehouse = Path(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+            "file:", ""
+        )
+    )
+    loc = warehouse / name
+    listing_before = sorted(
+        (p.relative_to(loc).as_posix(), p.stat().st_size)
+        for p in loc.rglob("*")
+        if p.is_file()
+    )
+
+    # Simulate the fresh-catalog re-entry: drop the entry, keep the
+    # files. A managed first build loses its files on DROP, so stash a
+    # copy first and restore it; an adopted external table keeps them.
+    stash = loc.with_name(loc.name + "._adoption_stash")
+    if stash.exists():
+        shutil.rmtree(stash)
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    if loc.exists():
+        shutil.rmtree(stash)  # external: files survived the DROP
+    else:
+        stash.rename(loc)  # managed: restore the complete dir
+
+    adopted = pq_codes_table(spark, sf_dir)  # must take the adopt branch
+    if not spark.catalog.tableExists(name):
+        raise RuntimeError(f"{name}: re-entry did not register the table")
+    listing_after = sorted(
+        (p.relative_to(loc).as_posix(), p.stat().st_size)
+        for p in loc.rglob("*")
+        if p.is_file()
+    )
+    if listing_after != listing_before:
+        raise RuntimeError(
+            f"{name}: adoption rewrote the index files — "
+            f"{len(listing_before)} files before, {len(listing_after)} after"
+        )
+    after = sorted(map(tuple, digest(adopted).collect()))
+    if after != before:
+        raise RuntimeError(
+            f"{name}: adopted table content diverged from the built one: "
+            f"{before} != {after}"
+        )
+    return digest(spark.table(name))
+
+
+@query(
     "ann_pq_topk_indexed",
     oracle=f"""
     WITH {_PQ_SCODE_CTES},
