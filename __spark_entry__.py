@@ -44,37 +44,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # the invariants (priority head first, then monotone non-decreasing
 # staleness, permutation of the full registry).
 #
-# r9 priority head — MINIMAL by design (VERDICT r8 #1: the r2/r3
-# stale tail is the binding constraint; the r8 adversarial program is
-# complete, so r9's change surface is deliberately four queries). The
-# remaining 46 slots fall on the stale tail oldest-first: all 22 r2
-# rows + the 24 alphabetically-first r3 rows drain this round,
-# leaving 3 r3 rows for the r10 sample.
+# r10 priority head — new/changed only (VERDICT r9 #2: the 44
+# remaining slots then drain the ENTIRE pre-r6 stale tail — the 3 r3
+# rows + 13 r4 + 28 r5 = exactly 44 — leaving zero pre-r6 latest rows
+# after this round).
 _PRIORITY = [
-    # NEW r9: packing over REAL bpe_encode token counts — the closed
-    # tokenizer chain driver-visible end-to-end (VERDICT #5); oracle
-    # composes the bpe_encode and packing oracles
-    "sequence_packing_bpe",
-    # CHANGED r9 (advice fix + stack fix): the training loop now STOPS
-    # on an empty merge round, passing the symbol frame through like
-    # the oracle's LEFT JOIN ON TRUE, instead of letting the inner-join
-    # apply wipe it (latent state divergence; outputs coincided); and
-    # bpe_apply_merges — which bpe_encode runs — now inlines
-    # driver-known merges as literals with a 16-merge checkpoint batch
-    # (the 64-deep default overflowed the driver stack at production
-    # merge counts; found by this round's prescribed probe).
+    # NEW r10 (VERDICT #1): bpe_encode on the one-pass Arrow apply —
+    # the production path for 30k+-merge vocabularies, flat in merge
+    # count (SCALE_PROBE_r10: 0.371s@256 vs 0.387s@1024 merges, vs
+    # the window path's measured 4.0x per 4x) — against the SAME
+    # DuckDB oracle as bpe_encode.
+    "bpe_encode_arrow",
+    # NEW r10 (VERDICT #6): the build-lock/adoption protocol's driver
+    # row — build the PQ codes table, drop the catalog entry keeping
+    # files, re-enter (must ADOPT), assert digest + file-listing
+    # identity in-engine AND hash-check the adopted digest vs DuckDB.
+    "codes_table_adoption_parity",
+    # CHANGED r10 (advice fix): the training loop's empty-merge-round
+    # guard is now a LAZY LEFT JOIN ON TRUE in the merge apply
+    # (mirrors the oracle) instead of an eager per-round take(1) at
+    # plan-construction time; bpe_encode additionally gained the mode
+    # parameter (default "window", same plan).
     "bpe_learn_merges",
     "bpe_encode",
-    # CHANGED r9 (advice fix): the _VALIDATED_PAIRS memo fast path now
-    # re-reads the _BUCKETS sidecars on EVERY hit (plain file I/O), so
-    # the loud two-writers failure is every-call, not first-call-only.
+    "sequence_packing_bpe",
+    # CHANGED r10 (advice fix): memo invalidation uses pop(key, None)
+    # so a concurrent double-invalidate can't mask the two-writers
+    # RuntimeError with a KeyError.
     "revenue_by_priority_bucketed",
 ]
-# NOT in the head despite touched code: sources/writers.py's breaker
-# relic restore (r9 advice fix, _restore_slot) lives on a path only
-# reachable through a crashed-breaker relic + triple race — no normal
-# driver run executes it, so it invalidates no driver row; its
-# contract is pinned by the dedicated two-process/threaded tests in
+# NOT in the head despite touched code: sources/writers.py's
+# _release_own stat-retry (r10 advice fix) lives on a transient-EIO
+# path no normal driver run executes; its contract is pinned by
 # tests/test_build_lock.py instead.
 
 _DRIVER_SAMPLE_FIRST = rotation_order(

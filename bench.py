@@ -40,6 +40,60 @@ def choose_series(first: dict, rerun: dict | None, gate: float = DRIFT_GATE_PCT)
     return chosen, unstable, (1 if rerun is not None else 0)
 
 
+def _git_rev() -> str | None:
+    """Short commit hash of the code that produced an anchor, so a
+    carried-forward anchor is attributable. Best-effort: the bench
+    must run identically in environments without git."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "-C", str(_REPO), "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+                check=True,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:  # noqa: BLE001 — anchor provenance is optional
+        return None
+
+
+def _comparable_series() -> dict:
+    """value_comparable per recorded round, recomputed from the
+    BENCH_r*.json artifacts (sum of per-query timings minus the
+    fixed-cost star_schema_summary). Rounds whose record predates the
+    field (r4-r7) get it backfilled by the same arithmetic; records
+    that failed to parse (r7's clipped line) carry null."""
+    series: dict = {}
+    for p in sorted(_REPO.glob("BENCH_r*.json")):
+        rnd = p.stem.removeprefix("BENCH_")
+        try:
+            rec = json.loads(p.read_text())
+            # The driver wraps the bench's summary line under "parsed"
+            # ({n, rc, cpus, tail, parsed}); accept both shapes.
+            if "parsed" in rec and "queries" not in rec:
+                rec = rec["parsed"]
+            qs = rec["queries"]
+            series[rnd] = {
+                "value": rec.get("value"),
+                "value_comparable": round(
+                    sum(
+                        v
+                        for k, v in qs.items()
+                        if k != "star_schema_summary"
+                    ),
+                    3,
+                ),
+                "unstable": rec.get("unstable", False),
+            }
+        except (OSError, ValueError, KeyError, TypeError):
+            series[rnd] = None
+    return series
+
+
 # Queries that exercise the main physical patterns: scan+agg, broadcast
 # join chains, window rank, union+distinct, regex extraction, as-of
 # join, event-time sessionization, MinHash/LSH dedup, ANN search,
@@ -300,23 +354,55 @@ def main() -> None:
             "unstable": unstable,
         },
     }
+    total = round(sum(timings.values()), 3)
+    # Comparable-basis total (r9, VERDICT #8): the r4-r7 headline
+    # set minus the r8 newcomer star_schema_summary (a fixed-cost
+    # reference-ETL parity run that reads the reference's raw
+    # files, not sf_dir), so the pre-r8 total series stays
+    # one-read comparable across the r8 set swap.
+    comparable = round(
+        sum(v for k, v in timings.items() if k != "star_schema_summary"), 3
+    )
     detail_path = _REPO / "BENCH_DETAIL.json"
+    # Stable-canary anchor (r10, VERDICT r9 #3): the machine-readable
+    # cross-round comparison point. When THIS run is canary-stable
+    # (|drift| <= gate, no failed queries) it becomes the anchor;
+    # otherwise the previous detail file's anchor carries forward, so
+    # an `unstable: true` driver record no longer leaves the artifact
+    # series without a stable total (r9's stable run existed only as
+    # PERFORMANCE.md prose).
+    prev_anchor = None
+    try:
+        prev_anchor = json.loads(detail_path.read_text()).get("stable_anchor")
+    except (OSError, ValueError):
+        pass
+    if not unstable and not errors:
+        detail["stable_anchor"] = {
+            "value": total,
+            "value_comparable": comparable,
+            "canary_drift_pct": drift_pct,
+            "load_avg": [load_avg_start, load_avg_end],
+            "code_rev": _git_rev(),
+            "from_this_run": True,
+        }
+    elif prev_anchor is not None:
+        detail["stable_anchor"] = {**prev_anchor, "from_this_run": False}
+    else:
+        detail["stable_anchor"] = None
+    # Comparable-basis series backfill (r10, VERDICT r9 #8): recompute
+    # value_comparable for every recorded round from the BENCH_r*.json
+    # artifacts themselves (sum of per-query timings minus the
+    # fixed-cost star_schema_summary), so the one-field series covers
+    # r4-r7 records written before the field existed.
+    detail["comparable_series"] = _comparable_series()
     try:
         detail_path.write_text(json.dumps(detail, indent=1))
     except OSError as exc:  # detail is best-effort; the summary is not
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        # Comparable-basis total (r9, VERDICT #8): the r4-r7 headline
-        # set minus the r8 newcomer star_schema_summary (a fixed-cost
-        # reference-ETL parity run that reads the reference's raw
-        # files, not sf_dir), so the pre-r8 total series stays
-        # one-read comparable across the r8 set swap.
-        "value_comparable": round(
-            sum(v for k, v in timings.items() if k != "star_schema_summary"),
-            3,
-        ),
+        "value": total,
+        "value_comparable": comparable,
         "unit": "sec",
         "queries": timings,
         "runs_per_query": runs_per_query,
