@@ -3298,6 +3298,62 @@ def bpe_merge_rounds(
     return out
 
 
+def _bpe_ranks(merges: list) -> dict:
+    """Merge list -> {(left, right): sorted 0-based rank list}. A list,
+    not a scalar: training can legitimately relearn the same pair
+    after intermediate merges re-create occurrences of it, and the
+    floor bisection in ``_bpe_encode_word`` must then see the next
+    rank at-or-after the floor, not whichever single rank a plain
+    dict kept."""
+    ranks: dict[tuple, list] = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault((pair[0], pair[1]), []).append(i)
+    return ranks
+
+
+def _bpe_encode_word(word: str, ranks: dict) -> tuple[list, list]:
+    """Sequential greedy BPE encode of ONE word — the per-word kernel
+    of ``_bpe_apply_arrow``, module-level so the property suite can
+    drive it against the brute training-order reference without a
+    Spark job per example. Returns (symbols, positions) with positions
+    1-based at each symbol's first character, matching the window
+    path's frame exactly. See ``_bpe_apply_arrow`` for the
+    training-order-equivalence argument (monotone rank floor)."""
+    from bisect import bisect_left
+
+    syms = list(word)
+    poss = list(range(1, len(syms) + 1))
+    floor = 0
+    while len(syms) > 1:
+        best = None
+        best_pair = None
+        for a, b in zip(syms, syms[1:]):
+            lst = ranks.get((a, b))
+            if lst is None:
+                continue
+            j = bisect_left(lst, floor)
+            if j < len(lst) and (best is None or lst[j] < best):
+                best, best_pair = lst[j], (a, b)
+        if best is None:
+            break
+        left, right = best_pair
+        ns, np_ = [], []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                ns.append(left + right)
+                np_.append(poss[i])
+                i += 2
+            else:
+                ns.append(syms[i])
+                np_.append(poss[i])
+                i += 1
+        syms, poss = ns, np_
+        floor = best + 1
+    return syms, poss
+
+
 def _bpe_apply_arrow(vocab: DataFrame, merges: list) -> DataFrame:
     """One-pass Arrow encoder twin of ``bpe_apply_merges`` — the
     PRODUCTION apply path for large merge tables (r10, VERDICT #1):
@@ -3341,11 +3397,7 @@ def _bpe_apply_arrow(vocab: DataFrame, merges: list) -> DataFrame:
     (word, wf, pos, sym) frame (pos = 1-based position of the
     symbol's first character), so ``bpe_encode``'s join-back is
     byte-identical either way."""
-    from bisect import bisect_left
-
-    ranks: dict[tuple, list] = {}
-    for i, pair in enumerate(merges):
-        ranks.setdefault((pair[0], pair[1]), []).append(i)
+    ranks = _bpe_ranks(merges)
 
     def encode_batches(batches):
         import pandas as pd
@@ -3355,40 +3407,7 @@ def _bpe_apply_arrow(vocab: DataFrame, merges: list) -> DataFrame:
             for word, wf in zip(pdf["word"], pdf["wf"]):
                 if word is None or len(word) == 0:
                     continue  # _bpe_symbols drops zero-length words too
-                syms = list(word)
-                poss = list(range(1, len(syms) + 1))
-                floor = 0
-                while len(syms) > 1:
-                    best = None
-                    best_pair = None
-                    for a, b in zip(syms, syms[1:]):
-                        lst = ranks.get((a, b))
-                        if lst is None:
-                            continue
-                        j = bisect_left(lst, floor)
-                        if j < len(lst) and (best is None or lst[j] < best):
-                            best, best_pair = lst[j], (a, b)
-                    if best is None:
-                        break
-                    left, right = best_pair
-                    ns, np_ = [], []
-                    i = 0
-                    n = len(syms)
-                    while i < n:
-                        if (
-                            i + 1 < n
-                            and syms[i] == left
-                            and syms[i + 1] == right
-                        ):
-                            ns.append(left + right)
-                            np_.append(poss[i])
-                            i += 2
-                        else:
-                            ns.append(syms[i])
-                            np_.append(poss[i])
-                            i += 1
-                    syms, poss = ns, np_
-                    floor = best + 1
+                syms, poss = _bpe_encode_word(word, ranks)
                 out_word.extend([word] * len(syms))
                 out_wf.extend([wf] * len(syms))
                 out_pos.extend(poss)

@@ -131,6 +131,64 @@ def test_twin_degenerate_words(spark):
     assert got["qq"] == [(1, "q"), (2, "q")]
 
 
+def _reference_training_order(word: str, merges: list) -> list:
+    """Brute training-order apply: every merge in learned order, one
+    greedy leftmost-non-overlapping pass each — the definitional
+    semantics both engine paths must reproduce (O(M*len); fine for a
+    property suite, the thing the Arrow kernel exists to avoid at
+    30k merges)."""
+    syms = list(word)
+    for left, right in merges:
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_arrow_kernel_property_vs_training_order_reference():
+    """Hypothesis sweep of the pure-Python Arrow kernel against the
+    brute training-order reference — random words over a tiny alphabet
+    (maximizing merge traffic, overlap runs, and duplicate-product
+    collisions) and random merge lists whose elements may be
+    multi-char products, so the monotone-floor machinery is exercised
+    far beyond the handcrafted cases. No Spark: the Spark plumbing is
+    covered by the frame-level twins above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        _bpe_encode_word,
+        _bpe_ranks,
+    )
+
+    sym = st.text(alphabet="ab", min_size=1, max_size=3)
+    merges_st = st.lists(st.tuples(sym, sym), min_size=0, max_size=12)
+    word_st = st.text(alphabet="abc", min_size=1, max_size=14)
+
+    @settings(max_examples=400, deadline=None)
+    @given(word=word_st, merges=merges_st)
+    def check(word, merges):
+        got_syms, got_poss = _bpe_encode_word(word, _bpe_ranks(merges))
+        assert got_syms == _reference_training_order(word, merges)
+        # positions are each symbol's first char, 1-based, and the
+        # symbols re-concatenate to the word
+        assert "".join(got_syms) == word
+        expect_pos, acc = [], 1
+        for s in got_syms:
+            expect_pos.append(acc)
+            acc += len(s)
+        assert got_poss == expect_pos
+
+    check()
+
+
 def test_arrow_rejects_unknown_mode(spark):
     import pytest
 

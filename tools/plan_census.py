@@ -73,6 +73,9 @@ _EAGER = {
     "orc_roundtrip_parity",
     "ohlc_streamed_parity",
     "ivm_revenue_by_nation_parity",
+    # r10: runs the full build->drop->adopt lifecycle at call time;
+    # its read-side plan is pq_codes_table's (already skipped).
+    "codes_table_adoption_parity",
 }
 
 
