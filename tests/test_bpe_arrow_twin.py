@@ -96,6 +96,29 @@ def test_twin_on_synthetic_merge_grid(spark):
     _twin(spark, words, merges)
 
 
+def test_twin_at_production_merge_count(spark):
+    """64 synthetic merges over the real sf0.001 corpus vocabulary —
+    enough to engage the window path's checkpoint_every=16 lineage
+    batching (4 localCheckpoint boundaries), so the twin certifies
+    the arrow kernel against the EXACT production window configuration
+    (batched lineage, literal-inlined merges), not just short chains.
+    Same frequent-letter grid the scale probe times."""
+    letters = "etaoinsrhldcumfp"
+    merges = list(itertools.product(letters, repeat=2))[:64]
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    vocab = (
+        docs.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    win = _tokens(bpe_apply_merges(vocab, merges, mode="window"))
+    arr = _tokens(bpe_apply_merges(vocab, merges, mode="arrow"))
+    assert arr == win
+    # sanity: the grid really fires on this corpus (multi-char symbols
+    # exist), so the twin is not vacuous
+    assert any(len(s) > 1 for toks in arr.values() for _, s in toks)
+
+
 def test_twin_duplicate_product_pathology(spark):
     """THE divergence trap (see _bpe_apply_arrow docstring): merge 3
     re-produces "abc" after merge 1's (z, abc) turn has passed. A
