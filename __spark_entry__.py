@@ -44,11 +44,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # the invariants (priority head first, then monotone non-decreasing
 # staleness, permutation of the full registry).
 #
-# r10 priority head — new/changed only (VERDICT r9 #2: the 44
-# remaining slots then drain the ENTIRE pre-r6 stale tail — the 3 r3
-# rows + 13 r4 + 28 r5 = exactly 44 — leaving zero pre-r6 latest rows
-# after this round).
+# r10 priority head — new/changed only (VERDICT r9 #2: the 43
+# remaining slots then drain the stale tail oldest-first — all 3 r3
+# rows + all 13 r4 rows + 27 of the 28 r5 rows — leaving zero pre-r5
+# latest rows after this round, the prescribed done-bar; 1 r5 row
+# slips to r11).
 _PRIORITY = [
+    # NEW r10: the tokenizer's export artifact — the full (sym, tid)
+    # vocabulary table (vocab.json half of the shipped pair; the
+    # merges table is the other half); oracle re-derives the id
+    # assignment independently in SQL.
+    "bpe_vocab_table",
     # NEW r10 (VERDICT #1): bpe_encode on the one-pass Arrow apply —
     # the production path for 30k+-merge vocabularies, flat in merge
     # count (SCALE_PROBE_r10: 0.371s@256 vs 0.387s@1024 merges, vs

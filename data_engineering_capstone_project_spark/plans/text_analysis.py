@@ -3528,9 +3528,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_rounds(vocab, rounds=3)
 
 
-_BPE_ENCODE_ORACLE = (
-    _BPE_CTES
-    + """,
+# The token-id assignment CTEs, shared by the encode oracle and the
+# vocab-export oracle: sorted base alphabet gets 0..k-1, merge
+# products k+round-1, deduped to the FIRST producing round.
+_BPE_SYMID_CTES = """
     base AS (SELECT DISTINCT sym FROM wp0),
     base_ids AS (
         SELECT sym,
@@ -3550,7 +3551,13 @@ _BPE_ENCODE_ORACLE = (
             GROUP BY 1
         )
     ),
-    sym_ids AS (SELECT * FROM base_ids UNION ALL SELECT * FROM prod),
+    sym_ids AS (SELECT * FROM base_ids UNION ALL SELECT * FROM prod)"""
+
+_BPE_ENCODE_ORACLE = (
+    _BPE_CTES
+    + ","
+    + _BPE_SYMID_CTES
+    + """,
     dt AS (
         SELECT doc_id, CAST(g.i AS INTEGER) AS wpos,
                arr[CAST(g.i AS INTEGER)] AS word
@@ -3580,6 +3587,76 @@ _BPE_ENCODE_ORACLE = (
     GROUP BY doc_id
     """
 )
+
+
+def _bpe_token_ids(
+    spark: SparkSession, vocab: DataFrame, learned: list
+) -> DataFrame:
+    """Token-id assignment shared by ``bpe_encode`` and
+    ``bpe_vocab_table``. Base alphabet: distinct single chars, sorted,
+    ids 0..k-1 (alphabet-sized single-partition window — the
+    aggregate-frame pattern). Merge products: k + round - 1, deduped
+    to the FIRST round if two rounds ever produce the same string;
+    k arrives as a broadcast 1-row scalar frame, not a driver job."""
+    base = _bpe_symbols(vocab).select("sym").distinct()
+    base_ids = base.select(
+        "sym",
+        (F.row_number().over(Window.orderBy("sym")) - 1)
+        .cast("bigint")
+        .alias("tid"),
+    )
+    seen: dict[str, int] = {}
+    for rnd, (left, right) in enumerate(learned, start=1):
+        seen.setdefault(left + right, rnd)
+    if not seen:
+        return base_ids
+    prod = spark.createDataFrame(
+        [(s, rnd) for s, rnd in seen.items()], "sym string, rnd int"
+    )
+    kdf = base.agg(F.count("*").alias("k"))
+    return base_ids.unionByName(
+        prod.crossJoin(broadcast(kdf)).select(
+            "sym",
+            (F.col("k") + F.col("rnd") - 1).cast("bigint").alias("tid"),
+        )
+    )
+
+
+@query(
+    "bpe_vocab_table",
+    oracle=_BPE_CTES + "," + _BPE_SYMID_CTES + """
+    SELECT sym, CAST(tid AS BIGINT) AS tid FROM sym_ids
+    """,
+)
+def bpe_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's EXPORT ARTIFACT (r10): the full
+    (sym, tid) vocabulary table — sorted base alphabet at 0..k-1,
+    merge products at k+round-1 — i.e. the vocab.json half of what a
+    production tokenizer ships (the merges table,
+    ``bpe_learn_merges``, is the merges.txt half; together they fully
+    determine ``bpe_encode``'s output). A training pipeline
+    materializes exactly this pair next to the packed shards so the
+    consuming trainer can detokenize. The oracle re-learns the merges
+    and re-derives the id assignment independently in SQL, so the
+    sorted-alphabet order, the k offset, and the first-round dedup
+    rule are each hash-pinned on their own — a divergence here would
+    otherwise only surface inside bpe_encode's aggregated digests.
+
+    Scale shape: one corpus pass for the vocabulary, then everything
+    is alphabet-sized (the distinct single-char frame) — the
+    single-partition row_number window is over ~100 rows by
+    construction."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    learned = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_merge_rounds(vocab, rounds=3).orderBy("round").collect()
+    ]
+    return _bpe_token_ids(spark, vocab, learned)
 
 
 @query("bpe_encode", oracle=_BPE_ENCODE_ORACLE)
@@ -3627,34 +3704,7 @@ def bpe_encode(
         for r in bpe_merge_rounds(vocab, rounds=3).orderBy("round").collect()
     ]
     wp = bpe_apply_merges(vocab, learned, mode=mode)
-
-    # Token ids. Base alphabet: distinct single chars, sorted, ids
-    # 0..k-1 (alphabet-sized single-partition window — the
-    # aggregate-frame pattern). Merge products: k + round - 1, deduped
-    # to the FIRST round if two rounds ever produce the same string;
-    # k arrives as a broadcast 1-row scalar frame, not a driver job.
-    base = _bpe_symbols(vocab).select("sym").distinct()
-    base_ids = base.select(
-        "sym",
-        (F.row_number().over(Window.orderBy("sym")) - 1)
-        .cast("bigint")
-        .alias("tid"),
-    )
-    seen: dict[str, int] = {}
-    for rnd, (left, right) in enumerate(learned, start=1):
-        seen.setdefault(left + right, rnd)
-    sym_ids = base_ids
-    if seen:
-        prod = spark.createDataFrame(
-            [(s, rnd) for s, rnd in seen.items()], "sym string, rnd int"
-        )
-        kdf = base.agg(F.count("*").alias("k"))
-        sym_ids = base_ids.unionByName(
-            prod.crossJoin(broadcast(kdf)).select(
-                "sym",
-                (F.col("k") + F.col("rnd") - 1).cast("bigint").alias("tid"),
-            )
-        )
+    sym_ids = _bpe_token_ids(spark, vocab, learned)
 
     # Per-word token sequences, materialized once per corpus version
     # (the dedup-signature persist convention): the 3-merge window
