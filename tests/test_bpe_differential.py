@@ -42,7 +42,9 @@ CORPORA = {
 }
 
 
-@pytest.mark.parametrize("qname", ["bpe_encode", "bpe_encode_arrow"])
+@pytest.mark.parametrize(
+    "qname", ["bpe_encode", "bpe_encode_arrow", "bpe_vocab_table"]
+)
 @pytest.mark.parametrize("name", sorted(CORPORA))
 def test_bpe_encode_matches_oracle_on_adversarial_corpus(
     spark, tmp_path_factory, name, qname

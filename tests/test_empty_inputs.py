@@ -37,6 +37,9 @@ SF_SMALL = "/root/testdata/sf0.001"
 # vectors. Everything else must produce a result frame.
 QUANTIZER_TRAINING = {
     "ann_ivf_topk",
+    # r10: builds the PQ codes table (trains the same codebooks)
+    # before exercising the drop->adopt lifecycle
+    "codes_table_adoption_parity",
     "ann_ivfpq_probe_sweep",
     "ann_ivfpq_topk",
     "ann_ivfpq_topk_indexed",
