@@ -44,11 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the invariants (priority head first, then monotone non-decreasing
 # staleness, permutation of the full registry).
 #
-# r10 priority head — new/changed only (VERDICT r9 #2: the 43
+# r10 priority head — new/changed only (VERDICT r9 #2: the 42
 # remaining slots then drain the stale tail oldest-first — all 3 r3
-# rows + all 13 r4 rows + 27 of the 28 r5 rows — leaving zero pre-r5
-# latest rows after this round, the prescribed done-bar; 1 r5 row
-# slips to r11).
+# rows + all 13 r4 rows + 26 of the 28 r5 rows — leaving zero pre-r5
+# latest rows after this round, the prescribed done-bar; 2 r5 rows
+# slip to r11).
 _PRIORITY = [
     # NEW r10: the tokenizer's export artifact — the full (sym, tid)
     # vocabulary table (vocab.json half of the shipped pair; the
@@ -61,6 +61,11 @@ _PRIORITY = [
     # the window path's measured 4.0x per 4x) — against the SAME
     # DuckDB oracle as bpe_encode.
     "bpe_encode_arrow",
+    # NEW r10: the detokenizer — decode(encode(text)) through the id
+    # space alone (tid -> sym via the vocab export), round-trip
+    # equality vs the normalized text per document; the oracle
+    # re-derives the whole decode independently in SQL.
+    "bpe_decode_roundtrip",
     # NEW r10 (VERDICT #6): the build-lock/adoption protocol's driver
     # row — build the PQ codes table, drop the catalog entry keeping
     # files, re-enter (must ADOPT), assert digest + file-listing

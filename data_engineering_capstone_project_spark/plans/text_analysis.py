@@ -3760,6 +3760,154 @@ def bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(spark, sf_dir, mode="arrow")
 
 
+# Decode oracle: re-learn the merges and the id assignment (shared
+# CTEs), ENCODE each distinct word to ids, then DECODE through the
+# (sym, tid) table alone — the inverse join would fan out or mangle a
+# word if the vocab export were not a bijection — and reassemble each
+# document for the round-trip equality check against the normalized
+# (lowercased, whitespace-collapsed) text.
+_BPE_DECODE_ORACLE = (
+    _BPE_CTES
+    + ","
+    + _BPE_SYMID_CTES
+    + """,
+    wids AS (
+        SELECT wp.word, wp.pos, si.tid
+        FROM wp3 wp JOIN sym_ids si ON wp.sym = si.sym
+    ),
+    dec AS (
+        SELECT w.word, w.pos, si.sym AS dsym
+        FROM wids w JOIN sym_ids si ON w.tid = si.tid
+    ),
+    dwords AS (
+        SELECT word,
+               string_agg(dsym, '' ORDER BY pos) AS dword,
+               CAST(count(*) AS BIGINT) AS wtoks
+        FROM dec GROUP BY word
+    ),
+    dt AS (
+        SELECT doc_id, CAST(g.i AS INTEGER) AS wpos,
+               arr[CAST(g.i AS INTEGER)] AS word
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents) a,
+             unnest(generate_series(1, len(arr))) g(i)
+    ),
+    docdec AS (
+        SELECT dt.doc_id,
+               string_agg(dw.dword, ' ' ORDER BY dt.wpos) AS decoded,
+               CAST(sum(dw.wtoks) AS BIGINT) AS token_count
+        FROM dt JOIN dwords dw ON dt.word = dw.word
+        GROUP BY dt.doc_id
+    )
+    SELECT d.doc_id, d.token_count,
+           CAST(length(d.decoded) AS BIGINT) AS decoded_len,
+           CAST(CASE WHEN d.decoded = array_to_string(
+                    regexp_split_to_array(lower(trim(n.text)), '\\s+'), ' ')
+                THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+    FROM docdec d JOIN documents n USING (doc_id)
+    """
+)
+
+
+@query("bpe_decode_roundtrip", oracle=_BPE_DECODE_ORACLE)
+def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE DETOKENIZE + round-trip audit (r10) — the last missing leg
+    of the tokenizer lifecycle (train → apply → encode → DECODE →
+    vocab export → pack). A training pipeline that ships packed token
+    shards plus the (sym, tid) vocab table must be able to prove the
+    pair actually inverts: this query re-encodes every document to
+    token ids, then decodes THROUGH THE ID SPACE ALONE — the per-word
+    symbol column is deliberately dropped after encoding, so each
+    word must be rebuilt by joining tid back to ``bpe_vocab_table``'s
+    (sym, tid) mapping. A duplicated tid (broken bijection), a wrong
+    k offset, or a merge product mangled by the apply would fan the
+    inverse join out or corrupt the rebuilt string, and the per-doc
+    ``roundtrip_ok`` flag (and the driver hash over it) would flip.
+    Output is one row per encodable document: token_count (same
+    definition as ``bpe_encode``), the decoded text's length, and
+    roundtrip_ok = 1 iff decode(encode(text)) equals the NORMALIZED
+    text (lowercase, whitespace collapsed to single spaces — the
+    tokenizer is lossy about whitespace/case by construction, so
+    normalized equality is the honest invertibility contract; the
+    oracle applies the identical normalization). The DuckDB oracle
+    re-learns the merges, re-encodes, and re-decodes independently,
+    so the round-trip verdict itself is cross-engine checked rather
+    than self-certified.
+
+    Scale shape (mirrors ``bpe_encode``; no reference counterpart —
+    this extends the r8-r10 tokenizer chain beyond the reference
+    surface): the corpus is touched twice (vocab build; final per-doc
+    reassembly), decode runs once per DISTINCT word on the vocab axis
+    (two broadcast joins against the alphabet-sized (sym, tid) frame
+    — the inverse join is the bijection probe), and the per-document
+    reassembly is one shuffle on word plus one groupBy doc_id whose
+    collect_list is document-sized — the same inherent bound as any
+    detokenizer. The encode-side (word, pos, tid) frame shares
+    ``bpe_encode``'s scoped_persist key, so running both queries in
+    one session materializes the 3-merge chain once."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    learned = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_merge_rounds(vocab, rounds=3).orderBy("round").collect()
+    ]
+    wp = bpe_apply_merges(vocab, learned)
+    sym_ids = _bpe_token_ids(spark, vocab, learned)
+    # ENCODE: per-word ordered ids; sym is dropped here on purpose —
+    # decode below may only use the id. Same plan + persist key as
+    # bpe_encode's word_tokens, so the cache is shared.
+    word_ids = scoped_persist(
+        wp.join(broadcast(sym_ids), "sym").select("word", "pos", "tid"),
+        "bpe_encode_word_tokens_window",
+    )
+    # DECODE: invert tid -> sym through the vocab export and rebuild
+    # each distinct word from its id sequence.
+    inv = sym_ids.select("tid", F.col("sym").alias("dsym"))
+    dwords = (
+        word_ids.join(broadcast(inv), "tid")
+        .groupBy("word")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "dsym"))),
+                    lambda s: s["dsym"],
+                ),
+                "",
+            ).alias("dword"),
+            F.count("*").cast("bigint").alias("wtoks"),
+        )
+    )
+    dt = docs.select(
+        "doc_id", F.posexplode(D.tokenize(F.col("text"))).alias("wpos", "word")
+    )
+    docdec = dt.join(dwords, "word").groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "dword"))),
+                lambda s: s["dword"],
+            ),
+            " ",
+        ).alias("decoded"),
+        F.sum("wtoks").cast("bigint").alias("token_count"),
+    )
+    norm = docs.select(
+        "doc_id", F.array_join(D.tokenize(F.col("text")), " ").alias("ntext")
+    )
+    return docdec.join(norm, "doc_id").select(
+        "doc_id",
+        "token_count",
+        F.length("decoded").cast("bigint").alias("decoded_len"),
+        (F.col("decoded") == F.col("ntext"))
+        .cast("bigint")
+        .alias("roundtrip_ok"),
+    )
+
+
 @query(
     "sequence_packing_bpe",
     # The inner relation IS bpe_encode's registered oracle (the

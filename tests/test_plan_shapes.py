@@ -1003,3 +1003,17 @@ def test_bpe_encode_arrow_apply_is_constant_depth(spark):
     assert plan.count("Window") == 2, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_bpe_decode_vocab_axis_discipline(spark):
+    """bpe_decode_roundtrip (r10): decode runs on the vocab axis —
+    the tid->sym inverse join and the id-assignment join both
+    BROADCAST the alphabet-sized (sym, tid) frame (never sort-merge
+    against it), no CartesianProduct anywhere (the k-scalar cross is
+    a broadcast 1-row NLJ), and the only sort-merge-eligible joins
+    are the two corpus-sized ones (token stream x decoded vocab on
+    word; decoded docs x normalized docs on doc_id)."""
+    plan = _plan(QUERIES["bpe_decode_roundtrip"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -277,6 +277,9 @@ def _run_probes(k: int, out: str):
         #   token-stream join back — the 2 corpus passes are the linear term
         "sequence_packing_bpe",  # r9: encode feeding pack_sequences — the
         #   chain adds one shard-partitioned window over the encode output
+        "bpe_decode_roundtrip",  # r10: encode + vocab-axis inverse decode +
+        #   one corpus reassembly join — same 2-corpus-pass linear term
+        #   as bpe_encode
         "name_ed1_blocking",     # deletion-neighborhood fuzzy equi-join
         "user_daily_streaks",    # (user,day) distinct + user-partition windows
         "rollup_cascade_daily",  # minute agg once, hour/day re-aggregate it
