@@ -3885,26 +3885,35 @@ def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = docs.select(
         "doc_id", F.posexplode(D.tokenize(F.col("text"))).alias("wpos", "word")
     )
-    docdec = dt.join(dwords, "word").groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("wpos", "dword"))),
-                lambda s: s["dword"],
-            ),
-            " ",
-        ).alias("decoded"),
-        F.sum("wtoks").cast("bigint").alias("token_count"),
+    # One doc_id aggregation builds BOTH strings from the same joined
+    # rows: the decoded text (from the id-space rebuild) and the
+    # normalized original (from the token stream). A separate
+    # norm-side scan + doc_id join would shuffle the whole corpus
+    # text a second time for rows this aggregation already holds;
+    # tokenize drops no words of a surviving document (the only
+    # unencodable token is the empty string, which occurs alone), so
+    # the two normalizations are identical — and a hypothetical
+    # dropped word would still flip the ORACLE's verdict, which
+    # rebuilds ntext from the raw text independently.
+    seq = (
+        dt.join(dwords, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("wpos", "word", "dword"))
+            ).alias("seq"),
+            F.sum("wtoks").cast("bigint").alias("token_count"),
+        )
     )
-    norm = docs.select(
-        "doc_id", F.array_join(D.tokenize(F.col("text")), " ").alias("ntext")
+    decoded = F.array_join(
+        F.transform(F.col("seq"), lambda s: s["dword"]), " "
     )
-    return docdec.join(norm, "doc_id").select(
+    ntext = F.array_join(F.transform(F.col("seq"), lambda s: s["word"]), " ")
+    return seq.select(
         "doc_id",
         "token_count",
-        F.length("decoded").cast("bigint").alias("decoded_len"),
-        (F.col("decoded") == F.col("ntext"))
-        .cast("bigint")
-        .alias("roundtrip_ok"),
+        F.length(decoded).cast("bigint").alias("decoded_len"),
+        (decoded == ntext).cast("bigint").alias("roundtrip_ok"),
     )
 
 
