@@ -44,10 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the invariants (priority head first, then monotone non-decreasing
 # staleness, permutation of the full registry).
 #
-# r10 priority head — new/changed only (VERDICT r9 #2: the 42
+# r10 priority head — new/changed only (VERDICT r9 #2: the 41
 # remaining slots then drain the stale tail oldest-first — all 3 r3
-# rows + all 13 r4 rows + 26 of the 28 r5 rows — leaving zero pre-r5
-# latest rows after this round, the prescribed done-bar; 2 r5 rows
+# rows + all 13 r4 rows + 25 of the 28 r5 rows — leaving zero pre-r5
+# latest rows after this round, the prescribed done-bar; 3 r5 rows
 # slip to r11).
 _PRIORITY = [
     # NEW r10: the tokenizer's export artifact — the full (sym, tid)
@@ -66,6 +66,12 @@ _PRIORITY = [
     # equality vs the normalized text per document; the oracle
     # re-derives the whole decode independently in SQL.
     "bpe_decode_roundtrip",
+    # NEW r10: frozen-vocab incremental encode — train on the base
+    # split only, encode the new split against the frozen artifacts,
+    # OOV symbols become counted UNK (-1) instead of silently
+    # dropping; the oracle re-applies the frozen merges with
+    # apply-only unrolled rounds.
+    "bpe_encode_incremental",
     # NEW r10 (VERDICT #6): the build-lock/adoption protocol's driver
     # row — build the PQ codes table, drop the catalog entry keeping
     # files, re-enter (must ADOPT), assert digest + file-listing

@@ -3917,6 +3917,219 @@ def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_apply_round(n: int) -> str:
+    """One unrolled APPLY-ONLY round over the new-document symbol
+    frames (``nwp{k}`` -> ``nwp{n}``): identical greedy-leftmost run
+    arithmetic as ``_bpe_oracle_round``, but joining the BASE-trained
+    merge ``m{n}`` instead of re-deriving an argmax — the frozen-vocab
+    oracle's apply step."""
+    k = n - 1
+    return f"""
+    nadj{n} AS (
+        SELECT word, wf, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+               lead(pos) OVER (PARTITION BY word ORDER BY pos) AS nxt_pos
+        FROM nwp{k}
+    ),
+    nf{n} AS (
+        SELECT a.word, a.wf, a.pos, a.sym, a.nxt, a.nxt_pos,
+               (a.sym = m.l AND a.nxt = m.r) AS mt,
+               m.l || m.r AS ms
+        FROM nadj{n} a LEFT JOIN m{n} m ON TRUE
+    ),
+    ng{n} AS (
+        SELECT *,
+               sum(CASE WHEN mt THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY word ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS m_sofar,
+               last_value(CASE WHEN mt THEN nxt_pos END IGNORE NULLS)
+                   OVER (PARTITION BY word ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_mnxt
+        FROM nf{n}
+    ),
+    nh{n} AS (
+        SELECT *,
+               CASE WHEN mt AND (prev_mnxt IS NULL OR prev_mnxt <> pos)
+                    THEN TRUE ELSE FALSE END AS brk
+        FROM ng{n}
+    ),
+    ni{n} AS (
+        SELECT *,
+               last_value(CASE WHEN brk THEN m_sofar END IGNORE NULLS)
+                   OVER (PARTITION BY word ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS x_start
+        FROM nh{n}
+    ),
+    nj{n} AS (
+        SELECT *,
+               (mt AND (m_sofar - x_start) % 2 = 0) AS merged,
+               lag(mt AND (m_sofar - x_start) % 2 = 0) OVER (
+                   PARTITION BY word ORDER BY pos) AS prev_merged
+        FROM ni{n}
+    ),
+    nwp{n} AS (
+        SELECT word, wf, pos,
+               CASE WHEN merged THEN ms ELSE sym END AS sym
+        FROM nj{n}
+        WHERE NOT coalesce(prev_merged, FALSE)
+    )"""
+
+
+# Frozen-vocab incremental-encode oracle: train on the BASE split
+# (doc_id % 10 <> 0) only, re-using the shared merge/symid CTE
+# machinery; apply the base-trained merges to the NEW split's words
+# with the apply-only rounds above; id-assign via LEFT join so a
+# symbol outside the base alphabet becomes UNK (-1) instead of
+# silently vanishing.
+_BPE_INC_ORACLE = (
+    """
+    WITH w AS (
+        SELECT tok AS word, count(*) AS wf
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS tok
+              FROM documents WHERE doc_id % 10 <> 0)
+        GROUP BY tok
+    ),
+    wp0 AS (
+        SELECT word, wf, CAST(g.i AS INTEGER) AS pos,
+               substring(word, CAST(g.i AS INTEGER), 1) AS sym
+        FROM w, unnest(generate_series(1, length(word))) g(i)
+    ),"""
+    + ",".join(_bpe_oracle_round(n) for n in (1, 2, 3))
+    + ","
+    + _BPE_SYMID_CTES
+    + """,
+    nw AS (
+        SELECT tok AS word, count(*) AS wf
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS tok
+              FROM documents WHERE doc_id % 10 = 0)
+        GROUP BY tok
+    ),
+    nwp0 AS (
+        SELECT word, wf, CAST(g.i AS INTEGER) AS pos,
+               substring(word, CAST(g.i AS INTEGER), 1) AS sym
+        FROM nw, unnest(generate_series(1, length(word))) g(i)
+    ),"""
+    + ",".join(_bpe_oracle_apply_round(n) for n in (1, 2, 3))
+    + """,
+    ndt AS (
+        SELECT doc_id, CAST(g.i AS INTEGER) AS wpos,
+               arr[CAST(g.i AS INTEGER)] AS word
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE doc_id % 10 = 0) a,
+             unnest(generate_series(1, len(arr))) g(i)
+    ),
+    nenc AS (
+        SELECT ndt.doc_id, ndt.wpos, wp.pos,
+               coalesce(si.tid, -1) AS tid
+        FROM ndt JOIN nwp3 wp ON ndt.word = wp.word
+                 LEFT JOIN sym_ids si ON wp.sym = si.sym
+    ),
+    nseq AS (
+        SELECT doc_id, tid,
+               row_number() OVER (PARTITION BY doc_id ORDER BY wpos, pos)
+                   AS tpos
+        FROM nenc
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS token_count,
+           CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS unk_count,
+           CAST(sum(tid) AS BIGINT) AS id_sum,
+           CAST(sum(tid * tpos) AS BIGINT) AS weighted_id_sum
+    FROM nseq
+    GROUP BY doc_id
+    """
+)
+
+
+@query("bpe_encode_incremental", oracle=_BPE_INC_ORACLE)
+def bpe_encode_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN-VOCAB incremental encode (r10) — the production pattern
+    the per-query retrain cannot express: a tokenizer is trained ONCE
+    and every later corpus increment is encoded against that frozen
+    (merges, vocab) pair. The query splits the corpus into a BASE
+    (doc_id % 10 != 0) that trains the 3 merges and the id table, and
+    a NEW increment (doc_id % 10 == 0) that is encoded using ONLY the
+    frozen artifacts — the new documents never influence training.
+
+    The semantic this forces into the open is OUT-OF-VOCABULARY
+    handling: a new document may contain characters the base alphabet
+    has never seen, and ``bpe_encode``'s inner join against the id
+    table would silently DROP them — a corpus-corruption class of bug
+    in an incremental pipeline (token streams shortened, packing
+    budgets silently wrong). Here the id assignment is a LEFT join
+    and every unseen symbol becomes the UNK id (-1), surfaced per
+    document as ``unk_count`` so a monitoring query can alert on OOV
+    drift. Merges never fire across an OOV character (its symbol
+    matches no trained pair), so each unseen character maps to
+    exactly one UNK — the standard char-level-UNK contract. The
+    DuckDB oracle re-trains on the base split and re-applies the
+    merges to the new split with apply-only unrolled rounds (same
+    greedy run arithmetic, frozen m1-m3), so the split discipline,
+    the frozen-apply semantics, and the UNK accounting are all
+    hash-checked end-to-end.
+
+    Scale shape: identical to ``bpe_encode`` on each side of the
+    split — training touches the base corpus once (explode + agg to
+    the vocab), apply/id-assign run on the NEW increment's vocab axis
+    (in production the increment is small next to the base, which is
+    never re-read at all: the merges/vocab would load from
+    ``bpe_learn_merges``/``bpe_vocab_table``'s published tables), and
+    the final per-document digest is one shuffle on word plus one
+    doc_id aggregation over the increment only."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    vocab = (
+        base.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    learned = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_merge_rounds(vocab, rounds=3).orderBy("round").collect()
+    ]
+    sym_ids = _bpe_token_ids(spark, vocab, learned)
+    nvocab = (
+        new.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    nwp = bpe_apply_merges(nvocab, learned)
+    # LEFT join: symbols outside the frozen vocabulary become UNK
+    # (-1) instead of silently dropping from the token stream.
+    word_tokens = nwp.join(broadcast(sym_ids), "sym", "left").select(
+        "word",
+        "pos",
+        F.coalesce(F.col("tid"), F.lit(-1)).cast("bigint").alias("tid"),
+    )
+    ndt = new.select(
+        "doc_id", F.posexplode(D.tokenize(F.col("text"))).alias("wpos", "word")
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("wpos", "pos")
+    seq = ndt.join(word_tokens, "word").select(
+        "doc_id",
+        "tid",
+        F.row_number().over(wseq).cast("bigint").alias("tpos"),
+    )
+    return seq.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("token_count"),
+        F.sum((F.col("tid") == -1).cast("bigint"))
+        .cast("bigint")
+        .alias("unk_count"),
+        F.sum("tid").cast("bigint").alias("id_sum"),
+        F.sum(F.col("tid") * F.col("tpos")).cast("bigint").alias(
+            "weighted_id_sum"
+        ),
+    )
+
+
 @query(
     "sequence_packing_bpe",
     # The inner relation IS bpe_encode's registered oracle (the

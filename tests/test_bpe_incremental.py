@@ -1,0 +1,95 @@
+"""bpe_encode_incremental (r10): the frozen-vocab OOV/UNK contract.
+
+The registered query's oracle gates (sf0.001/sf0.01 + the adversarial
+corpus, where the new split's digits/punctuation are genuinely outside
+the base alphabet) prove cross-engine agreement; this file pins the
+CONTRACT on a corpus built to exercise it — because at the synthetic
+SFs every character appears in both splits and unk_count is zero, a
+regression that silently dropped OOV symbols (the inner-join bug this
+query exists to prevent) would not change those gates' row values.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_engineering_capstone_project_spark.plans import QUERIES
+
+# doc_id % 10 == 0 -> NEW split (encoded against the frozen vocab);
+# everything else -> BASE split (trains merges + alphabet). The base
+# has no digits and no 'z'; doc 10 is pure OOV; doc 0 mixes known
+# words with unseen characters inside and between known ones.
+DOCS = [
+    (0, "the cat zaps 9 mats", "en", "s"),   # NEW: z/9 OOV, rest known
+    (1, "the cat sat on the mat", "en", "s"),
+    (2, "cats sat on mats", "en", "s"),
+    (3, "the mat sat", "en", "s"),
+    (10, "zz 99", "en", "s"),                # NEW: every char OOV
+    (11, "the cat and the mat", "en", "s"),
+]
+
+
+@pytest.fixture(scope="module")
+def oov_sf(spark, tmp_path_factory):
+    dst = tmp_path_factory.mktemp("sf_oov")
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in DOCS], pa.int64()),
+            "text": pa.array([d[1] for d in DOCS], pa.string()),
+            "lang": pa.array([d[2] for d in DOCS], pa.string()),
+            "source": pa.array([d[3] for d in DOCS], pa.string()),
+        }
+    )
+    # keep only columns the real schema has, in its order, so table()
+    # reads the fixture exactly like the shipped corpus
+    cols = [c for c in real.columns if c in tbl.column_names]
+    pq.write_table(tbl.select(cols), str(dst / "documents.parquet"))
+    return str(dst)
+
+
+def test_oov_symbols_become_unk_not_dropped(spark, oov_sf):
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["bpe_encode_incremental"](spark, oov_sf).collect()
+    }
+    assert set(rows) == {0, 10}, rows
+    # doc 10 "zz 99": four OOV chars -> four UNK tokens, nothing
+    # dropped, no merge ever fires across an OOV symbol
+    assert rows[10].token_count == 4, rows[10]
+    assert rows[10].unk_count == 4, rows[10]
+    # doc 0: the unseen chars (z, 9 — however the trained merges
+    # tile the known words) are each one UNK; known symbols got real
+    # non-negative ids
+    assert rows[0].unk_count >= 2, rows[0]
+    assert rows[0].token_count > rows[0].unk_count, rows[0]
+    # id_sum separates UNKs (-1 each) from real ids: removing the
+    # UNK floor would change it, pinning the -1 convention
+    assert rows[10].id_sum == -4, rows[10]
+
+
+def test_new_split_never_influences_training(spark, oov_sf):
+    """The frozen-vocab discipline itself: encoding must be identical
+    whether or not the NEW documents exist, because they may not
+    contribute to merges or ids. Drop doc 10 (the all-OOV doc) from
+    the corpus and re-encode — doc 0's encoding is unchanged."""
+    import glob
+    import os
+
+    full = {
+        r.doc_id: (r.token_count, r.unk_count, r.id_sum)
+        for r in QUERIES["bpe_encode_incremental"](spark, oov_sf).collect()
+    }
+    pruned_dir = oov_sf + "_pruned"
+    os.makedirs(pruned_dir, exist_ok=True)
+    df = spark.read.parquet(f"{oov_sf}/documents.parquet")
+    df.filter("doc_id <> 10").coalesce(1).write.mode("overwrite").parquet(
+        f"{pruned_dir}/documents.parquet"
+    )
+    pruned = {
+        r.doc_id: (r.token_count, r.unk_count, r.id_sum)
+        for r in QUERIES["bpe_encode_incremental"](spark, pruned_dir).collect()
+    }
+    assert pruned == {0: full[0]}, (full, pruned)

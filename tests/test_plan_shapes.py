@@ -1017,3 +1017,16 @@ def test_bpe_decode_vocab_axis_discipline(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("SortMergeJoin") <= 2, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_encode_incremental_frozen_vocab_axis(spark):
+    """bpe_encode_incremental (r10): the frozen-vocab apply + UNK id
+    assignment run on the NEW increment's vocab axis — the id table
+    BROADCASTS into its LEFT join (OOV -> -1, never a drop), no
+    CartesianProduct (the one 1-row NLJ is the k-scalar cross), and
+    the only sort-merge-eligible join is the increment's token stream
+    against its encoded vocab on word."""
+    plan = _plan(QUERIES["bpe_encode_incremental"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan

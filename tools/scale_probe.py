@@ -280,6 +280,8 @@ def _run_probes(k: int, out: str):
         "bpe_decode_roundtrip",  # r10: encode + vocab-axis inverse decode +
         #   one corpus reassembly join — same 2-corpus-pass linear term
         #   as bpe_encode
+        "bpe_encode_incremental",  # r10: frozen-vocab apply over the NEW
+        #   split's vocab axis; base touched once for training only
         "name_ed1_blocking",     # deletion-neighborhood fuzzy equi-join
         "user_daily_streaks",    # (user,day) distinct + user-partition windows
         "rollup_cascade_daily",  # minute agg once, hour/day re-aggregate it
