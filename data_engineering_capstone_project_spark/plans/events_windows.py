@@ -1317,6 +1317,8 @@ def _run_streamed_parity(
     inc_fn,
     keys: list[str],
     sum_cols: list[str],
+    source_df: DataFrame | None = None,
+    batch_col=None,
 ) -> str:
     """THE shared streamed-parity protocol (one definition, so the
     trending and drift parities can never diverge on it): rebuild a
@@ -1328,14 +1330,23 @@ def _run_streamed_parity(
     no-op it. Outcomes are checked with explicit raises, NOT bare
     asserts: under ``python -O`` an assert's call expression is
     compiled out, which would silently skip the entire protocol.
-    Returns the serving dir path for the caller's read-time view."""
+    Returns the serving dir path for the caller's read-time view.
+
+    By default the folded stream is the events table batched on
+    user_id mod 4; pass ``source_df`` + ``batch_col`` to fold any
+    other table through the identical protocol (the r10 OOV-drift
+    parity folds the documents table's NEW split on doc_id mod 4)."""
     from data_engineering_capstone_project_spark.streaming.serving import (
         apply_additive_batch,
     )
 
     serving = _parity_scratch_dir(scratch_stem)
-    ev = events_table(spark, sf_dir)
-    batch_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
+    ev = source_df if source_df is not None else events_table(spark, sf_dir)
+    batch_of = (
+        F.coalesce(batch_col, F.lit(3))
+        if batch_col is not None
+        else F.coalesce(F.pmod(F.col("user_id"), F.lit(4)), F.lit(3))
+    )
     kw = dict(inc_fn=inc_fn, keys=keys, sum_cols=sum_cols)
     for i in range(4):
         batch = ev.filter(batch_of == i)

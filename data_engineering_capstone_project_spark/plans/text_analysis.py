@@ -3978,13 +3978,14 @@ def _bpe_oracle_apply_round(n: int) -> str:
     )"""
 
 
-# Frozen-vocab incremental-encode oracle: train on the BASE split
-# (doc_id % 10 <> 0) only, re-using the shared merge/symid CTE
-# machinery; apply the base-trained merges to the NEW split's words
-# with the apply-only rounds above; id-assign via LEFT join so a
-# symbol outside the base alphabet becomes UNK (-1) instead of
-# silently vanishing.
-_BPE_INC_ORACLE = (
+# Frozen-vocab CTE chain shared by the incremental-encode and
+# OOV-drift oracles: train on the BASE split (doc_id % 10 <> 0) only,
+# re-using the shared merge/symid CTE machinery; apply the
+# base-trained merges to the NEW split's words with the apply-only
+# rounds above. Each oracle appends its own token-stream tail;
+# id-assignment is a LEFT join there so a symbol outside the base
+# alphabet becomes UNK (-1) instead of silently vanishing.
+_BPE_INC_CTES = (
     """
     WITH w AS (
         SELECT tok AS word, count(*) AS wf
@@ -4015,6 +4016,10 @@ _BPE_INC_ORACLE = (
         FROM nw, unnest(generate_series(1, length(word))) g(i)
     ),"""
     + ",".join(_bpe_oracle_apply_round(n) for n in (1, 2, 3))
+)
+
+_BPE_INC_ORACLE = (
+    _BPE_INC_CTES
     + """,
     ndt AS (
         SELECT doc_id, CAST(g.i AS INTEGER) AS wpos,
@@ -4127,6 +4132,90 @@ def bpe_encode_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("tid") * F.col("tpos")).cast("bigint").alias(
             "weighted_id_sum"
         ),
+    )
+
+
+@query(
+    "oov_drift_streamed_parity",
+    oracle=_BPE_INC_CTES
+    + """,
+    ndt AS (
+        SELECT doc_id, source,
+               arr[CAST(g.i AS INTEGER)] AS word
+        FROM (SELECT doc_id, source,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE doc_id % 10 = 0) a,
+             unnest(generate_series(1, len(arr))) g(i)
+    ),
+    nenc AS (
+        SELECT ndt.doc_id, ndt.source,
+               coalesce(si.tid, -1) AS tid
+        FROM ndt JOIN nwp3 wp ON ndt.word = wp.word
+                 LEFT JOIN sym_ids si ON wp.sym = si.sym
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+           CAST(count(*) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS unks
+    FROM nenc
+    GROUP BY source
+    """,
+)
+def oov_drift_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 9th maintained serving table, and the first streaming x
+    tokenizer composition (r10): per-source frozen-vocab token
+    statistics over an arriving DOCUMENT stream — production OOV-drift
+    monitoring (a new language, format shift, or upstream encoding bug
+    shows up as a rising unk share per source BEFORE it corrupts
+    training shards). The base split (doc_id % 10 != 0) trains the
+    frozen artifacts; the NEW split is folded through the standard
+    streamed-parity protocol (4 deterministic micro-batches on doc_id
+    mod 4, real ``apply_additive_batch`` stage + atomic publish merges,
+    a deliberate crash-replay of batch 1 that the batch-id guard must
+    no-op) using ``streaming.serving.oov_drift_increment``; the
+    returned frame is the final maintained state. The oracle computes
+    the same per-source statistics from scratch in SQL (base-split
+    retrain, frozen apply-only rounds, LEFT-join UNK accounting), so a
+    green row proves the streaming fold converges exactly to the batch
+    answer — including the UNK counts, whose loss would be invisible
+    to a token-total-only check.
+
+    Scale shape: each micro-batch runs batch-vocab-sized merge passes
+    and one batch-sized token-stream join; every serving merge is a
+    full-outer join of two O(sources) aggregates, independent of
+    corpus volume."""
+    from data_engineering_capstone_project_spark.plans.events_windows import (
+        _run_streamed_parity,
+    )
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        oov_drift_increment,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    vocab = (
+        base.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    learned = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_merge_rounds(vocab, rounds=3).orderBy("round").collect()
+    ]
+    sym_ids = _bpe_token_ids(spark, vocab, learned)
+    serving = _run_streamed_parity(
+        spark,
+        sf_dir,
+        scratch_stem="decps_oov_drift_serving",
+        inc_fn=oov_drift_increment(sym_ids, learned),
+        keys=["source"],
+        sum_cols=["docs", "tokens", "unks"],
+        source_df=new,
+        batch_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    )
+    return spark.read.parquet(serving).select(
+        "source", "docs", "tokens", "unks"
     )
 
 

@@ -707,3 +707,63 @@ def ohlc_serving_view(spark: SparkSession, serving: str) -> DataFrame:
         (F.col("close_fp") / F.lit(10000.0)).alias("close"),
         F.col("n").cast("bigint").alias("n_events"),
     )
+
+
+def oov_drift_increment(sym_ids: DataFrame, learned: list):
+    """Increment factory for the 9th maintained table (r10): per-source
+    frozen-vocab token statistics over an arriving DOCUMENT stream —
+    the OOV-drift monitor a production tokenizer deployment runs so a
+    shifting corpus (new language, new format, encoding bug upstream)
+    is caught as a rising unk share per source, not as silently
+    corrupted training shards.
+
+    The frozen artifacts (the trained merge list and the (sym, tid)
+    table — what ``bpe_learn_merges``/``bpe_vocab_table`` publish)
+    arrive as constructor args; the returned ``inc_fn`` maps one
+    micro-batch of documents to its additive (source, docs, tokens,
+    unks) contribution: apply the frozen merges to the batch's
+    distinct words, LEFT-join the id table (an unseen symbol is a
+    counted UNK, never a drop — ``bpe_encode_incremental``'s
+    contract), and aggregate per source. All three measures are
+    additive across batches — docs because the stream partitions
+    documents (each doc_id arrives exactly once; crash replays are
+    no-opped by the batch-id guard), tokens/unks as plain sums — so
+    the generic ``apply_additive_batch`` merge maintains the table.
+
+    Scale shape: each micro-batch does batch-vocab-sized merge passes
+    plus one batch-sized token-stream join; the serving table is
+    O(sources), so every merge joins two tiny aggregates."""
+    from data_engineering_capstone_project_spark.operators import dedup as D
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        bpe_apply_merges,
+    )
+
+    def inc(batch_df: DataFrame) -> DataFrame:
+        nvocab = (
+            batch_df.select(
+                F.explode(D.tokenize(F.col("text"))).alias("word")
+            )
+            .groupBy("word")
+            .agg(F.count("*").alias("wf"))
+        )
+        wp = bpe_apply_merges(nvocab, learned)
+        word_stats = (
+            wp.join(F.broadcast(sym_ids), "sym", "left")
+            .groupBy("word")
+            .agg(
+                F.count("*").cast("bigint").alias("wtoks"),
+                F.sum(F.col("tid").isNull().cast("bigint"))
+                .cast("bigint")
+                .alias("wunks"),
+            )
+        )
+        dt = batch_df.select(
+            "doc_id", "source", F.explode(D.tokenize(F.col("text"))).alias("word")
+        )
+        return dt.join(word_stats, "word").groupBy("source").agg(
+            F.countDistinct("doc_id").cast("bigint").alias("docs"),
+            F.sum("wtoks").cast("bigint").alias("tokens"),
+            F.sum("wunks").cast("bigint").alias("unks"),
+        )
+
+    return inc

@@ -93,3 +93,22 @@ def test_new_split_never_influences_training(spark, oov_sf):
         for r in QUERIES["bpe_encode_incremental"](spark, pruned_dir).collect()
     }
     assert pruned == {0: full[0]}, (full, pruned)
+
+
+def test_streamed_oov_monitor_counts_unks(spark, oov_sf):
+    """The 9th serving table on the OOV fixture: the maintained
+    per-source statistics must carry the UNK counts through the
+    additive merges (a lost unk column would still pass a
+    token-total-only check)."""
+    from data_engineering_capstone_project_spark.plans import QUERIES
+
+    rows = {
+        r.source: r
+        for r in QUERIES["oov_drift_streamed_parity"](spark, oov_sf).collect()
+    }
+    # both NEW docs share source "s": 2 encodable docs, 7 UNKs
+    # (z, p, 9 in doc 0 — the base alphabet has no z/p/digits;
+    # z, z, 9, 9 in doc 10)
+    assert rows["s"].docs == 2, rows
+    assert rows["s"].unks == 7, rows
+    assert rows["s"].tokens > rows["s"].unks, rows

@@ -76,6 +76,9 @@ _EAGER = {
     # r10: runs the full build->drop->adopt lifecycle at call time;
     # its read-side plan is pq_codes_table's (already skipped).
     "codes_table_adoption_parity",
+    # r10: folds 4 document micro-batches through the serving merge
+    # at call time; the read side is a plain parquet scan.
+    "oov_drift_streamed_parity",
 }
 
 

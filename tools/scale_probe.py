@@ -282,6 +282,8 @@ def _run_probes(k: int, out: str):
         #   as bpe_encode
         "bpe_encode_incremental",  # r10: frozen-vocab apply over the NEW
         #   split's vocab axis; base touched once for training only
+        "oov_drift_streamed_parity",  # r10: 9th serving table — 4 additive
+        #   (source)-grid folds of frozen-vocab batch encodes
         "name_ed1_blocking",     # deletion-neighborhood fuzzy equi-join
         "user_daily_streaks",    # (user,day) distinct + user-partition windows
         "rollup_cascade_daily",  # minute agg once, hour/day re-aggregate it
