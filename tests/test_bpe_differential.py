@@ -43,7 +43,19 @@ CORPORA = {
 
 
 @pytest.mark.parametrize(
-    "qname", ["bpe_encode", "bpe_encode_arrow", "bpe_vocab_table"]
+    "qname",
+    [
+        "bpe_encode",
+        "bpe_encode_arrow",
+        "bpe_vocab_table",
+        # r10: the decode round-trip, the frozen-vocab incremental
+        # encode (doc 0 is the NEW split; tiny bases exercise the
+        # frozen apply with EMPTY merge rounds), and the OOV-drift
+        # serving fold (all-NULL source pins the null-key merge)
+        "bpe_decode_roundtrip",
+        "bpe_encode_incremental",
+        "oov_drift_streamed_parity",
+    ],
 )
 @pytest.mark.parametrize("name", sorted(CORPORA))
 def test_bpe_encode_matches_oracle_on_adversarial_corpus(
