@@ -3895,8 +3895,16 @@ def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two normalizations are identical — and a hypothetical
     # dropped word would still flip the ORACLE's verdict, which
     # rebuilds ntext from the raw text independently.
+    # The corpus join is PINNED to sort-merge: dwords grows with the
+    # corpus (Heaps' law) and carries per-word DECODED STRINGS whose
+    # shuffle bytes compress ~100x (shared prefixes), so AQE's
+    # compressed-size threshold mis-classifies it as broadcastable —
+    # at the 160x probe that "small" build side deserialized to
+    # 4.6 GiB and OOMed the 8g driver-is-the-cluster heap. Sort-merge
+    # spills; a corpus-growing string frame must never be the build
+    # side of a hash/broadcast join.
     seq = (
-        dt.join(dwords, "word")
+        dt.join(dwords.hint("merge"), "word")
         .groupBy("doc_id")
         .agg(
             F.array_sort(
