@@ -44,10 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the invariants (priority head first, then monotone non-decreasing
 # staleness, permutation of the full registry).
 #
-# r10 priority head — new/changed only (VERDICT r9 #2: the 40
+# r10 priority head — new/changed only (VERDICT r9 #2: the 39
 # remaining slots then drain the stale tail oldest-first — all 3 r3
-# rows + all 13 r4 rows + 24 of the 28 r5 rows — leaving zero pre-r5
-# latest rows after this round, the prescribed done-bar; 4 r5 rows
+# rows + all 13 r4 rows + 23 of the 28 r5 rows — leaving zero pre-r5
+# latest rows after this round, the prescribed done-bar; 5 r5 rows
 # slip to r11).
 _PRIORITY = [
     # NEW r10: the tokenizer's export artifact — the full (sym, tid)
@@ -77,6 +77,11 @@ _PRIORITY = [
     # merge protocol over the document stream (OOV-drift monitoring);
     # oracle recomputes per-source stats from scratch in SQL.
     "oov_drift_streamed_parity",
+    # NEW r10: the same table maintained by the REAL streaming engine
+    # (readStream -> foreachBatch -> maintain_oov_drift) with a
+    # full-job replay the batch-id guard must no-op — the engine-path
+    # twin trending has, now for the tokenizer table.
+    "oov_drift_engine_streamed_parity",
     # NEW r10 (VERDICT #6): the build-lock/adoption protocol's driver
     # row — build the PQ codes table, drop the catalog entry keeping
     # files, re-enter (must ADOPT), assert digest + file-listing

@@ -4096,19 +4096,7 @@ def bpe_encode_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bpe_learn_merges``/``bpe_vocab_table``'s published tables), and
     the final per-document digest is one shuffle on word plus one
     doc_id aggregation over the increment only."""
-    docs = table(spark, sf_dir, "documents")
-    base = docs.filter(F.col("doc_id") % 10 != 0)
-    new = docs.filter(F.col("doc_id") % 10 == 0)
-    vocab = (
-        base.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("wf"))
-    )
-    learned = [
-        (r.left_sym, r.right_sym)
-        for r in bpe_merge_rounds(vocab, rounds=3).orderBy("round").collect()
-    ]
-    sym_ids = _bpe_token_ids(spark, vocab, learned)
+    _, new, learned, sym_ids = _bpe_frozen_artifacts(spark, sf_dir)
     nvocab = (
         new.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -4199,6 +4187,26 @@ def oov_drift_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov_drift_increment,
     )
 
+    _, new, learned, sym_ids = _bpe_frozen_artifacts(spark, sf_dir)
+    serving = _run_streamed_parity(
+        spark,
+        sf_dir,
+        scratch_stem="decps_oov_drift_serving",
+        inc_fn=oov_drift_increment(sym_ids, learned),
+        keys=["source"],
+        sum_cols=["docs", "tokens", "unks"],
+        source_df=new,
+        batch_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    )
+    return spark.read.parquet(serving).select(
+        "source", "docs", "tokens", "unks"
+    )
+
+
+def _bpe_frozen_artifacts(spark: SparkSession, sf_dir: str):
+    """(base, new, learned, sym_ids) shared by the frozen-vocab
+    queries: base split trains the 3 merges + id table, the NEW split
+    is what the frozen artifacts are applied to."""
     docs = table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 10 != 0)
     new = docs.filter(F.col("doc_id") % 10 == 0)
@@ -4211,17 +4219,98 @@ def oov_drift_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.left_sym, r.right_sym)
         for r in bpe_merge_rounds(vocab, rounds=3).orderBy("round").collect()
     ]
-    sym_ids = _bpe_token_ids(spark, vocab, learned)
-    serving = _run_streamed_parity(
-        spark,
-        sf_dir,
-        scratch_stem="decps_oov_drift_serving",
-        inc_fn=oov_drift_increment(sym_ids, learned),
-        keys=["source"],
-        sum_cols=["docs", "tokens", "unks"],
-        source_df=new,
-        batch_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    return base, new, learned, _bpe_token_ids(spark, vocab, learned)
+
+
+@query(
+    "oov_drift_engine_streamed_parity",
+    oracle=_BPE_INC_CTES
+    + """,
+    ndt AS (
+        SELECT doc_id, source,
+               arr[CAST(g.i AS INTEGER)] AS word
+        FROM (SELECT doc_id, source,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE doc_id % 10 = 0) a,
+             unnest(generate_series(1, len(arr))) g(i)
+    ),
+    nenc AS (
+        SELECT ndt.doc_id, ndt.source,
+               coalesce(si.tid, -1) AS tid
+        FROM ndt JOIN nwp3 wp ON ndt.word = wp.word
+                 LEFT JOIN sym_ids si ON wp.sym = si.sym
     )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+           CAST(count(*) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS unks
+    FROM nenc
+    GROUP BY source
+    """,
+)
+def oov_drift_engine_streamed_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The OOV-drift table maintained by the REAL Structured Streaming
+    engine — the same gap-closer for the 9th serving table that
+    ``trending_engine_streamed_parity`` is for the 1st: the hand-loop
+    parity calls ``apply_additive_batch`` directly, while production
+    wires it into ``foreachBatch``. The NEW document split is staged
+    as 4 parquet files, read back through ``spark.readStream`` with
+    ``maxFilesPerTrigger=1`` (4 genuine micro-batches, engine-assigned
+    batch ids, checkpointed offsets, availableNow termination) and
+    drained by ``streaming.serving.maintain_oov_drift`` — the exact
+    production entry point, frozen artifacts bound at query start.
+    Then the WHOLE JOB IS REPLAYED against a fresh checkpoint: the
+    engine re-delivers every batch from offset zero and the batch-id
+    guard must no-op all of them — doubled token/UNK counts flip the
+    oracle hash. Batch COMPOSITION is scheduler-dependent and
+    deliberately does not matter: additive state converges to the
+    batch answer under any slicing, which is the replay-safety claim
+    being verified (same oracle as ``oov_drift_streamed_parity``).
+
+    Scale shape: identical to the production path — per micro-batch,
+    batch-vocab-sized merge passes + one batch-sized token-stream
+    join + an O(sources) merge; the stream is scanned once per
+    batch."""
+    from pathlib import Path
+
+    from data_engineering_capstone_project_spark.plans.events_windows import (
+        _parity_scratch_dir,
+    )
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        applied_watermark,
+        maintain_oov_drift,
+    )
+
+    _, new, learned, sym_ids = _bpe_frozen_artifacts(spark, sf_dir)
+    stage = _parity_scratch_dir("decps_oov_engine_stage")
+    serving = _parity_scratch_dir("decps_oov_engine_serving")
+    new.repartition(4).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    maintain_oov_drift(stream, serving, f"{stage}/_chk_first", sym_ids, learned)
+    # Full-job replay with a FRESH checkpoint: every redelivered batch
+    # must hit the guard and no-op.
+    maintain_oov_drift(
+        stream, serving, f"{stage}/_chk_replay", sym_ids, learned
+    )
+    n_files = len(list(Path(stage).glob("part-*")))
+    applied = applied_watermark(spark, serving)
+    expected = n_files - 1 if n_files else None
+    if applied != expected:
+        raise RuntimeError(
+            f"expected {n_files} engine micro-batches (max applied id "
+            f"{expected}), got {applied}"
+        )
+    if applied is None:
+        return spark.createDataFrame(
+            [], "source string, docs bigint, tokens bigint, unks bigint"
+        )
     return spark.read.parquet(serving).select(
         "source", "docs", "tokens", "unks"
     )

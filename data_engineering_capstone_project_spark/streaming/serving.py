@@ -767,3 +767,42 @@ def oov_drift_increment(sym_ids: DataFrame, learned: list):
         )
 
     return inc
+
+
+def maintain_oov_drift(
+    docs_stream: DataFrame,
+    serving: str,
+    checkpoint: str,
+    sym_ids: DataFrame,
+    learned: list,
+) -> None:
+    """Drain a DOCUMENT stream (availableNow) into the per-source
+    OOV-drift table — the production wiring of
+    ``oov_drift_increment`` into ``foreachBatch``, exactly as
+    ``maintain_trending_counts`` wires the trending increment. The
+    frozen tokenizer artifacts are bound once at query start (in
+    production, loaded from the published ``bpe_learn_merges`` /
+    ``bpe_vocab_table`` tables); every micro-batch encodes only its
+    own documents and folds an O(sources) aggregate into the serving
+    table through the idempotent stage+publish merge."""
+    spark = docs_stream.sparkSession
+    inc = oov_drift_increment(sym_ids, learned)
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        apply_additive_batch(
+            spark,
+            batch_df,
+            batch_id,
+            serving,
+            inc,
+            keys=["source"],
+            sum_cols=["docs", "tokens", "unks"],
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

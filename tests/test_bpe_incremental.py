@@ -112,3 +112,20 @@ def test_streamed_oov_monitor_counts_unks(spark, oov_sf):
     assert rows["s"].docs == 2, rows
     assert rows["s"].unks == 7, rows
     assert rows["s"].tokens > rows["s"].unks, rows
+
+
+def test_engine_streamed_oov_monitor_matches(spark, oov_sf):
+    """The engine-path twin on the same OOV fixture: real readStream
+    micro-batches + full-job replay must land the identical per-source
+    statistics (7 UNKs) as the hand-loop fold."""
+    from data_engineering_capstone_project_spark.plans import QUERIES
+
+    rows = {
+        r.source: r
+        for r in QUERIES["oov_drift_engine_streamed_parity"](
+            spark, oov_sf
+        ).collect()
+    }
+    assert rows["s"].docs == 2, rows
+    assert rows["s"].unks == 7, rows
+    assert rows["s"].tokens > rows["s"].unks, rows

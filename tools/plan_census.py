@@ -79,6 +79,7 @@ _EAGER = {
     # r10: folds 4 document micro-batches through the serving merge
     # at call time; the read side is a plain parquet scan.
     "oov_drift_streamed_parity",
+    "oov_drift_engine_streamed_parity",
 }
 
 

@@ -284,6 +284,9 @@ def _run_probes(k: int, out: str):
         #   split's vocab axis; base touched once for training only
         "oov_drift_streamed_parity",  # r10: 9th serving table — 4 additive
         #   (source)-grid folds of frozen-vocab batch encodes
+        "oov_drift_engine_streamed_parity",  # r10: same table through the
+        #   REAL engine (2 full readStream jobs incl. replay; fixed
+        #   checkpoint overhead dominates — flat-ish bar expected)
         "name_ed1_blocking",     # deletion-neighborhood fuzzy equi-join
         "user_daily_streaks",    # (user,day) distinct + user-partition windows
         "rollup_cascade_daily",  # minute agg once, hour/day re-aggregate it
