@@ -4293,12 +4293,27 @@ def oov_drift_engine_streamed_parity(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    maintain_oov_drift(stream, serving, f"{stage}/_chk_first", sym_ids, learned)
+    first_log = maintain_oov_drift(
+        stream, serving, f"{stage}/_chk_first", sym_ids, learned
+    )
+    if not first_log or not all(applied for _, applied in first_log):
+        raise RuntimeError(
+            f"first run must apply every engine batch, got {first_log}"
+        )
     # Full-job replay with a FRESH checkpoint: every redelivered batch
-    # must hit the guard and no-op.
-    maintain_oov_drift(
+    # must hit the guard and no-op. The applied log (r11 advice fix)
+    # makes a guard regression raise HERE with the batch ids named,
+    # instead of surfacing only as a doubled-count oracle hash
+    # mismatch downstream — the hand-loop parities' explicit
+    # "guard failed to skip replay" protocol, now on the engine path.
+    replay_log = maintain_oov_drift(
         stream, serving, f"{stage}/_chk_replay", sym_ids, learned
     )
+    leaked = [bid for bid, applied in replay_log if applied]
+    if leaked:
+        raise RuntimeError(
+            f"batch-id guard failed to skip replayed batches {leaked}"
+        )
     n_files = len(list(Path(stage).glob("part-*")))
     applied = applied_watermark(spark, serving)
     expected = n_files - 1 if n_files else None

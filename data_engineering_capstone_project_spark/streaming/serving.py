@@ -775,7 +775,7 @@ def maintain_oov_drift(
     checkpoint: str,
     sym_ids: DataFrame,
     learned: list,
-) -> None:
+) -> list[tuple[int, bool]]:
     """Drain a DOCUMENT stream (availableNow) into the per-source
     OOV-drift table — the production wiring of
     ``oov_drift_increment`` into ``foreachBatch``, exactly as
@@ -784,12 +784,24 @@ def maintain_oov_drift(
     production, loaded from the published ``bpe_learn_merges`` /
     ``bpe_vocab_table`` tables); every micro-batch encodes only its
     own documents and folds an O(sources) aggregate into the serving
-    table through the idempotent stage+publish merge."""
+    table through the idempotent stage+publish merge.
+
+    Returns the per-batch applied log ``[(batch_id, applied), ...]``
+    in delivery order (r11 advice fix): ``apply_additive_batch``
+    reports whether the batch-id guard let the batch through, and
+    discarding that boolean left a guard regression visible only as
+    a downstream oracle hash mismatch (doubled counts). A replay run
+    can now raise the moment any redelivered batch reports
+    ``applied=True`` — the same explicit failure mode the hand-loop
+    parities have always had ("guard failed to skip replay").
+    foreachBatch callbacks run on the driver in PySpark, so the
+    closure-appended list is ordinary single-process state."""
     spark = docs_stream.sparkSession
     inc = oov_drift_increment(sym_ids, learned)
+    applied_log: list[tuple[int, bool]] = []
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        apply_additive_batch(
+        applied = apply_additive_batch(
             spark,
             batch_df,
             batch_id,
@@ -798,6 +810,7 @@ def maintain_oov_drift(
             keys=["source"],
             sum_cols=["docs", "tokens", "unks"],
         )
+        applied_log.append((batch_id, applied))
 
     q = (
         docs_stream.writeStream.foreachBatch(fn)
@@ -806,3 +819,4 @@ def maintain_oov_drift(
         .start()
     )
     q.awaitTermination()
+    return applied_log

@@ -129,3 +129,62 @@ def test_engine_streamed_oov_monitor_matches(spark, oov_sf):
     assert rows["s"].docs == 2, rows
     assert rows["s"].unks == 7, rows
     assert rows["s"].tokens > rows["s"].unks, rows
+
+
+def test_maintain_oov_drift_applied_log_protocol(spark, oov_sf):
+    """maintain_oov_drift returns the per-batch applied log (r11
+    advice fix): a first drain applies every engine batch, a full-job
+    replay against a fresh checkpoint reports applied=False for all
+    of them. This is the boolean the engine parity now RAISES on —
+    previously it was discarded and a guard regression surfaced only
+    as a doubled-count oracle hash mismatch."""
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        _bpe_frozen_artifacts,
+    )
+    from data_engineering_capstone_project_spark.streaming.serving import (
+        maintain_oov_drift,
+    )
+
+    _, new, learned, sym_ids = _bpe_frozen_artifacts(spark, oov_sf)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stage = f"{tmp}/stage"
+        serving = f"{tmp}/serving"
+        new.repartition(2).write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+
+        def _stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+
+        first = maintain_oov_drift(
+            _stream(), serving, f"{tmp}/chk1", sym_ids, learned
+        )
+        assert first and all(applied for _, applied in first), first
+        replay = maintain_oov_drift(
+            _stream(), serving, f"{tmp}/chk2", sym_ids, learned
+        )
+        assert [bid for bid, _ in replay] == [bid for bid, _ in first], replay
+        assert all(applied is False for _, applied in replay), replay
+
+
+def test_engine_parity_raises_when_guard_lies(spark, oov_sf, monkeypatch):
+    """Negative case for the r11 protocol: if the batch-id guard ever
+    reported applied=True during the replay (a guard regression), the
+    engine parity must raise with the batch ids named — not deliver a
+    silently doubled table to the oracle."""
+    from data_engineering_capstone_project_spark.streaming import serving as S
+
+    real = S.apply_additive_batch
+
+    def lying(*args, **kwargs):
+        real(*args, **kwargs)
+        return True  # claim every batch applied, replays included
+
+    monkeypatch.setattr(S, "apply_additive_batch", lying)
+    with pytest.raises(RuntimeError, match="failed to skip replayed"):
+        QUERIES["oov_drift_engine_streamed_parity"](spark, oov_sf).collect()

@@ -1006,16 +1006,28 @@ def test_bpe_encode_arrow_apply_is_constant_depth(spark):
 
 
 def test_bpe_decode_vocab_axis_discipline(spark):
-    """bpe_decode_roundtrip (r10): decode runs on the vocab axis —
-    the tid->sym inverse join and the id-assignment join both
-    BROADCAST the alphabet-sized (sym, tid) frame (never sort-merge
-    against it), no CartesianProduct anywhere (the k-scalar cross is
-    a broadcast 1-row NLJ), and the only sort-merge-eligible joins
-    are the two corpus-sized ones (token stream x decoded vocab on
-    word; decoded docs x normalized docs on doc_id)."""
+    """bpe_decode_roundtrip (r11 tightening of the r10 test): decode
+    runs on the vocab axis — the tid->sym inverse join and the
+    id-assignment join both BROADCAST the alphabet-sized (sym, tid)
+    frame, no CartesianProduct anywhere (the k-scalar cross is a
+    broadcast 1-row NLJ), and the ONE corpus-sized join (token
+    stream x decoded vocab on word — the only corpus join left after
+    the r10 single-aggregation rewrite removed the doc_id
+    re-join) is PINNED sort-merge. The pin is load-bearing:
+    `dwords.hint("merge")` (text_analysis.py) exists because dwords
+    grows with the corpus yet its decoded strings compress ~100x, so
+    AQE's compressed-size threshold mis-classifies it as
+    broadcastable — at the 160x probe that build side deserialized
+    to 4.6 GiB and OOMed the heap (fix commit d23d129). Asserting
+    EXACTLY one SortMergeJoin, keyed on word, means deleting the
+    hint fails this suite (measured: unhinted at SF_SMALL the plan
+    shows 0 SMJ / the word join broadcasts) instead of re-creating
+    the production OOM."""
     plan = _plan(QUERIES["bpe_decode_roundtrip"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("SortMergeJoin") <= 2, plan
+    assert plan.count("SortMergeJoin") == 1, plan
+    smj_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert len(smj_lines) == 1 and "word#" in smj_lines[0], smj_lines
     assert "BroadcastHashJoin" in plan, plan
 
 
