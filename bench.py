@@ -19,24 +19,85 @@ _REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(_REPO))
 
 DRIFT_GATE_PCT = 5.0
+# Steal gate (r11, VERDICT r10 #1): % of the box's total CPU capacity
+# stolen by the hypervisor during the timed series. The canary detects
+# that the box moved but cannot NAME the cause; /proc/stat steal can —
+# both `unstable` rounds (r9, r10) were host CPU steal (~22k jiffies
+# measured during one r10 probe leg ≈ 11% of capacity), while a quiet
+# run on this box measures 0.0-0.1%. 1% is an order of magnitude above
+# quiet noise and an order below the observed contamination.
+STEAL_GATE_PCT = 1.0
 
 
-def choose_series(first: dict, rerun: dict | None, gate: float = DRIFT_GATE_PCT):
-    """The canary-gate selection rule (r9, VERDICT #3), extracted pure
-    so tests can pin it without timing anything: prefer whichever
-    series has the smaller |canary drift| (a missing drift — canary
-    failed — counts as infinitely unstable), and flag the chosen
-    record ``unstable`` when even it sits outside ±gate%. Returns
+def _proc_stat_steal() -> int | None:
+    """Cumulative steal jiffies summed over all CPUs: field 8 of the
+    aggregate `cpu` line in /proc/stat (user nice system idle iowait
+    irq softirq STEAL guest guest_nice). None where unreadable (the
+    bench must run identically on non-Linux hosts)."""
+    try:
+        fields = Path("/proc/stat").read_text().splitlines()[0].split()
+        if fields[0] != "cpu":
+            return None
+        return int(fields[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def steal_pct(
+    delta: int | None,
+    elapsed_sec: float,
+    ncpus: int | None = None,
+    hz: float | None = None,
+) -> float | None:
+    """Steal jiffies as a % of the box's total CPU capacity over the
+    window: delta / (elapsed * HZ * ncpus) * 100. Pure so tests can
+    pin the arithmetic; None when steal was unreadable."""
+    if delta is None or elapsed_sec <= 0:
+        return None
+    if ncpus is None:
+        ncpus = os.cpu_count() or 1
+    if hz is None:
+        try:
+            hz = os.sysconf("SC_CLK_TCK")
+        except (ValueError, OSError, AttributeError):
+            hz = 100.0
+    return round(delta / (elapsed_sec * hz * ncpus) * 100, 2)
+
+
+def choose_series(
+    first: dict,
+    rerun: dict | None,
+    gate: float = DRIFT_GATE_PCT,
+    steal_gate: float = STEAL_GATE_PCT,
+):
+    """The canary-gate selection rule (r9, VERDICT #3; steal-aware
+    since r11), extracted pure so tests can pin it without timing
+    anything: prefer the series that is not steal-contaminated, then
+    the one with the smaller |canary drift| (a missing drift — canary
+    failed — counts as infinitely unstable; a missing steal reading
+    is not a flag, so non-Linux hosts degrade to the r9 rule). The
+    chosen record is flagged ``unstable`` when it drifts outside
+    ±gate% OR its measured steal exceeds the steal gate — steal is an
+    independent trigger because a steal-contaminated series can show
+    a flat canary while every absolute timing is inflated (the exact
+    r10 failure the canary could detect but not attribute). Returns
     (series, unstable, reruns)."""
 
     def _abs_drift(s: dict) -> float:
         d = s.get("drift_pct")
         return abs(d) if d is not None else float("inf")
 
+    def _stolen(s: dict) -> bool:
+        sp = s.get("steal_pct")
+        return sp is not None and sp > steal_gate
+
     chosen = first
-    if rerun is not None and _abs_drift(rerun) < _abs_drift(first):
+    if rerun is not None and (_stolen(rerun), _abs_drift(rerun)) < (
+        _stolen(first),
+        _abs_drift(first),
+    ):
         chosen = rerun
-    unstable = _abs_drift(chosen) > gate
+    unstable = _abs_drift(chosen) > gate or _stolen(chosen)
     return chosen, unstable, (1 if rerun is not None else 0)
 
 
@@ -245,6 +306,8 @@ def main() -> None:
         (best-of-3), canary again — plus the environment counters that
         attribute its total."""
         load_avg_start = os.getloadavg()[0]
+        steal_start = _proc_stat_steal()
+        wall_start = time.time()
         jvm_start = _jvm_state()
         canary_start = _timed_safe(canary_query)
         timings: dict[str, float] = {}
@@ -265,9 +328,26 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
         canary_end = _timed_safe(canary_query)
+        steal_end = _proc_stat_steal()
+        elapsed = round(time.time() - wall_start, 3)
+        steal_delta = (
+            steal_end - steal_start
+            if steal_start is not None and steal_end is not None
+            else None
+        )
         c0 = min(canary_start) if canary_start else None
         c1 = min(canary_end) if canary_end else None
         return {
+            # Steal counters (r11, VERDICT r10 #1): what the HOST took
+            # from this series, so an unstable flag is diagnostic —
+            # "the hypervisor stole N% of capacity" — not just honest.
+            "steal_pct": steal_pct(steal_delta, elapsed),
+            "steal": {
+                "start_jiffies": steal_start,
+                "end_jiffies": steal_end,
+                "delta_jiffies": steal_delta,
+                "elapsed_sec": elapsed,
+            },
             "timings": timings,
             "spreads": spreads,
             "samples": all_samples,
@@ -299,13 +379,18 @@ def main() -> None:
     # permanently-loaded box, flagged rather than looping.
     first = _run_series()
     rerun = None
+    first_stolen = (
+        first["steal_pct"] is not None and first["steal_pct"] > STEAL_GATE_PCT
+    )
     if (
         first["drift_pct"] is None
         or abs(first["drift_pct"]) > DRIFT_GATE_PCT
+        or first_stolen
     ):
         print(
-            f"bench: canary drift {first['drift_pct']}% outside "
-            f"±{DRIFT_GATE_PCT}%; rerunning series once",
+            f"bench: canary drift {first['drift_pct']}% "
+            f"(gate ±{DRIFT_GATE_PCT}%) / steal {first['steal_pct']}% "
+            f"(gate {STEAL_GATE_PCT}%); rerunning series once",
             file=sys.stderr,
         )
         rerun = _run_series()
@@ -345,14 +430,21 @@ def main() -> None:
         # delta to environment in one read.
         "load_avg": {"start": load_avg_start, "end": load_avg_end},
         "warm_dir": warm_dir,
-        # Canary-gate provenance (r9): how many reruns the drift gate
-        # triggered (0 or 1) and whether the RECORDED series is still
-        # outside the ±5% band.
+        # Canary-gate provenance (r9; steal-aware r11): how many
+        # reruns the gates triggered (0 or 1) and whether the RECORDED
+        # series is still outside the drift band / steal gate.
         "drift_gate": {
             "gate_pct": DRIFT_GATE_PCT,
+            "steal_gate_pct": STEAL_GATE_PCT,
             "reruns": reruns,
             "unstable": unstable,
         },
+        # Raw steal counters for the recorded series (r11, VERDICT
+        # r10 #1): /proc/stat aggregate steal before/after the timed
+        # region, the delta, and the delta as % of total CPU capacity
+        # over the window.
+        "steal": series["steal"],
+        "steal_pct": series["steal_pct"],
     }
     total = round(sum(timings.values()), 3)
     # Comparable-basis total (r9, VERDICT #8): the r4-r7 headline
@@ -381,6 +473,8 @@ def main() -> None:
             "value": total,
             "value_comparable": comparable,
             "canary_drift_pct": drift_pct,
+            "steal_pct": series["steal_pct"],
+            "steal_jiffies_delta": series["steal"]["delta_jiffies"],
             "load_avg": [load_avg_start, load_avg_end],
             "code_rev": _git_rev(),
             "from_this_run": True,
@@ -408,6 +502,8 @@ def main() -> None:
         "runs_per_query": runs_per_query,
         "canary_drift_pct": drift_pct,
         "canary_reruns": reruns,
+        "steal_pct": series["steal_pct"],
+        "steal_jiffies_delta": series["steal"]["delta_jiffies"],
         "load_avg": [load_avg_start, load_avg_end],
         "detail": detail_path.name,
         "sf": sf,

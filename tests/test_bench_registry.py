@@ -152,3 +152,49 @@ def test_choose_series_prefers_stabler_canary():
     assert chosen is c and unstable
     chosen, unstable, _ = bench.choose_series(d, None)
     assert chosen is d and unstable
+
+
+def test_steal_pct_arithmetic():
+    """steal_pct = delta / (elapsed * HZ * ncpus) * 100, pure: 1 CPU
+    fully stolen for the whole window on a 32-CPU/100Hz box = 3.12%."""
+    assert bench.steal_pct(100 * 60, 60.0, ncpus=32, hz=100) == 3.12
+    # full capacity stolen
+    assert bench.steal_pct(100 * 60 * 32, 60.0, ncpus=32, hz=100) == 100.0
+    # unreadable counter / degenerate window -> None, never a flag
+    assert bench.steal_pct(None, 60.0) is None
+    assert bench.steal_pct(500, 0.0) is None
+
+
+def test_proc_stat_steal_readable_on_this_host():
+    """The counter must parse on the build/driver box (Linux): a
+    cumulative non-negative integer, monotone across two reads."""
+    a = bench._proc_stat_steal()
+    b = bench._proc_stat_steal()
+    assert isinstance(a, int) and a >= 0
+    assert isinstance(b, int) and b >= a
+
+
+def test_choose_series_steal_gate():
+    """r11 steal gate: a steal-contaminated series loses to a clean
+    one even when its canary drift is SMALLER (steal inflates every
+    absolute timing while the canary can stay flat); the chosen
+    series is flagged unstable if even it exceeds the steal gate; a
+    missing steal reading (non-Linux) degrades to the r9 drift rule."""
+    stolen_flat = {"drift_pct": 0.5, "steal_pct": 11.6}
+    clean = {"drift_pct": 3.0, "steal_pct": 0.1}
+    chosen, unstable, reruns = bench.choose_series(stolen_flat, clean)
+    assert chosen is clean and not unstable and reruns == 1
+
+    # both stolen: smaller drift wins, record flagged unstable
+    stolen2 = {"drift_pct": 4.0, "steal_pct": 2.5}
+    chosen, unstable, _ = bench.choose_series(stolen_flat, stolen2)
+    assert chosen is stolen_flat and unstable
+
+    # steal alone flags a drift-stable single series
+    chosen, unstable, _ = bench.choose_series(stolen_flat, None)
+    assert chosen is stolen_flat and unstable
+
+    # missing steal reading is not a flag (r9 behavior preserved)
+    legacy = {"drift_pct": 1.7}
+    chosen, unstable, _ = bench.choose_series(legacy, None)
+    assert chosen is legacy and not unstable
