@@ -198,3 +198,28 @@ def test_choose_series_steal_gate():
     legacy = {"drift_pct": 1.7}
     chosen, unstable, _ = bench.choose_series(legacy, None)
     assert chosen is legacy and not unstable
+
+
+def test_scale_probe_rows_carry_provenance_stamp():
+    """r11 (VERDICT r10 #4): every probe-ledger row carries code_rev +
+    steal/load fields via _env_start/_env_fields, so pre-fix vs
+    post-fix vs steal-contaminated legs are machine-distinguishable.
+    The steal arithmetic is bench.py's (one definition)."""
+    import time as _time
+
+    from tools import scale_probe as sp
+
+    start = sp._env_start()
+    assert set(start) == {"steal", "load", "t"}
+    _time.sleep(0.05)
+    fields = sp._env_fields(start)
+    assert set(fields) == {
+        "code_rev",
+        "steal_jiffies_delta",
+        "steal_pct",
+        "load_avg",
+    }
+    # on this (Linux) host the counters must be real readings
+    assert fields["steal_jiffies_delta"] is not None
+    assert fields["steal_jiffies_delta"] >= 0
+    assert len(fields["load_avg"]) == 2

@@ -81,8 +81,57 @@ def emit(row: dict) -> None:
             f.write(line + "\n")
 
 
+def _env_start() -> dict:
+    """Snapshot taken immediately before a probe row's timed legs
+    (r11, VERDICT r10 #4): steal jiffies + load + wall clock. Paired
+    with ``_env_fields`` it stamps every ledger row with the code rev
+    and the host state that produced it, so pre-fix vs post-fix vs
+    steal-contaminated legs (r10's decode spread ran 4.19-10.72 at
+    40x across those three states) are machine-distinguishable
+    without PERFORMANCE.md prose."""
+    import os
+
+    import bench
+
+    return {
+        "steal": bench._proc_stat_steal(),
+        "load": os.getloadavg()[0],
+        "t": time.time(),
+    }
+
+
+def _env_fields(start: dict) -> dict:
+    """The per-row provenance stamp: code_rev + steal delta/pct +
+    load window over this row's legs (bench.py owns the /proc/stat
+    arithmetic; the probe reuses it so the two ledgers agree on what
+    'steal_pct' means)."""
+    import os
+
+    import bench
+
+    steal_end = bench._proc_stat_steal()
+    elapsed = time.time() - start["t"]
+    delta = (
+        steal_end - start["steal"]
+        if start["steal"] is not None and steal_end is not None
+        else None
+    )
+    return {
+        "code_rev": _CODE_REV,
+        "steal_jiffies_delta": delta,
+        "steal_pct": bench.steal_pct(delta, elapsed),
+        "load_avg": [round(start["load"], 2), round(os.getloadavg()[0], 2)],
+    }
+
+
+_CODE_REV: str | None = None
+
+
 def main():
-    global _RECORD_PATH
+    global _RECORD_PATH, _CODE_REV
+    import bench
+
+    _CODE_REV = bench._git_rev()
     argv = list(sys.argv[1:])
     if "--record" in argv:
         i = argv.index("--record")
@@ -334,6 +383,7 @@ def _run_probes(k: int, out: str):
     if only:
         probes = [p for p in probes if p in only]
     for name in probes:
+        env0 = _env_start()
         times = {}
         for label, d in (("1x", SF_DIR), (f"{k}x", out)):
             best = float("inf")
@@ -351,6 +401,7 @@ def _run_probes(k: int, out: str):
                 f"sec_{k}x": times[f"{k}x"],
                 "ratio": round(times[f"{k}x"] / max(times["1x"], 1e-9), 2),
                 "k": k,
+                **_env_fields(env0),
             }
         )
 
@@ -395,6 +446,7 @@ def _run_probes(k: int, out: str):
     ):
         if only and name not in only:
             continue
+        env0 = _env_start()
         times = {}
         for label, d in (("1x", SF_DIR), (f"{k}x", out)):
             scratch = f"{out}/_probe_{name}_{label}"
@@ -415,6 +467,7 @@ def _run_probes(k: int, out: str):
                 f"sec_{k}x": times[f"{k}x"],
                 "ratio": round(times[f"{k}x"] / max(times["1x"], 1e-9), 2),
                 "k": k,
+                **_env_fields(env0),
             }
         )
 
