@@ -44,66 +44,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # the invariants (priority head first, then monotone non-decreasing
 # staleness, permutation of the full registry).
 #
-# r10 priority head — new/changed only (VERDICT r9 #2: the 39
-# remaining slots then drain the stale tail oldest-first — all 3 r3
-# rows + all 13 r4 rows + 23 of the 28 r5 rows — leaving zero pre-r5
-# latest rows after this round, the prescribed done-bar; 5 r5 rows
-# slip to r11).
+# r11 priority head — new/changed only, kept at 3 (VERDICT r10 #3:
+# the 47 remaining slots then drain the stale tail oldest-first —
+# all 5 r5 rows + all 40 r6 rows fit, leaving zero pre-r7 latest
+# rows after this round — plus the 2 alphabetically-first r7 rows).
 _PRIORITY = [
-    # NEW r10: the tokenizer's export artifact — the full (sym, tid)
-    # vocabulary table (vocab.json half of the shipped pair; the
-    # merges table is the other half); oracle re-derives the id
-    # assignment independently in SQL.
-    "bpe_vocab_table",
-    # NEW r10 (VERDICT #1): bpe_encode on the one-pass Arrow apply —
-    # the production path for 30k+-merge vocabularies, flat in merge
-    # count (SCALE_PROBE_r10: 0.371s@256 vs 0.387s@1024 merges, vs
-    # the window path's measured 4.0x per 4x) — against the SAME
-    # DuckDB oracle as bpe_encode.
-    "bpe_encode_arrow",
-    # NEW r10: the detokenizer — decode(encode(text)) through the id
-    # space alone (tid -> sym via the vocab export), round-trip
-    # equality vs the normalized text per document; the oracle
-    # re-derives the whole decode independently in SQL.
-    "bpe_decode_roundtrip",
-    # NEW r10: frozen-vocab incremental encode — train on the base
-    # split only, encode the new split against the frozen artifacts,
-    # OOV symbols become counted UNK (-1) instead of silently
-    # dropping; the oracle re-applies the frozen merges with
-    # apply-only unrolled rounds.
+    # NEW r11 (VERDICT r10 #7): publish-and-load for the frozen
+    # tokenizer artifacts — train on the base split, PUBLISH the
+    # merges + (sym, tid) tables as warehouse parquet, LOAD them
+    # back, encode the new split against the LOADED artifacts only;
+    # same oracle as bpe_encode_incremental, so the round-trip is
+    # hash-checked cross-engine (and row-exact vs the in-memory path
+    # in tests/test_bpe_incremental.py).
+    "bpe_encode_published",
+    # CHANGED r11: body extracted into the shared
+    # _encode_frozen_digests helper (one definition for the in-memory
+    # and published paths); plan and values identical, but the code
+    # the r10 row verified no longer exists as written.
     "bpe_encode_incremental",
-    # NEW r10: the 9th maintained serving table — per-source frozen-
-    # vocab token/UNK statistics folded through the real additive
-    # merge protocol over the document stream (OOV-drift monitoring);
-    # oracle recomputes per-source stats from scratch in SQL.
-    "oov_drift_streamed_parity",
-    # NEW r10: the same table maintained by the REAL streaming engine
-    # (readStream -> foreachBatch -> maintain_oov_drift) with a
-    # full-job replay the batch-id guard must no-op — the engine-path
-    # twin trending has, now for the tokenizer table.
+    # CHANGED r11 (advice fix): maintain_oov_drift now returns the
+    # per-batch applied log and the parity RAISES if any replayed
+    # batch reports applied=True — the hand-loop parities' explicit
+    # failure protocol, previously only an implicit oracle-hash
+    # property on this engine path.
     "oov_drift_engine_streamed_parity",
-    # NEW r10 (VERDICT #6): the build-lock/adoption protocol's driver
-    # row — build the PQ codes table, drop the catalog entry keeping
-    # files, re-enter (must ADOPT), assert digest + file-listing
-    # identity in-engine AND hash-check the adopted digest vs DuckDB.
-    "codes_table_adoption_parity",
-    # CHANGED r10 (advice fix): the training loop's empty-merge-round
-    # guard is now a LAZY LEFT JOIN ON TRUE in the merge apply
-    # (mirrors the oracle) instead of an eager per-round take(1) at
-    # plan-construction time; bpe_encode additionally gained the mode
-    # parameter (default "window", same plan).
-    "bpe_learn_merges",
-    "bpe_encode",
-    "sequence_packing_bpe",
-    # CHANGED r10 (advice fix): memo invalidation uses pop(key, None)
-    # so a concurrent double-invalidate can't mask the two-writers
-    # RuntimeError with a KeyError.
-    "revenue_by_priority_bucketed",
 ]
-# NOT in the head despite touched code: sources/writers.py's
-# _release_own stat-retry (r10 advice fix) lives on a transient-EIO
-# path no normal driver run executes; its contract is pinned by
-# tests/test_build_lock.py instead.
+# NOT in the head despite touched test files: bpe_decode_roundtrip
+# (the r11 sort-merge pin landed in tests/test_plan_shapes.py only;
+# the query body is byte-identical to what its r10 row verified).
 
 _DRIVER_SAMPLE_FIRST = rotation_order(
     QUERIES, last_verified_rounds(_REPO), _PRIORITY

@@ -4097,14 +4097,27 @@ def bpe_encode_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final per-document digest is one shuffle on word plus one
     doc_id aggregation over the increment only."""
     _, new, learned, sym_ids = _bpe_frozen_artifacts(spark, sf_dir)
+    return _encode_frozen_digests(new, learned, sym_ids)
+
+
+def _encode_frozen_digests(
+    new: DataFrame, learned: list, sym_ids: DataFrame
+) -> DataFrame:
+    """Encode a document increment against FROZEN tokenizer artifacts
+    and return the per-document digest frame — the shared body of
+    ``bpe_encode_incremental`` (in-memory artifacts) and
+    ``bpe_encode_published`` (artifacts loaded from the published
+    warehouse tables): one definition, so the two paths can only
+    differ by the artifacts themselves, which is exactly the claim
+    the published query verifies. LEFT join on the id table: symbols
+    outside the frozen vocabulary become counted UNK (-1), never a
+    silent drop."""
     nvocab = (
         new.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("wf"))
     )
     nwp = bpe_apply_merges(nvocab, learned)
-    # LEFT join: symbols outside the frozen vocabulary become UNK
-    # (-1) instead of silently dropping from the token stream.
     word_tokens = nwp.join(broadcast(sym_ids), "sym", "left").select(
         "word",
         "pos",
@@ -4129,6 +4142,98 @@ def bpe_encode_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_id_sum"
         ),
     )
+
+
+def publish_tokenizer_artifacts(
+    merges: DataFrame, sym_ids: DataFrame, base_dir: str
+) -> tuple[str, str]:
+    """Materialize the trained tokenizer's two warehouse tables (r11,
+    VERDICT r10 #7): the merge list (``bpe_learn_merges``'s output —
+    the merges.txt half) at ``{base_dir}/bpe_merges`` and the
+    (sym, tid) vocabulary (``bpe_vocab_table``'s output — the
+    vocab.json half) at ``{base_dir}/bpe_vocab``. This is the publish
+    step a production training pipeline runs ONCE; every later
+    increment encodes against what ``load_tokenizer_artifacts`` reads
+    back, never against a retrain. Returns the two paths."""
+    from data_engineering_capstone_project_spark.sources.writers import (
+        write_parquet,
+    )
+
+    mpath, vpath = f"{base_dir}/bpe_merges", f"{base_dir}/bpe_vocab"
+    write_parquet(merges, mpath)
+    write_parquet(sym_ids, vpath)
+    return mpath, vpath
+
+
+def load_tokenizer_artifacts(
+    spark: SparkSession, base_dir: str
+) -> tuple[list, DataFrame]:
+    """Load the published tokenizer artifacts back: the merge list as
+    ROUND-ORDERED (left, right) pairs — order is the algorithm; a
+    reordered list is a different tokenizer — and the (sym, tid)
+    table as a DataFrame. The collect is bounded by the merge-table
+    size (the vocab axis, NOT the corpus): 3 rows at test scale, tens
+    of thousands in production — single-digit MBs on the driver,
+    the same task-closure budget ``bpe_apply_merges`` already
+    documents (with the SparkContext.broadcast switchover once a
+    multi-GB vocabulary makes closure capture the term)."""
+    learned = [
+        (r.left_sym, r.right_sym)
+        for r in spark.read.parquet(f"{base_dir}/bpe_merges")
+        .orderBy("round")
+        .collect()
+    ]
+    sym_ids = spark.read.parquet(f"{base_dir}/bpe_vocab").select("sym", "tid")
+    return learned, sym_ids
+
+
+@query("bpe_encode_published", oracle=_BPE_INC_ORACLE)
+def bpe_encode_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUBLISH-AND-LOAD frozen-vocab encode (r11, VERDICT r10 #7) —
+    the artifact lifecycle ``bpe_encode_incremental`` documents but
+    couldn't exercise: train on the base split, PUBLISH the merge
+    list and the (sym, tid) vocabulary as warehouse parquet tables
+    (``publish_tokenizer_artifacts``), LOAD them back
+    (``load_tokenizer_artifacts``), and encode the NEW split against
+    the LOADED artifacts only. The in-memory trained frames never
+    reach the encoder — a round-trip corruption (merge-order loss,
+    tid type drift, a dropped alphabet row) lands directly on the
+    oracle hash, which re-derives the whole frozen-apply + UNK
+    contract in SQL (same oracle as ``bpe_encode_incremental``; a
+    parity test additionally pins the two queries row-exact equal).
+    The production flow is exactly this minus the training half:
+    publish once at training time, load at every increment.
+
+    Scale shape: identical to ``bpe_encode_incremental`` plus two
+    vocab-axis table writes and a merge-table-sized driver collect
+    (see ``load_tokenizer_artifacts``); the corpus-axis plan — one
+    base pass to train, increment-vocab merge passes, one increment
+    token-stream join — is unchanged (plan pin:
+    test_bpe_published_frozen_vocab_axis)."""
+    from data_engineering_capstone_project_spark.plans.events_windows import (
+        _parity_scratch_dir,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    vocab = (
+        base.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    warehouse = _parity_scratch_dir("decps_bpe_artifacts")
+    merges = bpe_merge_rounds(vocab, rounds=3)
+    learned_mem = [
+        (r.left_sym, r.right_sym) for r in merges.orderBy("round").collect()
+    ]
+    publish_tokenizer_artifacts(
+        merges, _bpe_token_ids(spark, vocab, learned_mem), warehouse
+    )
+    # Everything the encoder sees from here on is LOADED state; the
+    # trained frames above are dead.
+    learned, sym_ids = load_tokenizer_artifacts(spark, warehouse)
+    return _encode_frozen_digests(new, learned, sym_ids)
 
 
 @query(

@@ -188,3 +188,51 @@ def test_engine_parity_raises_when_guard_lies(spark, oov_sf, monkeypatch):
     monkeypatch.setattr(S, "apply_additive_batch", lying)
     with pytest.raises(RuntimeError, match="failed to skip replayed"):
         QUERIES["oov_drift_engine_streamed_parity"](spark, oov_sf).collect()
+
+
+def test_published_artifacts_reproduce_in_query_training(spark, oov_sf):
+    """bpe_encode_published (r11): encoding against LOADED warehouse
+    artifacts must be row-exact equal to bpe_encode_incremental's
+    in-memory-artifact encode on the OOV fixture — where UNK counts
+    are nonzero, so a round-trip corruption of the id table (tid
+    drift, dropped alphabet row) or of merge order cannot hide."""
+    mem = sorted(
+        QUERIES["bpe_encode_incremental"](spark, oov_sf).collect(),
+        key=lambda r: r.doc_id,
+    )
+    pub = sorted(
+        QUERIES["bpe_encode_published"](spark, oov_sf).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [r.asDict() for r in pub] == [r.asDict() for r in mem]
+    assert any(r.unk_count > 0 for r in pub)
+
+
+def test_tokenizer_artifact_roundtrip(spark, oov_sf, tmp_path):
+    """publish_tokenizer_artifacts -> load_tokenizer_artifacts is the
+    identity on both halves: the ROUND-ORDERED merge list and the
+    full (sym, tid) table."""
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        _bpe_frozen_artifacts,
+        bpe_merge_rounds,
+        load_tokenizer_artifacts,
+        publish_tokenizer_artifacts,
+    )
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project_spark.operators import dedup as D
+    from data_engineering_capstone_project_spark.plans.registry import table
+
+    base, _, learned, sym_ids = _bpe_frozen_artifacts(spark, oov_sf)
+    vocab = (
+        base.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    merges = bpe_merge_rounds(vocab, rounds=3)
+    publish_tokenizer_artifacts(merges, sym_ids, str(tmp_path))
+    learned2, sym_ids2 = load_tokenizer_artifacts(spark, str(tmp_path))
+    assert learned2 == learned
+    want = sorted((r.sym, r.tid) for r in sym_ids.collect())
+    got = sorted((r.sym, r.tid) for r in sym_ids2.collect())
+    assert got == want and len(got) > 0

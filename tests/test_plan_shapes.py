@@ -1042,3 +1042,17 @@ def test_bpe_encode_incremental_frozen_vocab_axis(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("SortMergeJoin") <= 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_published_frozen_vocab_axis(spark):
+    """bpe_encode_published (r11): loading the artifacts from the
+    published warehouse tables must not change the encode plan class —
+    the loaded (sym, tid) scan still BROADCASTS into its LEFT join,
+    no CartesianProduct, and the only sort-merge-eligible join is the
+    increment's token stream against its encoded vocab on word (the
+    same pins as bpe_encode_incremental, whose plan this shares via
+    _encode_frozen_digests)."""
+    plan = _plan(QUERIES["bpe_encode_published"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
