@@ -331,6 +331,8 @@ def _run_probes(k: int, out: str):
         #   as bpe_encode
         "bpe_encode_incremental",  # r10: frozen-vocab apply over the NEW
         #   split's vocab axis; base touched once for training only
+        "bpe_encode_published",  # r11: same plan + two vocab-axis table
+        #   writes and a merge-table-sized load collect — flat extra term
         "oov_drift_streamed_parity",  # r10: 9th serving table — 4 additive
         #   (source)-grid folds of frozen-vocab batch encodes
         "oov_drift_engine_streamed_parity",  # r10: same table through the
@@ -438,6 +440,18 @@ def _run_probes(k: int, out: str):
             _bpe_apply_runner(1024, "arrow"),
             False,
         ),
+        # r11 (VERDICT r10 #6): a TRUE production merge count — ~30k
+        # merges, GPT-2-class vocabulary depth. Pass bar:
+        # sec(30k)/sec(1024) ~ flat at fixed corpus (the per-word
+        # kernel's dict lookups are O(1) in table size; the closure
+        # ships once per task). If this leg ever goes super-flat the
+        # documented SparkContext.broadcast switchover becomes real.
+        (
+            "bpe_apply_arrow_30k",
+            None,
+            _bpe_apply_runner(30720, "arrow"),
+            False,
+        ),
         ("scd2_apply", None, _run_scd2, False),
         ("merge_upsert_partitioned", _setup_merge, _run_merge, False),
         ("delete_keys_partitioned", _setup_merge, _run_delete, False),
@@ -491,9 +505,22 @@ def _bpe_apply_runner(n_merges: int, mode: str = "window"):
     letters = "etaoinsrhldcumfp"
     if n_merges > 256:
         letters += "gwybvkxjqz.,0123"
-    merges = [
-        (a, b) for a, b in itertools.product(letters, repeat=2)
-    ][:n_merges]
+    merges = [(a, b) for a, b in itertools.product(letters, repeat=2)]
+    if n_merges > 1024:
+        # Production-depth leg (r11, VERDICT r10 #6): extend past the
+        # single-char grid with (two-char, one-char) pairs — left
+        # symbols that EXIST after the base merges fire, so part of
+        # the tail does real match work while the full table
+        # exercises what a 30k-merge vocabulary actually stresses:
+        # the pickled task-closure size and the rank-dict depth the
+        # per-word kernel bisects through.
+        merges += [
+            (a + b, c)
+            for (a, b), c in itertools.product(
+                itertools.product(letters, repeat=2), letters
+            )
+        ]
+    merges = merges[:n_merges]
     assert len(merges) == n_merges
 
     def run(spark, d: str, scratch: str) -> None:
