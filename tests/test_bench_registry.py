@@ -223,3 +223,61 @@ def test_scale_probe_rows_carry_provenance_stamp():
     assert fields["steal_jiffies_delta"] is not None
     assert fields["steal_jiffies_delta"] >= 0
     assert len(fields["load_avg"]) == 2
+
+
+def test_bench_cli_emits_parseable_summary_line():
+    """End-to-end pin of the driver's bench contract (the r7 parse
+    regression class: an oversized/clipped stdout line left
+    BENCH_r07.json with parsed:null): run bench.py as a subprocess at
+    the smallest SF and assert the LAST stdout line is one JSON
+    object carrying every field the driver and the comparable-series
+    tooling read. ~60-90s; sf0.001 keeps it suite-friendly."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_WARM_DIR="/root/testdata/sf0.001",
+        # never clobber the repo's recorded detail/anchor sidecar
+        SPARK_GRAFT_DETAIL_PATH="/tmp/bench_detail_test.json",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(repo / "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=str(repo),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    for field in (
+        "metric",
+        "value",
+        "value_comparable",
+        "unit",
+        "queries",
+        "runs_per_query",
+        "canary_drift_pct",
+        "canary_reruns",
+        "steal_pct",
+        "steal_jiffies_delta",
+        "load_avg",
+        "detail",
+        "sf",
+    ):
+        assert field in rec, (field, line[:200])
+    assert rec["unit"] == "sec" and rec["queries"], rec["metric"]
+    assert rec["sf"] == 0.001
+    assert "errors" not in rec, rec.get("errors")
+    # non-default protocol: the run may record detail to the override
+    # path but must NOT have minted a stable_anchor from itself
+    detail = json.loads(Path("/tmp/bench_detail_test.json").read_text())
+    a = detail.get("stable_anchor")
+    assert a is None or a.get("from_this_run") is not True, a
