@@ -1171,9 +1171,18 @@ def pq_codes_table(
     process encodes while concurrent callers wait for ``_SUCCESS`` and
     adopt — two simultaneous first writers can no longer rmtree/write
     the same dir under each other (two-process test in
-    tests/test_build_lock.py). Same-host scope and the
-    metastore/transaction-log answer for multi-host clusters are
-    documented on ``build_exclusive`` itself."""
+    tests/test_build_lock.py). The build itself lands through
+    ``commit_build`` (r12, closing build_exclusive's documented
+    multi-host residual): the encode writes into a unique
+    fencing-token attempt dir and publishes by ONE atomic directory
+    rename with a ``_MANIFEST`` stamp, so even two HOSTS racing the
+    first build — where the pid-liveness lock cannot see the other
+    writer — resolve to exactly one published table, the loser
+    adopting it (two-writer lockless race test in
+    tests/test_build_lock.py). build_exclusive stays as the same-host
+    layer so local concurrent callers WAIT instead of paying a
+    duplicate encode; cross-host duplicates cost one wasted build and
+    zero correctness."""
     import re as _re
     import shutil
     from pathlib import Path
@@ -1183,7 +1192,7 @@ def pq_codes_table(
     )
     from data_engineering_capstone_project_spark.sources.writers import (
         build_exclusive,
-        write_table,
+        commit_build,
     )
 
     prefix = "ivfpq_codes" if with_cells else "pq_codes"
@@ -1210,12 +1219,10 @@ def pq_codes_table(
         def _complete() -> bool:
             return (loc / "_SUCCESS").exists()
 
-        def _build() -> None:
-            # Only a marker-less partial (crashed holder) can exist
-            # here: build_exclusive adopts complete dirs before ever
-            # calling this, so the rmtree never races a reader.
-            if loc.exists():
-                shutil.rmtree(loc)
+        def _build_to(attempt: str) -> None:
+            # The encode writes the COMPLETE table into the commit
+            # protocol's unique attempt dir; publication to loc is
+            # commit_build's single atomic rename.
             if with_cells:
                 from data_engineering_capstone_project_spark.operators.vector_index import (  # noqa: E501
                     assign_cells,
@@ -1228,23 +1235,31 @@ def pq_codes_table(
                     sampled_centroids(emb, n_cells=8),
                     n_probe=1,
                 )
-                write_table(
+                (
                     _pq_corpus_codes(
                         spark, sf_dir, source=with_cell, extra_cols=("cell_id",)
-                    ),
-                    name,
-                    partition_cols=["cell_id"],
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("cell_id")
+                    .parquet(attempt)
                 )
             else:
-                write_table(_pq_corpus_codes(spark, sf_dir), name)
+                _pq_corpus_codes(spark, sf_dir).write.mode(
+                    "overwrite"
+                ).parquet(attempt)
 
-        if build_exclusive(loc, _build, _complete) == "adopted":
-            # Same fingerprint => identical content: adopt the dir a
-            # concurrent/earlier same-source writer completed rather
-            # than destroying it under that process's readers.
-            spark.catalog.createTable(name, path=str(loc), source="parquet")
-            if with_cells:
-                spark.catalog.recoverPartitions(name)
+        def _build() -> None:
+            commit_build(loc, _build_to, {"source_fingerprint": fp})
+
+        build_exclusive(loc, _build, _complete)
+        # Registration is IDENTICAL for built and adopted since r12:
+        # commit_build only ever publishes complete external dirs, so
+        # every entry registers the published location as an external
+        # table (DROP keeps the files either way; the stale sweep above
+        # owns file deletion).
+        spark.catalog.createTable(name, path=str(loc), source="parquet")
+        if with_cells:
+            spark.catalog.recoverPartitions(name)
     return spark.table(name)
 
 
@@ -1318,8 +1333,11 @@ def codes_table_adoption_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Simulate the fresh-catalog re-entry: drop the entry, keep the
-    # files. A managed first build loses its files on DROP, so stash a
-    # copy first and restore it; an adopted external table keeps them.
+    # files. Since r12 every registration is EXTERNAL (commit_build
+    # publishes complete dirs; registration never manages files), so
+    # DROP keeps the files and the stash below is deleted unused — it
+    # stays as a guard so the parity also covers any legacy managed
+    # entry a pre-r12 warehouse might still carry.
     stash = loc.with_name(loc.name + "._adoption_stash")
     if stash.exists():
         shutil.rmtree(stash)

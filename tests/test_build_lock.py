@@ -686,3 +686,254 @@ def test_two_process_concurrent_bucketed_pair_build(tmp_path):
         sidecars.add((loc / "_BUCKETS").read_text())
     assert len(sidecars) == 1, f"pair disagrees on bucket count: {sidecars}"
     assert not list(warehouse.glob("_BUILDING.*")), "lock leaked"
+
+
+# ---------------------------------------------------------------------------
+# commit_build — the cross-host atomic first-build commit (r12, VERDICT r11
+# #4). build_exclusive's mutual exclusion is same-host pid liveness; these
+# tests pin the layer UNDER it: lockless writers (the cross-host shape, where
+# neither can see the other's pid) build into unique fencing-token attempt
+# dirs and publish via one atomic rename — exactly one wins, losers adopt,
+# and no observer can ever see a partial table at the published location.
+# ---------------------------------------------------------------------------
+
+from data_engineering_capstone_project_spark.sources.writers import (  # noqa: E402
+    _ATTEMPT_MARK,
+    _gc_dead_attempts,
+    commit_build,
+)
+
+
+def _mk_build_to(payload: str, n_files: int = 2, success: bool = True):
+    def build_to(attempt: str) -> None:
+        d = Path(attempt)
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n_files):
+            (d / f"part-{i}").write_text(f"{payload}-{i}")
+        if success:
+            (d / "_SUCCESS").write_text("")  # markers LAST, like Spark
+
+    return build_to
+
+
+def test_commit_build_publishes_complete_dir_with_manifest(tmp_path):
+    loc = tmp_path / "tbl"
+    out = commit_build(loc, _mk_build_to("a"), {"source_fingerprint": "fp1"})
+    assert out == "built"
+    assert (loc / "_SUCCESS").exists()
+    man = json.loads((loc / "_MANIFEST").read_text())
+    # The fencing token is host.pid.starttime.seq of THIS process.
+    host, pid = man["token"].split(".")[0], man["token"].split(".")[1]
+    import socket
+
+    assert host == socket.gethostname() and int(pid) == os.getpid()
+    assert man["source_fingerprint"] == "fp1"
+    # The manifest lists the DATA files (itself excluded — it is written
+    # after the listing, immediately before the atomic publish).
+    listed = {tuple(f) for f in man["files"]}
+    actual = {
+        (p.relative_to(loc).as_posix(), p.stat().st_size)
+        for p in loc.rglob("*")
+        if p.is_file() and p.name != "_MANIFEST"
+    }
+    assert listed == actual and len(listed) == 3  # 2 parts + _SUCCESS
+    # no attempt dirs leaked
+    assert not list(tmp_path.glob(f"tbl{_ATTEMPT_MARK}*"))
+
+
+def test_commit_build_second_caller_adopts_without_building(tmp_path):
+    loc = tmp_path / "tbl"
+    assert commit_build(loc, _mk_build_to("a")) == "built"
+    calls: list = []
+
+    def never(attempt: str) -> None:
+        calls.append(attempt)
+
+    assert commit_build(loc, never) == "adopted"
+    assert calls == []
+
+
+def test_commit_build_refuses_markerless_build(tmp_path):
+    loc = tmp_path / "tbl"
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        commit_build(loc, _mk_build_to("a", success=False))
+    assert not loc.exists(), "a marker-less build must never publish"
+    assert not list(tmp_path.glob(f"tbl{_ATTEMPT_MARK}*")), "attempt leaked"
+
+
+def test_commit_build_clears_preprotocol_partial_loc(tmp_path):
+    """A marker-less loc (debris from a pre-r12 direct writer that
+    crashed) is cleared and rebuilt; a COMPLETE loc is adopted."""
+    loc = tmp_path / "tbl"
+    loc.mkdir()
+    (loc / "part-0").write_text("stale partial, no _SUCCESS")
+    assert commit_build(loc, _mk_build_to("fresh")) == "built"
+    assert (loc / "part-0").read_text() == "fresh-0"
+
+
+def test_commit_build_loser_adopts_and_winner_files_survive(tmp_path):
+    """Deterministic mid-build race (threads; the protocol is lockless
+    so threads exercise the same rename-commit path as remote hosts):
+    writer A is still building when writer B publishes; A's commit must
+    come back 'adopted', B's files must survive untouched, and A's
+    duplicate attempt dir must be cleaned up."""
+    loc = tmp_path / "tbl"
+    a_building = threading.Event()
+    b_published = threading.Event()
+    outcomes: dict[str, str] = {}
+
+    def a_build_to(attempt: str) -> None:
+        _mk_build_to("A")(attempt)
+        a_building.set()
+        assert b_published.wait(30)  # hold A until B has committed
+
+    def run_a() -> None:
+        outcomes["a"] = commit_build(loc, a_build_to)
+
+    t = threading.Thread(target=run_a)
+    t.start()
+    assert a_building.wait(30)
+    outcomes["b"] = commit_build(loc, _mk_build_to("B"))
+    b_published.set()
+    t.join(30)
+    assert outcomes == {"a": "adopted", "b": "built"}
+    assert (loc / "part-0").read_text() == "B-0"
+    assert json.loads((loc / "_MANIFEST").read_text())["token"]
+    assert not list(tmp_path.glob(f"tbl{_ATTEMPT_MARK}*")), "attempt leaked"
+
+
+def test_gc_dead_attempts_sweeps_same_host_dead_only(tmp_path):
+    import socket
+
+    loc = tmp_path / "tbl"
+    host = socket.gethostname()
+    child = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    dead_pid = int(child.stdout.strip())
+    dead = tmp_path / f"tbl{_ATTEMPT_MARK}{host}.{dead_pid}.0.0"
+    live = tmp_path / f"tbl{_ATTEMPT_MARK}{host}.{os.getpid()}.0.1"
+    foreign = tmp_path / f"tbl{_ATTEMPT_MARK}otherhost.12345.0.0"
+    for d in (dead, live, foreign):
+        d.mkdir()
+    _gc_dead_attempts(loc)
+    assert not dead.exists(), "same-host dead writer's attempt must be GC'd"
+    assert live.exists(), "a live writer's attempt must survive"
+    assert foreign.exists(), "a foreign host's attempt must never be probed"
+
+
+_COMMIT_RACE_WORKER = r"""
+import json, os, sys, time
+from pathlib import Path
+
+repo, loc, go_file, payload = sys.argv[1:5]
+sys.path.insert(0, repo)
+from data_engineering_capstone_project_spark.sources.writers import (
+    commit_build,
+)
+
+loc = Path(loc)
+print("READY", flush=True)
+while not Path(go_file).exists():  # barrier: race the commit
+    time.sleep(0.01)
+
+
+def build_to(attempt: str) -> None:
+    d = Path(attempt)
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "part-0").write_text(payload)
+    (d / "writer_pid").write_text(str(os.getpid()))
+    time.sleep(0.2)  # stretch the build so both writers overlap
+    (d / "_SUCCESS").write_text("")
+
+
+out = commit_build(loc, build_to)
+print("RESULT " + json.dumps({"outcome": out, "pid": os.getpid()}), flush=True)
+"""
+
+
+def test_two_lockless_processes_exactly_one_publishes(tmp_path):
+    """THE cross-host scenario (r12): two processes race commit_build
+    with NO shared lock — the same shape as two hosts whose pid
+    liveness is mutually invisible. Exactly one publishes, the loser
+    adopts, the published dir is internally consistent (its writer_pid
+    matches the winning process and the manifest's fencing token), and
+    no attempt dirs remain."""
+    loc = tmp_path / "tbl"
+    go_file = tmp_path / "go"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-c",
+                _COMMIT_RACE_WORKER,
+                str(_REPO),
+                str(loc),
+                str(go_file),
+                f"payload-{i}",
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        assert p.stdout.readline().startswith("READY")
+    go_file.write_text("")
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=60)
+        assert p.returncode == 0, f"worker failed: {err[-2000:]}"
+        payload = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert payload, f"no RESULT line: {out!r}"
+        results.append(json.loads(payload[-1][len("RESULT ") :]))
+    outcomes = sorted(r["outcome"] for r in results)
+    assert outcomes == ["adopted", "built"], results
+    winner_pid = next(
+        r["pid"] for r in results if r["outcome"] == "built"
+    )
+    assert (loc / "_SUCCESS").exists()
+    assert int((loc / "writer_pid").read_text()) == winner_pid
+    man = json.loads((loc / "_MANIFEST").read_text())
+    assert int(man["token"].split(".")[1]) == winner_pid
+    assert not list(tmp_path.glob(f"tbl{_ATTEMPT_MARK}*")), "attempt leaked"
+
+
+def test_build_exclusive_composed_with_commit_build(tmp_path):
+    """The production wiring (pq_codes_table): build_exclusive
+    serializes same-host callers so only ONE pays the build, and that
+    build publishes through commit_build — waiters adopt the atomically
+    published dir."""
+    loc = tmp_path / "tbl"
+    calls: list = []
+
+    def build_to(attempt: str) -> None:
+        calls.append(threading.get_ident())
+        time.sleep(0.2)
+        _mk_build_to("x")(attempt)
+
+    outcomes: list[str] = []
+
+    def run() -> None:
+        outcomes.append(
+            build_exclusive(
+                loc,
+                lambda: commit_build(loc, build_to),
+                lambda: (loc / "_SUCCESS").exists(),
+            )
+        )
+
+    threads = [threading.Thread(target=run) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1, f"build_to ran {len(calls)} times"
+    assert sorted(outcomes) == ["adopted"] * 5 + ["built"]
+    assert (loc / "_SUCCESS").exists() and (loc / "_MANIFEST").exists()
+    assert not list(tmp_path.glob("_BUILDING.*")), "lock leaked"
+    assert not list(tmp_path.glob(f"tbl{_ATTEMPT_MARK}*")), "attempt leaked"

@@ -104,11 +104,16 @@ def test_complete_dir_is_adopted_not_reencoded(spark, src_dir):
     assert parts_before and (loc / "_SUCCESS").exists()
 
     # simulate the second process's view: dir on disk, no catalog
-    # entry (managed DROP deletes files, so stash and restore)
+    # entry. Since r12 every registration is external (commit_build),
+    # so DROP keeps the files; the stash only restores them if a
+    # legacy managed entry deleted them.
     stash = loc.with_suffix(".stash")
     shutil.copytree(loc, stash)
     spark.sql(f"DROP TABLE {name}")
-    stash.rename(loc)
+    if loc.exists():
+        shutil.rmtree(stash)  # external: files survived the DROP
+    else:
+        stash.rename(loc)
 
     codes2 = pq_codes_table(spark, src_dir)
     assert codes2.count() == n1
@@ -145,7 +150,10 @@ def test_cell_partitioned_dir_adopted_with_partitions_recovered(spark, src_dir):
     stash = loc.with_suffix(".stash")
     shutil.copytree(loc, stash)
     spark.sql(f"DROP TABLE {name}")
-    stash.rename(loc)
+    if loc.exists():
+        shutil.rmtree(stash)  # external since r12: files survive DROP
+    else:
+        stash.rename(loc)
 
     codes2 = pq_codes_table(spark, src_dir, with_cells=True)
     assert codes2.count() == n1  # partitions recovered, not empty
