@@ -1291,20 +1291,33 @@ def trending_streamed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import itertools as _itertools
+
+_SCRATCH_SEQ = _itertools.count()
+
+
 def _parity_scratch_dir(scratch_stem: str) -> str:
-    """Fresh pid-keyed /tmp scratch dir for a parity run, registered
-    for removal at interpreter exit: without the atexit hook, every
-    bench/test/driver process left its three serving dirs behind
-    forever (they were only rmtree'd at the START of a same-pid
-    rerun, and pids don't repeat often). The dir must survive until
-    process exit — the returned DataFrames read it lazily, long after
-    the parity protocol returns — so cleanup cannot be a try/finally
-    around the fold loop."""
+    """Fresh (pid, invocation)-keyed /tmp scratch dir for a parity run,
+    registered for removal at interpreter exit: without the atexit
+    hook, every bench/test/driver process left its serving dirs behind
+    forever. The dir must survive until process exit — the returned
+    DataFrames read it lazily, long after the parity protocol returns —
+    so cleanup cannot be a try/finally around the fold loop.
+
+    Keyed per INVOCATION, not just per pid (r12 advice fix): the old
+    pid-only key meant a second same-process invocation rmtree'd and
+    rewrote the exact path an earlier invocation's still-held lazy
+    frame reads — a frame evaluated inside the rmtree->write window saw
+    a missing/partial table. A fresh dir per call makes every returned
+    plan's source immutable for the life of the process; the bounded
+    cost (one scratch dir per parity invocation, all reaped at exit) is
+    the price of plan immutability. The pid stays in the name so
+    concurrent PROCESSES can never collide either."""
     import atexit
     import os
     import shutil
 
-    serving = f"/tmp/{scratch_stem}_{os.getpid()}"
+    serving = f"/tmp/{scratch_stem}_{os.getpid()}_{next(_SCRATCH_SEQ)}"
     shutil.rmtree(serving, ignore_errors=True)
     atexit.register(shutil.rmtree, serving, ignore_errors=True)
     return serving

@@ -3354,7 +3354,11 @@ def _bpe_encode_word(word: str, ranks: dict) -> tuple[list, list]:
     return syms, poss
 
 
-def _bpe_apply_arrow(vocab: DataFrame, merges: list) -> DataFrame:
+def _bpe_apply_arrow(
+    vocab: DataFrame,
+    merges: list,
+    broadcast_threshold_bytes: int = 1 << 20,
+) -> DataFrame:
     """One-pass Arrow encoder twin of ``bpe_apply_merges`` — the
     PRODUCTION apply path for large merge tables (r10, VERDICT #1):
     the window-arithmetic path costs one vocab-sized window pass PER
@@ -3389,19 +3393,43 @@ def _bpe_apply_arrow(vocab: DataFrame, merges: list) -> DataFrame:
 
     Scale shape: one Arrow-batched map over the Heaps'-law vocab —
     ZERO shuffles, zero window passes, plan depth constant in merge
-    count; the merge table rides the task closure (vocab-sized, the
-    bounded-collect class; ~30k pairs is well under a MB pickled —
-    switch to ``SparkContext.broadcast`` if a tokenizer ever ships
-    multi-GB vocabularies). Per word the loop is O(len^2) dict work
-    independent of merge-table size; output is the same
+    count. The merge-rank table ships to executors by SIZE (r12,
+    VERDICT r11 #6 — the switchover is code, not a docstring promise):
+    under ``broadcast_threshold_bytes`` (1 MB default; a 30k-merge
+    GPT-2-depth table pickles to ~450 KB, SCALE_PROBE_r11) it rides
+    the task closure — one serialization, no extra round trips; above
+    it, it ships ONCE per executor via ``SparkContext.broadcast``
+    (torrent blocks), so a multi-MB vocabulary is not re-serialized
+    into every task. Both paths are value-identical
+    (tests/test_bpe_arrow_twin.py pins closure vs forced-broadcast
+    row-exact on the real corpus). Per word the loop is O(len^2) dict
+    work independent of merge-table size; output is the same
     (word, wf, pos, sym) frame (pos = 1-based position of the
     symbol's first character), so ``bpe_encode``'s join-back is
     byte-identical either way."""
+    import pickle
+
     ranks = _bpe_ranks(merges)
+    payload = pickle.dumps(ranks, protocol=pickle.HIGHEST_PROTOCOL)
+    if len(payload) > broadcast_threshold_bytes:
+        bc = vocab.sparkSession.sparkContext.broadcast(ranks)
+
+        def get_ranks() -> dict:
+            return bc.value
+
+    else:
+        # Closure path: get_ranks must capture ONLY the local table —
+        # referencing `ranks` from inside encode_batches would pickle
+        # it into the closure on the broadcast path too, defeating it.
+        local = ranks
+
+        def get_ranks() -> dict:
+            return local
 
     def encode_batches(batches):
         import pandas as pd
 
+        ranks = get_ranks()
         for pdf in batches:
             out_word, out_wf, out_pos, out_sym = [], [], [], []
             for word, wf in zip(pdf["word"], pdf["wf"]):

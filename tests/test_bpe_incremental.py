@@ -294,3 +294,32 @@ def test_oov_monitor_with_loaded_artifacts_matches(spark, oov_sf, tmp_path):
         loaded_learned, loaded_sym_ids,
     )
     assert pub == mem and any(r[3] > 0 for r in pub)
+
+
+def test_scratch_dirs_fresh_per_invocation():
+    """r12 advice fix: _parity_scratch_dir keys per INVOCATION, so a
+    second same-process call can never rmtree the path an earlier
+    call's still-held lazy frame reads."""
+    from data_engineering_capstone_project_spark.plans.events_windows import (
+        _parity_scratch_dir,
+    )
+
+    a = _parity_scratch_dir("decps_test_stem")
+    b = _parity_scratch_dir("decps_test_stem")
+    assert a != b
+
+
+def test_published_frame_survives_second_invocation(spark, oov_sf):
+    """The latent bug the fix closes: hold bpe_encode_published's
+    returned frame UNEVALUATED, invoke the query again in the same
+    process (which re-publishes its artifacts), then evaluate the
+    held frame — under the old pid-keyed scratch dir the second
+    invocation's rmtree+rewrite raced the first frame's lazy read of
+    {warehouse}/bpe_vocab; with per-invocation dirs both frames read
+    their own immutable publish."""
+    held = QUERIES["bpe_encode_published"](spark, oov_sf)  # not evaluated
+    second = sorted(
+        map(tuple, QUERIES["bpe_encode_published"](spark, oov_sf).collect())
+    )
+    first = sorted(map(tuple, held.collect()))  # evaluated AFTER round 2
+    assert first == second and len(first) > 0
