@@ -4,6 +4,15 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+``--until-stable`` (r12, VERDICT r11 #1): instead of the default
+first-run + one-rerun protocol, keep running full series (bounded by
+$SPARK_GRAFT_STABLE_ATTEMPTS, default 6, spaced
+$SPARK_GRAFT_STABLE_WAIT_SEC apart, default 60) until one passes every
+gate — |canary drift| <= 5%, steal <= 1%, zero failed queries — and
+mint that run as the stable anchor. Two rounds of close-of-round
+anchor hunts were done by hand and each tripped one gate; the protocol
+does the retrying now, not the builder.
 """
 
 from __future__ import annotations
@@ -11,12 +20,20 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
 
 _REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(_REPO))
+
+# One definition for the default protocol's datasets (r12 advice fix:
+# main()'s env-var defaults and the anchor-eligibility check previously
+# each hard-coded these literals — a drift between them would silently
+# stop minting anchors, or mint them under a changed protocol).
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+DEFAULT_WARM_DIR = "/root/testdata/sf0.001"
 
 DRIFT_GATE_PCT = 5.0
 # Steal gate (r11, VERDICT r10 #1): % of the box's total CPU capacity
@@ -64,41 +81,100 @@ def steal_pct(
     return round(delta / (elapsed_sec * hz * ncpus) * 100, 2)
 
 
+def canary_drift_pct(
+    start: dict | None, end: dict | None
+) -> float | None:
+    """MEDIAN per-query drift over the canary panel (r12, VERDICT r11
+    #2): each canary query's best-of-start vs best-of-end relative
+    drift, reduced by the median — so one sub-100ms wobble on one
+    small query (the ±50 ms = ±15% false-flag that cost r11 its
+    final-rev anchor) cannot reject a steal-clean run; a REAL
+    environment shift moves the whole panel and still flags. None when
+    fewer than two panel queries measured both sides — a broken canary
+    must flag, never pass. Pure so tests can pin the arithmetic."""
+    drifts = []
+    for name, s in (start or {}).items():
+        e = (end or {}).get(name)
+        if s and e and min(s) > 0:
+            drifts.append((min(e) - min(s)) / min(s) * 100)
+    if len(drifts) < 2:
+        return None
+    return round(statistics.median(drifts), 1)
+
+
+def _series_key(
+    s: dict, steal_gate: float = STEAL_GATE_PCT
+) -> tuple[bool, float]:
+    """Selection key, smaller = better: (broken-or-stolen, |drift|).
+    A series whose canary FAILED (drift None) or that DROPPED queries
+    (errors: its total excludes the failures, so it is incomparable)
+    shares the first-element flag with a steal-contaminated one (r12
+    advice fix: steal used to dominate the tuple alone, so a rerun
+    with NO canary reading could beat a healthy-canary first series on
+    0.1% of steal — recording timings from the run whose canary
+    threw)."""
+    d = s.get("drift_pct")
+    sp = s.get("steal_pct")
+    stolen = sp is not None and sp > steal_gate
+    broken = d is None or bool(s.get("errors"))
+    return (stolen or broken, abs(d) if d is not None else float("inf"))
+
+
+def choose_best(
+    attempts: list[dict],
+    gate: float = DRIFT_GATE_PCT,
+    steal_gate: float = STEAL_GATE_PCT,
+):
+    """The gate selection rule over any number of recorded series
+    (r9 canary gate; steal-aware r11; n-attempt --until-stable r12):
+    prefer series that are neither steal-contaminated nor
+    canary-broken, then the smallest |canary drift| (earliest wins
+    ties; a missing steal reading is not a flag, so non-Linux hosts
+    degrade to the r9 rule). The chosen record is flagged ``unstable``
+    when it drifts outside ±gate% OR its measured steal exceeds the
+    steal gate — steal is an independent trigger because a
+    steal-contaminated series can show a flat canary while every
+    absolute timing is inflated (the exact r10 failure the canary
+    could detect but not attribute). Returns
+    (series, unstable, reruns)."""
+    chosen = min(attempts, key=lambda s: _series_key(s, steal_gate))
+    d = chosen.get("drift_pct")
+    sp = chosen.get("steal_pct")
+    unstable = (
+        d is None
+        or abs(d) > gate
+        or (sp is not None and sp > steal_gate)
+    )
+    return chosen, unstable, len(attempts) - 1
+
+
 def choose_series(
     first: dict,
     rerun: dict | None,
     gate: float = DRIFT_GATE_PCT,
     steal_gate: float = STEAL_GATE_PCT,
 ):
-    """The canary-gate selection rule (r9, VERDICT #3; steal-aware
-    since r11), extracted pure so tests can pin it without timing
-    anything: prefer the series that is not steal-contaminated, then
-    the one with the smaller |canary drift| (a missing drift — canary
-    failed — counts as infinitely unstable; a missing steal reading
-    is not a flag, so non-Linux hosts degrade to the r9 rule). The
-    chosen record is flagged ``unstable`` when it drifts outside
-    ±gate% OR its measured steal exceeds the steal gate — steal is an
-    independent trigger because a steal-contaminated series can show
-    a flat canary while every absolute timing is inflated (the exact
-    r10 failure the canary could detect but not attribute). Returns
-    (series, unstable, reruns)."""
+    """Two-series form of ``choose_best`` (the pinned r9-r11 API)."""
+    return choose_best(
+        [first] + ([rerun] if rerun is not None else []), gate, steal_gate
+    )
 
-    def _abs_drift(s: dict) -> float:
-        d = s.get("drift_pct")
-        return abs(d) if d is not None else float("inf")
 
-    def _stolen(s: dict) -> bool:
-        sp = s.get("steal_pct")
-        return sp is not None and sp > steal_gate
-
-    chosen = first
-    if rerun is not None and (_stolen(rerun), _abs_drift(rerun)) < (
-        _stolen(first),
-        _abs_drift(first),
-    ):
-        chosen = rerun
-    unstable = _abs_drift(chosen) > gate or _stolen(chosen)
-    return chosen, unstable, (1 if rerun is not None else 0)
+def series_stable(
+    s: dict,
+    gate: float = DRIFT_GATE_PCT,
+    steal_gate: float = STEAL_GATE_PCT,
+) -> bool:
+    """Anchor-grade series: measured canary drift inside the band,
+    steal at-or-under the gate, zero failed queries."""
+    d = s.get("drift_pct")
+    sp = s.get("steal_pct")
+    return (
+        d is not None
+        and abs(d) <= gate
+        and not (sp is not None and sp > steal_gate)
+        and not s.get("errors")
+    )
 
 
 def _git_rev() -> str | None:
@@ -155,6 +231,54 @@ def _comparable_series() -> dict:
     return series
 
 
+# Transcribed pre-r12 stable anchors (r12, VERDICT r11 #7) — the head
+# of the machine-readable ``stable_anchor_series`` in BENCH_DETAIL.
+# Values are the rounds' recorded stable_anchor objects (git history of
+# BENCH_DETAIL.json; r9 predates the anchor field — its quiet-box run
+# was recorded in PERFORMANCE.md prose, transcribed here with the
+# fields that were measured then).
+ANCHOR_HISTORY = [
+    {
+        "round": "r09",
+        "value": 11.392,
+        "value_comparable": 10.087,
+        "canary_drift_pct": None,
+        "steal_pct": None,
+        "code_rev": None,
+        "note": "quiet-box run, pre-anchor-field (PERFORMANCE.md r9)",
+    },
+    {
+        "round": "r10",
+        "value": 14.042,
+        "value_comparable": 12.403,
+        "canary_drift_pct": -2.7,
+        "steal_pct": None,
+        "code_rev": "d23d129",
+    },
+    {
+        "round": "r11",
+        "value": 15.404,
+        "value_comparable": 13.57,
+        "canary_drift_pct": -3.5,
+        "steal_pct": 0.39,
+        "code_rev": "4049475",
+    },
+]
+
+
+def _current_round(repo: Path = _REPO) -> int:
+    """The round currently RUNNING = newest recorded BENCH_r*.json + 1
+    (the driver writes BENCH_r{N} only after round N closes, so during
+    round N the newest on disk is N-1). Falls back to 0+1 on a bare
+    checkout."""
+    rounds = [0]
+    for p in repo.glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r0*(\d+)", p.stem)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
 # Queries that exercise the main physical patterns: scan+agg, broadcast
 # join chains, window rank, union+distinct, regex extraction, as-of
 # join, event-time sessionization, MinHash/LSH dedup, ANN search,
@@ -198,8 +322,10 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    until_stable = "--until-stable" in argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -224,7 +350,7 @@ def main() -> None:
     # the default protocol (and the r4-r7 total series) stays
     # comparable. The output records which mode ran.
     spark.range(1000).selectExpr("sum(id)").collect()
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", DEFAULT_WARM_DIR)
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -292,24 +418,42 @@ def main() -> None:
             print(f"bench: canary FAILED: {exc}", file=sys.stderr)
             return None
 
-    # Canary is a NON-headline query (r8; advice fix): through r7 it
-    # was pricing_summary == HEADLINE[0], whose 3 untimed canary runs
-    # immediately before the timed region gave the first headline
-    # query extra warmup the r4-r6 series never had. top_tokens is a
-    # real registered query (explode+agg over documents) that shares
-    # no plan with any headline entry.
-    canary_query = "top_tokens"
+    # Canary PANEL of NON-headline queries (r8 made the canary
+    # non-headline so its untimed runs can't warm HEADLINE[0]; r12
+    # widened it to three and reduced per-query drifts by the MEDIAN —
+    # VERDICT r11 #2: the single 0.35s top_tokens canary had ±50 ms =
+    # ±15% relative wobble, which rejected a steal-clean 0.07% run at
+    # close of round. One small query wobbling can no longer flag the
+    # series; a real environment shift moves the panel's median. All
+    # three are real registered queries sharing no plan with any
+    # headline entry (explode+agg over documents; map-subscript
+    # projection over events; per-label vector centroids).
+    canary_panel = ["top_tokens", "parse_event_props", "label_centroids"]
+    for name in canary_panel:
+        # The panel gets the same untimed warm pass as the headline
+        # set: r11's -53.9% drift was the canary itself warming up
+        # MID-SERIES (it was never in the warm loop), which is warmup
+        # leakage measured as environment drift.
+        try:
+            qs[name](spark, warm_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:  # noqa: BLE001 — warmup must never fail the bench
+            pass
     runs_per_query = 3
 
+    def _timed_panel() -> dict[str, list[float] | None]:
+        return {name: _timed_safe(name) for name in canary_panel}
+
     def _run_series() -> dict:
-        """One full timed series: canary, every headline query
-        (best-of-3), canary again — plus the environment counters that
-        attribute its total."""
+        """One full timed series: canary panel, every headline query
+        (best-of-3), canary panel again — plus the environment counters
+        that attribute its total."""
         load_avg_start = os.getloadavg()[0]
         steal_start = _proc_stat_steal()
         wall_start = time.time()
         jvm_start = _jvm_state()
-        canary_start = _timed_safe(canary_query)
+        canary_start = _timed_panel()
         timings: dict[str, float] = {}
         spreads: dict[str, float] = {}
         all_samples: dict[str, list[float]] = {}
@@ -327,7 +471,7 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — keep the bench alive
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-        canary_end = _timed_safe(canary_query)
+        canary_end = _timed_panel()
         steal_end = _proc_stat_steal()
         elapsed = round(time.time() - wall_start, 3)
         steal_delta = (
@@ -335,8 +479,6 @@ def main() -> None:
             if steal_start is not None and steal_end is not None
             else None
         )
-        c0 = min(canary_start) if canary_start else None
-        c1 = min(canary_end) if canary_end else None
         return {
             # Steal counters (r11, VERDICT r10 #1): what the HOST took
             # from this series, so an unstable flag is diagnostic —
@@ -355,11 +497,7 @@ def main() -> None:
             "errors": errors,
             "canary_start": canary_start,
             "canary_end": canary_end,
-            "drift_pct": (
-                round((c1 - c0) / c0 * 100, 1)
-                if c0 and c1 is not None
-                else None
-            ),
+            "drift_pct": canary_drift_pct(canary_start, canary_end),
             "jvm": {"start": jvm_start, "end": _jvm_state()},
             "load_avg": {
                 "start": load_avg_start,
@@ -372,29 +510,35 @@ def main() -> None:
     # CPU contention, background load) — the r7/r8 cycles both needed
     # hand re-runs to tell environment from code (r8's driver record
     # was flattered by a -21.8% drift). Codified: rerun the whole
-    # series ONCE on a drifting first pass and record whichever run
-    # has the smaller |drift|; if both drift, the record carries
+    # series on a gated first pass and record whichever run keys best;
+    # if every attempt fails a gate, the record carries
     # `unstable: true` so no cross-round comparison can mistake it for
-    # a stable anchor. One rerun max — the bench must terminate on a
-    # permanently-loaded box, flagged rather than looping.
-    first = _run_series()
-    rerun = None
-    first_stolen = (
-        first["steal_pct"] is not None and first["steal_pct"] > STEAL_GATE_PCT
-    )
-    if (
-        first["drift_pct"] is None
-        or abs(first["drift_pct"]) > DRIFT_GATE_PCT
-        or first_stolen
-    ):
+    # a stable anchor. The DEFAULT protocol caps at one rerun — the
+    # bench must terminate promptly on a permanently-loaded box,
+    # flagged rather than looping; ``--until-stable`` (r12, VERDICT
+    # r11 #1 — the anchor hunt was the one artifact still minted by
+    # hand-retry luck) raises the cap and spaces the attempts so the
+    # PROTOCOL rides out a steal wave instead of the builder.
+    if until_stable:
+        max_attempts = int(os.environ.get("SPARK_GRAFT_STABLE_ATTEMPTS", "6"))
+        wait_sec = float(os.environ.get("SPARK_GRAFT_STABLE_WAIT_SEC", "60"))
+    else:
+        max_attempts, wait_sec = 2, 0.0
+    attempts = [_run_series()]
+    while not series_stable(attempts[-1]) and len(attempts) < max_attempts:
+        last = attempts[-1]
         print(
-            f"bench: canary drift {first['drift_pct']}% "
-            f"(gate ±{DRIFT_GATE_PCT}%) / steal {first['steal_pct']}% "
-            f"(gate {STEAL_GATE_PCT}%); rerunning series once",
+            f"bench: attempt {len(attempts)}/{max_attempts}: canary "
+            f"drift {last['drift_pct']}% (gate ±{DRIFT_GATE_PCT}%) / "
+            f"steal {last['steal_pct']}% (gate {STEAL_GATE_PCT}%) / "
+            f"{len(last['errors'])} errors; rerunning series"
+            + (f" in {wait_sec:.0f}s" if wait_sec else ""),
             file=sys.stderr,
         )
-        rerun = _run_series()
-    series, unstable, reruns = choose_series(first, rerun)
+        if wait_sec:
+            time.sleep(wait_sec)
+        attempts.append(_run_series())
+    series, unstable, reruns = choose_best(attempts)
 
     timings = series["timings"]
     errors = series["errors"]
@@ -413,11 +557,11 @@ def main() -> None:
         "samples": series["samples"],
         "run_order": series["run_order"],
         "canary": {
-            "query": canary_query,
+            "panel": canary_panel,
             "start": series["canary_start"],
             "end": series["canary_end"],
-            # best-of start->end drift; ±x% here bounds what the box
-            # itself moved during the run
+            # median of per-query best-of start->end drifts; ±x% here
+            # bounds what the box itself moved during the run
             "drift_pct": drift_pct,
         },
         # JIT time still climbing across the timed region means warmup
@@ -438,7 +582,22 @@ def main() -> None:
             "steal_gate_pct": STEAL_GATE_PCT,
             "reruns": reruns,
             "unstable": unstable,
+            "until_stable": until_stable,
+            "max_attempts": max_attempts,
         },
+        # Per-attempt gate ledger (r12): what every discarded series
+        # measured, so an --until-stable hunt's rejections are
+        # themselves evidence (which gate, how hard) instead of lost.
+        "attempts": [
+            {
+                "drift_pct": a["drift_pct"],
+                "steal_pct": a["steal_pct"],
+                "total": round(sum(a["timings"].values()), 3),
+                "failed": sorted(a["errors"]),
+                "chosen": a is series,
+            }
+            for a in attempts
+        ],
         # Raw steal counters for the recorded series (r11, VERDICT
         # r10 #1): /proc/stat aggregate steal before/after the timed
         # region, the delta, and the delta as % of total CPU capacity
@@ -473,16 +632,19 @@ def main() -> None:
     # a different thing — if one of those came out canary-stable it
     # would replace the cross-round anchor with an incomparable total
     # (e.g. the suite's sf0.001 contract test landing a ~2s "anchor").
-    default_protocol = (
-        sf_dir == "/root/testdata/sf0.1"
-        and warm_dir == "/root/testdata/sf0.001"
-    )
-    prev_anchor = None
+    # realpath-normalized (r12 advice fix) so an equivalent spelling
+    # (trailing slash, symlink) cannot defeat the comparison.
+    default_protocol = os.path.realpath(sf_dir) == os.path.realpath(
+        DEFAULT_SF_DIR
+    ) and os.path.realpath(warm_dir) == os.path.realpath(DEFAULT_WARM_DIR)
+    prev_detail = {}
     try:
-        prev_anchor = json.loads(detail_path.read_text()).get("stable_anchor")
+        prev_detail = json.loads(detail_path.read_text())
     except (OSError, ValueError):
         pass
-    if not unstable and not errors and default_protocol:
+    prev_anchor = prev_detail.get("stable_anchor")
+    minted = not unstable and not errors and default_protocol
+    if minted:
         detail["stable_anchor"] = {
             "value": total,
             "value_comparable": comparable,
@@ -497,6 +659,29 @@ def main() -> None:
         detail["stable_anchor"] = {**prev_anchor, "from_this_run": False}
     else:
         detail["stable_anchor"] = None
+    # Stable-anchor SERIES (r12, VERDICT r11 #7): cross-round
+    # performance as one machine-readable list instead of
+    # PERFORMANCE.md prose — the transcribed pre-r12 anchors
+    # (ANCHOR_HISTORY) plus one entry per later round, minted the
+    # round a fresh anchor lands and carried forward (newest per
+    # round wins) from the previous detail file otherwise.
+    hist_rounds = {e["round"] for e in ANCHOR_HISTORY}
+    carried = [
+        e
+        for e in prev_detail.get("stable_anchor_series") or []
+        if e.get("round") not in hist_rounds
+    ]
+    if minted:
+        rnd = f"r{_current_round():02d}"
+        entry = {
+            k: v
+            for k, v in detail["stable_anchor"].items()
+            if k != "from_this_run"
+        }
+        carried = [e for e in carried if e.get("round") != rnd] + [
+            {"round": rnd, **entry}
+        ]
+    detail["stable_anchor_series"] = list(ANCHOR_HISTORY) + carried
     # Comparable-basis series backfill (r10, VERDICT r9 #8): recompute
     # value_comparable for every recorded round from the BENCH_r*.json
     # artifacts themselves (sum of per-query timings minus the

@@ -5,6 +5,10 @@ shrink the bench total and read as a speedup across rounds)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
+import pytest
+
 import bench
 import tools.scale_probe as sp
 
@@ -165,9 +169,19 @@ def test_steal_pct_arithmetic():
     assert bench.steal_pct(500, 0.0) is None
 
 
+_HAS_PROC_STAT = Path("/proc/stat").exists()
+
+
+@pytest.mark.skipif(
+    not _HAS_PROC_STAT,
+    reason="no /proc/stat: bench.py itself degrades steal to None here",
+)
 def test_proc_stat_steal_readable_on_this_host():
-    """The counter must parse on the build/driver box (Linux): a
-    cumulative non-negative integer, monotone across two reads."""
+    """The counter must parse on a Linux build/driver box: a
+    cumulative non-negative integer, monotone across two reads.
+    Skipped where /proc/stat doesn't exist (r12 advice fix: the code
+    deliberately degrades to None on non-Linux hosts; the suite must
+    stay as portable as the code it pins)."""
     a = bench._proc_stat_steal()
     b = bench._proc_stat_steal()
     assert isinstance(a, int) and a >= 0
@@ -219,9 +233,11 @@ def test_scale_probe_rows_carry_provenance_stamp():
         "steal_pct",
         "load_avg",
     }
-    # on this (Linux) host the counters must be real readings
-    assert fields["steal_jiffies_delta"] is not None
-    assert fields["steal_jiffies_delta"] >= 0
+    # on a Linux host the counters must be real readings; elsewhere
+    # the code degrades them to None by design (r12 advice fix)
+    if _HAS_PROC_STAT:
+        assert fields["steal_jiffies_delta"] is not None
+        assert fields["steal_jiffies_delta"] >= 0
     assert len(fields["load_avg"]) == 2
 
 
@@ -281,3 +297,98 @@ def test_bench_cli_emits_parseable_summary_line():
     detail = json.loads(Path("/tmp/bench_detail_test.json").read_text())
     a = detail.get("stable_anchor")
     assert a is None or a.get("from_this_run") is not True, a
+
+
+def test_choose_series_failed_canary_rerun_never_wins_on_steal_alone():
+    """r12 advice fix: a rerun whose canary FAILED entirely (drift
+    None) must not beat a first series with a healthy canary just
+    because the first measured steal a hair over the gate — a dead
+    canary is a stronger broken-run signal than mild steal. Both
+    outcomes stay flagged unstable."""
+    first = {"drift_pct": 2.0, "steal_pct": 1.2}  # healthy canary, mild steal
+    rerun = {"drift_pct": None, "steal_pct": 0.1}  # canary threw
+    chosen, unstable, reruns = bench.choose_series(first, rerun)
+    assert chosen is first and unstable and reruns == 1
+
+
+def test_choose_best_errors_fold_into_key():
+    """A series that dropped queries has an incomparable total: it
+    loses to an error-free series even with a flatter canary."""
+    errored = {"drift_pct": 0.2, "steal_pct": 0.1, "errors": {"q": "boom"}}
+    clean = {"drift_pct": 3.0, "steal_pct": 0.1, "errors": {}}
+    chosen, unstable, _ = bench.choose_best([errored, clean])
+    assert chosen is clean and not unstable
+
+
+def test_canary_panel_median_drift_arithmetic():
+    """r12 (VERDICT r11 #2): drift is the MEDIAN of per-query
+    best-of drifts over the panel; fewer than 2 measured pairs ->
+    None (broken canary flags, never passes)."""
+    start = {"a": [1.0, 0.9], "b": [2.0], "c": [0.5, 0.6]}
+    end = {"a": [0.99, 1.08], "b": [2.2], "c": [0.55]}
+    # per-query drifts: a +10%, b +10%, c +10%
+    assert bench.canary_drift_pct(start, end) == 10.0
+    # one missing side drops that query from the panel, median of rest
+    assert bench.canary_drift_pct(
+        {"a": [1.0], "b": [1.0], "c": None}, {"a": [1.05], "b": [1.07]}
+    ) == 6.0
+    # fewer than two measured pairs: None
+    assert bench.canary_drift_pct({"a": [1.0]}, {"a": [1.0]}) is None
+    assert bench.canary_drift_pct(None, None) is None
+    assert bench.canary_drift_pct({"a": [0.0], "b": [1.0]}, {"a": [1.0], "b": [1.0]}) is None
+
+
+def test_single_small_query_wobble_cannot_reject_quiet_run():
+    """THE r11 failure (VERDICT r11 #2, demonstrated with its recorded
+    shape): a steal-clean run where ONE 0.35s canary wobbles ±50 ms
+    (±15% relative) while the rest of the panel is flat must now pass
+    the gate — the median absorbs the outlier."""
+    start = {"top_tokens": [0.35], "parse_event_props": [0.23], "label_centroids": [0.22]}
+    end = {"top_tokens": [0.296], "parse_event_props": [0.231], "label_centroids": [0.221]}
+    d = bench.canary_drift_pct(start, end)  # -15.3%, +0.4%, +0.5%
+    assert d is not None and abs(d) <= bench.DRIFT_GATE_PCT
+    s = {"drift_pct": d, "steal_pct": 0.07, "errors": {}}
+    assert bench.series_stable(s), (
+        "a steal-clean run with one wobbling small canary must be "
+        "anchor-eligible now"
+    )
+    # ...while a REAL shift (whole panel moves together) still flags
+    shifted = {q: [v[0] * 1.12] for q, v in start.items()}
+    d2 = bench.canary_drift_pct(start, shifted)
+    assert d2 is not None and abs(d2) > bench.DRIFT_GATE_PCT
+
+
+def test_series_stable_gates():
+    assert bench.series_stable(
+        {"drift_pct": 1.0, "steal_pct": 0.5, "errors": {}}
+    )
+    assert not bench.series_stable({"drift_pct": None, "steal_pct": 0.0})
+    assert not bench.series_stable({"drift_pct": 9.0, "steal_pct": 0.0})
+    assert not bench.series_stable({"drift_pct": 1.0, "steal_pct": 2.0})
+    assert not bench.series_stable(
+        {"drift_pct": 1.0, "steal_pct": 0.5, "errors": {"q": "x"}}
+    )
+    # missing steal reading (non-Linux) is not a flag, as in the gate
+    assert bench.series_stable({"drift_pct": 1.0, "steal_pct": None})
+
+
+def test_current_round_and_anchor_history():
+    """_current_round = newest BENCH_r*.json + 1 (during round N the
+    driver has recorded through N-1); ANCHOR_HISTORY carries the
+    transcribed r9-r11 anchors the stable_anchor_series builds on."""
+    rounds = {e["round"] for e in bench.ANCHOR_HISTORY}
+    assert rounds == {"r09", "r10", "r11"}
+    r11 = next(e for e in bench.ANCHOR_HISTORY if e["round"] == "r11")
+    assert r11["value"] == 15.404 and r11["code_rev"] == "4049475"
+    repo = Path(bench.__file__).resolve().parent
+    import json as _json
+    import re as _re
+
+    newest = max(
+        int(_re.fullmatch(r"BENCH_r0*(\d+)", p.stem).group(1))
+        for p in repo.glob("BENCH_r*.json")
+    )
+    assert bench._current_round() == newest + 1
+    # and the tmp-dir form used by unit callers
+    assert bench._current_round(Path("/nonexistent-dir-xyz")) == 1
+    _ = _json  # imported for symmetry with the CLI test's reader
