@@ -44,34 +44,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # the invariants (priority head first, then monotone non-decreasing
 # staleness, permutation of the full registry).
 #
-# r11 priority head — new/changed only, kept at 3 (VERDICT r10 #3:
-# the 47 remaining slots then drain the stale tail oldest-first —
-# all 5 r5 rows + all 40 r6 rows fit, leaving zero pre-r7 latest
-# rows after this round — plus the 2 alphabetically-first r7 rows).
+# r12 priority head — changed only, 6 entries (VERDICT r11 #5: the 44
+# remaining slots then drain the stale tail oldest-first — all 30 r7
+# rows fit plus the 14 alphabetically-first r8 rows, leaving zero
+# pre-r8 latest rows after this round).
 _PRIORITY = [
-    # NEW r11 (VERDICT r10 #7): publish-and-load for the frozen
-    # tokenizer artifacts — train on the base split, PUBLISH the
-    # merges + (sym, tid) tables as warehouse parquet, LOAD them
-    # back, encode the new split against the LOADED artifacts only;
-    # same oracle as bpe_encode_incremental, so the round-trip is
-    # hash-checked cross-engine (and row-exact vs the in-memory path
-    # in tests/test_bpe_incremental.py).
+    # CHANGED r12 (VERDICT r11 #4): pq_codes_table now builds through
+    # writers.commit_build — unique fencing-token attempt dir, atomic
+    # rename publish, _MANIFEST stamp, external-only registration —
+    # closing the documented cross-host first-build race. These four
+    # exercise the changed build/adopt path end-to-end; the adoption
+    # parity additionally re-enters it and digests the adopted files.
+    "codes_table_adoption_parity",
+    "ann_pq_topk_indexed",
+    "ann_pq_topk_after_delete",
+    "ann_ivfpq_topk_indexed",
+    # CHANGED r12 (VERDICT r11 #6): _bpe_apply_arrow gained the >1 MB
+    # merge-table SparkContext.broadcast switchover (code, not prose);
+    # the registered query rides the closure tier, but its kernel
+    # wrapper changed.
+    "bpe_encode_arrow",
+    # CHANGED r12 (advice fix): the publish warehouse now comes from a
+    # per-invocation scratch dir, so a held frame survives a second
+    # same-process invocation (test_bpe_incremental.py pins it).
     "bpe_encode_published",
-    # CHANGED r11: body extracted into the shared
-    # _encode_frozen_digests helper (one definition for the in-memory
-    # and published paths); plan and values identical, but the code
-    # the r10 row verified no longer exists as written.
-    "bpe_encode_incremental",
-    # CHANGED r11 (advice fix): maintain_oov_drift now returns the
-    # per-batch applied log and the parity RAISES if any replayed
-    # batch reports applied=True — the hand-loop parities' explicit
-    # failure protocol, previously only an implicit oracle-hash
-    # property on this engine path.
-    "oov_drift_engine_streamed_parity",
 ]
-# NOT in the head despite touched test files: bpe_decode_roundtrip
-# (the r11 sort-merge pin landed in tests/test_plan_shapes.py only;
-# the query body is byte-identical to what its r10 row verified).
+# NOT in the head despite the shared _parity_scratch_dir change: the
+# streamed-parity family (oov_drift_*, trending/kmv engine parities,
+# user_counts_streamed_parity) — their bodies are byte-identical; the
+# helper change is dir-NAMING only (pid -> pid+seq) and is covered by
+# fresh local oracle runs (oov_drift_streamed_parity,
+# oov_drift_engine_streamed_parity green at sf0.01 on this code) and
+# their r10/r11 driver rows.
 
 _DRIVER_SAMPLE_FIRST = rotation_order(
     QUERIES, last_verified_rounds(_REPO), _PRIORITY

@@ -386,9 +386,9 @@ def main(argv: list[str] | None = None) -> None:
     # Drift instrumentation (r7, after three rounds of unattributable
     # total rises on the shared box): record EVERY sample per query in
     # run order (not just best+spread), JVM warmup counters before and
-    # after the timed region, and a fixed CANARY — the same query timed
-    # immediately before the first and immediately after the last
-    # headline query. The canary's start->end delta measures the
+    # after the timed region, and a fixed CANARY panel — the same
+    # queries timed immediately before the first and immediately after
+    # the last headline query. The canary's start->end delta measures the
     # environment inside this one run (page cache, CPU contention,
     # JIT): a cross-round total delta larger than the canary drift is
     # code; one inside it is environment.
