@@ -513,8 +513,11 @@ def _gc_dead_attempts(loc) -> None:
     loc = Path(loc)
     host = socket.gethostname()
     for d in loc.parent.glob(f"{loc.name}{_ATTEMPT_MARK}*"):
-        parts = d.name[len(loc.name) + len(_ATTEMPT_MARK):].split(".")
-        if len(parts) < 4 or parts[0] != host:
+        token = d.name[len(loc.name) + len(_ATTEMPT_MARK):]
+        # rsplit: pid.starttime.seq are the LAST three components —
+        # a dotted hostname (host.example.com) must not shift them.
+        parts = token.rsplit(".", 3)
+        if len(parts) != 4 or parts[0] != host:
             continue
         try:
             pid = int(parts[1])

@@ -722,8 +722,9 @@ def test_commit_build_publishes_complete_dir_with_manifest(tmp_path):
     assert out == "built"
     assert (loc / "_SUCCESS").exists()
     man = json.loads((loc / "_MANIFEST").read_text())
-    # The fencing token is host.pid.starttime.seq of THIS process.
-    host, pid = man["token"].split(".")[0], man["token"].split(".")[1]
+    # The fencing token is host.pid.starttime.seq of THIS process
+    # (rsplit: the hostname itself may contain dots).
+    host, pid, _start, _seq = man["token"].rsplit(".", 3)
     import socket
 
     assert host == socket.gethostname() and int(pid) == os.getpid()
@@ -823,6 +824,37 @@ def test_gc_dead_attempts_sweeps_same_host_dead_only(tmp_path):
     assert not dead.exists(), "same-host dead writer's attempt must be GC'd"
     assert live.exists(), "a live writer's attempt must survive"
     assert foreign.exists(), "a foreign host's attempt must never be probed"
+
+
+def test_gc_dead_attempts_parses_dotted_hostnames(tmp_path, monkeypatch):
+    """The fencing token is host.pid.starttime.seq and hostnames may
+    themselves contain dots (host.example.com): the GC must rsplit so
+    a dotted same-host dead attempt is still swept and a foreign FQDN
+    sharing this host's prefix is still left alone."""
+    import socket as socket_mod
+
+    import data_engineering_capstone_project_spark.sources.writers as w
+
+    monkeypatch.setattr(
+        socket_mod, "gethostname", lambda: "host.example.com"
+    )
+    loc = tmp_path / "tbl"
+    child = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    dead_pid = int(child.stdout.strip())
+    dead = tmp_path / f"tbl{w._ATTEMPT_MARK}host.example.com.{dead_pid}.0.0"
+    prefix_foreign = tmp_path / f"tbl{w._ATTEMPT_MARK}host.{dead_pid}.0.0"
+    for d in (dead, prefix_foreign):
+        d.mkdir()
+    w._gc_dead_attempts(loc)
+    assert not dead.exists(), "dotted same-host dead attempt must be GC'd"
+    assert prefix_foreign.exists(), (
+        "an attempt whose host is a prefix of ours is FOREIGN"
+    )
 
 
 _COMMIT_RACE_WORKER = r"""
