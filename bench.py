@@ -322,6 +322,39 @@ HEADLINE = [
 ]
 
 
+def hunt_stable(
+    run_series,
+    max_attempts: int,
+    wait_sec: float = 0.0,
+    sleep=time.sleep,
+) -> list[dict]:
+    """The attempt loop shared by the default protocol (max 2, no
+    spacing — the r9 one-rerun rule) and ``--until-stable`` (r12,
+    VERDICT r11 #1): run full series until one is anchor-grade
+    (``series_stable``) or the attempt budget is spent, sleeping
+    ``wait_sec`` between attempts so an --until-stable hunt can ride
+    out a steal wave instead of sampling it six times back-to-back.
+    Returns every attempt, stable-or-not — the caller keys the best
+    with ``choose_best`` and records the rest in the attempts ledger.
+    Pure in its inputs (injectable series runner and sleeper) so the
+    retry/stop contract is unit-testable without timing anything."""
+    attempts = [run_series()]
+    while not series_stable(attempts[-1]) and len(attempts) < max_attempts:
+        last = attempts[-1]
+        print(
+            f"bench: attempt {len(attempts)}/{max_attempts}: canary "
+            f"drift {last['drift_pct']}% (gate ±{DRIFT_GATE_PCT}%) / "
+            f"steal {last['steal_pct']}% (gate {STEAL_GATE_PCT}%) / "
+            f"{len(last['errors'])} errors; rerunning series"
+            + (f" in {wait_sec:.0f}s" if wait_sec else ""),
+            file=sys.stderr,
+        )
+        if wait_sec:
+            sleep(wait_sec)
+        attempts.append(run_series())
+    return attempts
+
+
 def main(argv: list[str] | None = None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     until_stable = "--until-stable" in argv
@@ -524,20 +557,7 @@ def main(argv: list[str] | None = None) -> None:
         wait_sec = float(os.environ.get("SPARK_GRAFT_STABLE_WAIT_SEC", "60"))
     else:
         max_attempts, wait_sec = 2, 0.0
-    attempts = [_run_series()]
-    while not series_stable(attempts[-1]) and len(attempts) < max_attempts:
-        last = attempts[-1]
-        print(
-            f"bench: attempt {len(attempts)}/{max_attempts}: canary "
-            f"drift {last['drift_pct']}% (gate ±{DRIFT_GATE_PCT}%) / "
-            f"steal {last['steal_pct']}% (gate {STEAL_GATE_PCT}%) / "
-            f"{len(last['errors'])} errors; rerunning series"
-            + (f" in {wait_sec:.0f}s" if wait_sec else ""),
-            file=sys.stderr,
-        )
-        if wait_sec:
-            time.sleep(wait_sec)
-        attempts.append(_run_series())
+    attempts = hunt_stable(_run_series, max_attempts, wait_sec)
     series, unstable, reruns = choose_best(attempts)
 
     timings = series["timings"]

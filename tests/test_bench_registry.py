@@ -392,3 +392,43 @@ def test_current_round_and_anchor_history():
     # and the tmp-dir form used by unit callers
     assert bench._current_round(Path("/nonexistent-dir-xyz")) == 1
     _ = _json  # imported for symmetry with the CLI test's reader
+
+
+def test_hunt_stable_stops_on_first_stable_attempt():
+    """r12 --until-stable loop contract: stop at the first anchor-grade
+    series; sleep between attempts; return EVERY attempt; never exceed
+    the budget on a permanently-bad box."""
+    script = [
+        {"drift_pct": 12.0, "steal_pct": 0.1, "errors": {},
+         "timings": {"q": 1.0}},
+        {"drift_pct": 1.0, "steal_pct": 8.0, "errors": {},
+         "timings": {"q": 1.0}},
+        {"drift_pct": 0.5, "steal_pct": 0.2, "errors": {},
+         "timings": {"q": 1.0}},
+        {"drift_pct": 0.0, "steal_pct": 0.0, "errors": {},
+         "timings": {"q": 1.0}},
+    ]
+    it = iter(script)
+    slept: list[float] = []
+    attempts = bench.hunt_stable(
+        lambda: next(it), max_attempts=6, wait_sec=60, sleep=slept.append
+    )
+    assert attempts == script[:3]  # stopped at the first stable one
+    assert slept == [60, 60]  # one sleep per retry, none after success
+    chosen, unstable, reruns = bench.choose_best(attempts)
+    assert chosen is script[2] and not unstable and reruns == 2
+
+    # budget exhaustion: a box that never stabilizes terminates flagged
+    always_bad = lambda: {  # noqa: E731
+        "drift_pct": 30.0, "steal_pct": 9.9, "errors": {},
+        "timings": {"q": 1.0},
+    }
+    attempts = bench.hunt_stable(always_bad, max_attempts=3, wait_sec=0)
+    assert len(attempts) == 3
+    _, unstable, _ = bench.choose_best(attempts)
+    assert unstable
+
+    # the default protocol is the same loop at max_attempts=2
+    it2 = iter(script)
+    attempts = bench.hunt_stable(lambda: next(it2), max_attempts=2)
+    assert len(attempts) == 2
