@@ -452,6 +452,18 @@ def _run_probes(k: int, out: str):
             _bpe_apply_runner(30720, "arrow"),
             False,
         ),
+        # r12 (VERDICT r11 #6): the same 30k-merge apply FORCED onto
+        # the broadcast shipping tier (threshold 0) — pass bar:
+        # ~parity with the closure leg at 1x/kx (the ~450 KB table is
+        # below the real 1 MB switchover, so this leg measures the
+        # broadcast path's overhead ceiling, proving the switchover
+        # can't regress the day a vocabulary actually crosses it).
+        (
+            "bpe_apply_arrow_30k_bcast",
+            None,
+            _bpe_apply_runner(30720, "arrow", broadcast_threshold=0),
+            False,
+        ),
         ("scd2_apply", None, _run_scd2, False),
         ("merge_upsert_partitioned", _setup_merge, _run_merge, False),
         ("delete_keys_partitioned", _setup_merge, _run_delete, False),
@@ -486,7 +498,9 @@ def _run_probes(k: int, out: str):
         )
 
 
-def _bpe_apply_runner(n_merges: int, mode: str = "window"):
+def _bpe_apply_runner(
+    n_merges: int, mode: str = "window", broadcast_threshold: int | None = None
+):
     """Timed leg for ``bpe_apply_merges`` at a production-shaped merge
     count (r9, VERDICT #4): build the corpus vocabulary (untimed cost
     is inside the run — identical across legs, so the 256/64 ratio
@@ -528,6 +542,7 @@ def _bpe_apply_runner(n_merges: int, mode: str = "window"):
             dedup as D,
         )
         from data_engineering_capstone_project_spark.plans.text_analysis import (
+            _bpe_apply_arrow,
             bpe_apply_merges,
         )
 
@@ -537,9 +552,17 @@ def _bpe_apply_runner(n_merges: int, mode: str = "window"):
             .groupBy("word")
             .agg(F.count("*").alias("wf"))
         )
-        bpe_apply_merges(vocab, merges, mode=mode).write.mode(
-            "overwrite"
-        ).format("noop").save()
+        if broadcast_threshold is not None:
+            # r12 (VERDICT r11 #6): force the SparkContext.broadcast
+            # shipping tier regardless of table size, so the
+            # switchover's cost at production merge depth is a probed
+            # number, not an assumption.
+            applied = _bpe_apply_arrow(
+                vocab, merges, broadcast_threshold_bytes=broadcast_threshold
+            )
+        else:
+            applied = bpe_apply_merges(vocab, merges, mode=mode)
+        applied.write.mode("overwrite").format("noop").save()
 
     return run
 
