@@ -144,6 +144,12 @@ def choose_best(
         d is None
         or abs(d) > gate
         or (sp is not None and sp > steal_gate)
+        # Dropped queries make the total incomparable (it excludes the
+        # failures) — the same disqualifier series_stable and
+        # _series_key already apply; without this term an all-attempts-
+        # erroring hunt recorded unstable:false on a flat canary (r13
+        # advice fix; anchor minting was already guarded separately).
+        or bool(chosen.get("errors"))
     )
     return chosen, unstable, len(attempts) - 1
 

@@ -3354,6 +3354,11 @@ def _bpe_encode_word(word: str, ranks: dict) -> tuple[list, list]:
     return syms, poss
 
 
+# (applicationId, sha1(pickled ranks)) -> Broadcast. See the memo
+# comment inside _bpe_apply_arrow's over-threshold branch.
+_BPE_BC_MEMO: dict = {}
+
+
 def _bpe_apply_arrow(
     vocab: DataFrame,
     merges: list,
@@ -3407,12 +3412,31 @@ def _bpe_apply_arrow(
     (word, wf, pos, sym) frame (pos = 1-based position of the
     symbol's first character), so ``bpe_encode``'s join-back is
     byte-identical either way."""
+    import hashlib
     import pickle
 
     ranks = _bpe_ranks(merges)
     payload = pickle.dumps(ranks, protocol=pickle.HIGHEST_PROTOCOL)
     if len(payload) > broadcast_threshold_bytes:
-        bc = vocab.sparkSession.sparkContext.broadcast(ranks)
+        # Broadcast MEMO per merge-table identity (r13 advice fix):
+        # the returned plan is lazy, so the Broadcast can never be
+        # safely destroyed here — but without a memo every
+        # over-threshold call minted a FRESH multi-MB broadcast that
+        # lived for the rest of the SparkSession (repeated bench/probe
+        # invocations accumulated them on driver and executors). One
+        # broadcast per DISTINCT table per SparkContext instead: the
+        # leak bound becomes the number of distinct vocabularies a
+        # process encodes with (a handful), not its call count. Keyed
+        # by applicationId so a stopped-and-restarted context can
+        # never serve a dead broadcast; the payload hash reuses the
+        # bytes the size check already produced, so the double-pickle
+        # the old path paid (size probe + broadcast serialization) now
+        # happens once per distinct table rather than per call.
+        sc = vocab.sparkSession.sparkContext
+        key = (sc.applicationId, hashlib.sha1(payload).hexdigest())
+        bc = _BPE_BC_MEMO.get(key)
+        if bc is None:
+            bc = _BPE_BC_MEMO[key] = sc.broadcast(ranks)
 
         def get_ranks() -> dict:
             return bc.value

@@ -493,7 +493,14 @@ def _commit_token() -> str:
     import socket
     import time
 
-    start = _proc_starttime(os.getpid()) or str(int(time.time() * 1000))
+    # Fallback starttimes are tagged 't<millis>' (r13 advice fix): a
+    # bare millis value is indistinguishable from a real /proc tick
+    # count, so a GC pass on a host where /proc READS succeed could
+    # compare ticks-vs-millis, conclude "pid recycled", and rmtree a
+    # LIVE writer's attempt dir mid-build. The tag tells the GC the
+    # value is not comparable (it skips the starttime test, same as
+    # the '0' sentinel) while still keeping the token unique.
+    start = _proc_starttime(os.getpid()) or f"t{int(time.time() * 1000)}"
     return f"{socket.gethostname()}.{os.getpid()}.{start}.{next(_COMMIT_SEQ)}"
 
 
@@ -530,7 +537,17 @@ def _gc_dead_attempts(loc) -> None:
             alive = False
         except OSError:
             alive = True  # EPERM etc.: something live owns the pid
-        if alive and parts[2] and parts[2] != "0":
+        if (
+            alive
+            and parts[2]
+            and parts[2] != "0"
+            # 't'-tagged starttimes are the time-millis fallback minted
+            # when /proc was transiently unreadable (see _commit_token):
+            # never comparable to a tick-based read, so comparing would
+            # misjudge a LIVE writer as recycled and sweep its attempt
+            # dir mid-build (r13 advice fix).
+            and not parts[2].startswith("t")
+        ):
             now_start = _proc_starttime(pid)
             if now_start is not None and now_start != parts[2]:
                 alive = False  # pid recycled: original writer is dead
@@ -588,8 +605,34 @@ def commit_build(loc, build_to, manifest_extra: dict | None = None) -> str:
     if loc.exists():
         # Under this protocol loc only ever appears complete (atomic
         # rename of a _SUCCESS-marked dir), so a marker-less loc is
-        # debris from a pre-protocol direct writer: clear and rebuild.
-        shutil.rmtree(loc)
+        # debris from a pre-protocol direct writer — but the marker
+        # check above races a concurrent writer's publish: between it
+        # and a plain rmtree, an atomic rename can land the winner's
+        # COMPLETE table here, and rmtree would destroy it, leaving loc
+        # absent for this writer's whole rebuild (r13 advice fix,
+        # medium: the exact 'no reader ever observes a partial/absent
+        # table' guarantee the docstring makes). So clear debris by
+        # ATOMIC rename-aside to a unique trash name and inspect what
+        # was actually grabbed: a grabbed dir bearing _SUCCESS is a
+        # just-published winner — put it back (or, if a second publish
+        # already refilled the slot, discard the duplicate: same
+        # fingerprint => identical content) and adopt.
+        trash = loc.parent / f"{loc.name}.__debris__.{_commit_token()}"
+        try:
+            os.rename(loc, trash)
+        except OSError:
+            # loc vanished (a concurrent entry's debris-clear won) or
+            # was replaced mid-rename; fall through — the publish
+            # rename below remains the single commit point either way.
+            pass
+        else:
+            if (trash / "_SUCCESS").exists():
+                try:
+                    os.rename(trash, loc)
+                except OSError:
+                    shutil.rmtree(trash, ignore_errors=True)
+                return "adopted"
+            shutil.rmtree(trash, ignore_errors=True)
     _gc_dead_attempts(loc)
     attempt = loc.parent / f"{loc.name}{_ATTEMPT_MARK}{_commit_token()}"
     try:

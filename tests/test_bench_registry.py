@@ -320,6 +320,19 @@ def test_choose_best_errors_fold_into_key():
     assert chosen is clean and not unstable
 
 
+def test_choose_best_all_errored_attempts_flag_unstable():
+    """r13 advice fix: when EVERY attempt dropped queries, the chosen
+    record must carry unstable:true even with a flat canary and low
+    steal — its total excludes the failures, so it is incomparable
+    across rounds (the same definition series_stable and _series_key
+    already use; the flag was the one surface that disagreed)."""
+    a = {"drift_pct": 0.2, "steal_pct": 0.1, "errors": {"q": "boom"}}
+    b = {"drift_pct": 0.1, "steal_pct": 0.0, "errors": {"q2": "boom"}}
+    chosen, unstable, _ = bench.choose_best([a, b])
+    assert unstable, "an errored-only hunt must never record a stable series"
+    assert chosen is b  # still picks the flatter canary among equals
+
+
 def test_canary_panel_median_drift_arithmetic():
     """r12 (VERDICT r11 #2): drift is the MEDIAN of per-query
     best-of drifts over the panel; fewer than 2 measured pairs ->

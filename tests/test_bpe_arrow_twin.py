@@ -229,6 +229,7 @@ def test_broadcast_switchover_value_exact_and_engaged(spark):
     from unittest.mock import patch
 
     from data_engineering_capstone_project_spark.plans.text_analysis import (
+        _BPE_BC_MEMO,
         _bpe_apply_arrow,
     )
 
@@ -241,6 +242,7 @@ def test_broadcast_switchover_value_exact_and_engaged(spark):
         .agg(F.count("*").alias("wf"))
     )
     sc = spark.sparkContext
+    _BPE_BC_MEMO.clear()
     with patch.object(
         type(sc), "broadcast", side_effect=type(sc).broadcast, autospec=True
     ) as spy:
@@ -250,4 +252,18 @@ def test_broadcast_switchover_value_exact_and_engaged(spark):
             _bpe_apply_arrow(vocab, merges, broadcast_threshold_bytes=0)
         )
         assert spy.call_count == 1, "forced path must ship via broadcast"
-    assert forced == closure and len(forced) > 0
+        # Broadcast memo (r13 advice fix): a REPEAT forced apply of the
+        # same merge table must reuse the session's existing Broadcast
+        # (the lazy plans can never unpersist it, so without the memo
+        # every call leaked a fresh one); a DIFFERENT table must mint
+        # its own. Value-exactness holds through the memo.
+        again = _tokens(
+            _bpe_apply_arrow(vocab, merges, broadcast_threshold_bytes=0)
+        )
+        assert spy.call_count == 1, "repeat apply must reuse the memo"
+        other = _tokens(
+            _bpe_apply_arrow(vocab, merges[:7], broadcast_threshold_bytes=0)
+        )
+        assert spy.call_count == 2, "distinct table must broadcast anew"
+    assert forced == closure and again == closure and len(forced) > 0
+    assert len(other) > 0

@@ -857,6 +857,83 @@ def test_gc_dead_attempts_parses_dotted_hostnames(tmp_path, monkeypatch):
     )
 
 
+def test_gc_dead_attempts_skips_fallback_starttime_tokens(tmp_path):
+    """r13 advice fix: a 't'-tagged time-millis fallback starttime
+    (minted when /proc was transiently unreadable at token time) is
+    never comparable to a tick-based /proc read — the old compare
+    judged a LIVE writer 'recycled' and swept its attempt dir
+    mid-build. Liveness still rules: a dead pid sweeps regardless of
+    the token form."""
+    import socket
+
+    host = socket.gethostname()
+    loc = tmp_path / "tbl"
+    from data_engineering_capstone_project_spark.sources.writers import (
+        _ATTEMPT_MARK as MARK,
+    )
+
+    live = tmp_path / f"tbl{MARK}{host}.{os.getpid()}.t1723800000000.0"
+    child = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    dead_pid = int(child.stdout.strip())
+    dead = tmp_path / f"tbl{MARK}{host}.{dead_pid}.t1723800000000.1"
+    for d in (live, dead):
+        d.mkdir()
+    _gc_dead_attempts(loc)
+    assert live.exists(), "live writer's fallback-token attempt must survive"
+    assert not dead.exists(), "dead pid sweeps regardless of token form"
+
+
+def test_commit_token_fallback_starttime_is_tagged(monkeypatch):
+    """The fallback starttime must be distinguishable from a real tick
+    count (see test above): tagged 't<millis>'."""
+    import data_engineering_capstone_project_spark.sources.writers as w
+
+    monkeypatch.setattr(w, "_proc_starttime", lambda pid: None)
+    start = w._commit_token().rsplit(".", 3)[2]
+    assert start.startswith("t") and start[1:].isdigit()
+
+
+def test_commit_build_entry_race_adopts_concurrent_publish(
+    tmp_path, monkeypatch
+):
+    """r13 advice fix (medium): between commit_build's entry _SUCCESS
+    probe and its debris clear, a concurrent writer's atomic rename
+    can land the COMPLETE winning table at loc. The old
+    check-then-rmtree destroyed it — loc then stayed ABSENT for this
+    writer's whole rebuild, breaking the 'no reader ever observes a
+    partial table' guarantee. Staged deterministically: the table on
+    disk is complete, but the first _SUCCESS probe is forced to miss
+    (the pre-publish read); the rename-aside must inspect what it
+    grabbed, put the winner back, and adopt."""
+    loc = tmp_path / "tbl"
+    assert commit_build(loc, _mk_build_to("winner")) == "built"
+    before = sorted(p.name for p in loc.iterdir())
+    real_exists = Path.exists
+    raced = {"done": False}
+
+    def missed_once(self):
+        if not raced["done"] and self == loc / "_SUCCESS":
+            raced["done"] = True
+            return False
+        return real_exists(self)
+
+    monkeypatch.setattr(Path, "exists", missed_once)
+
+    def never(attempt: str) -> None:
+        raise AssertionError("must adopt the published table, not rebuild")
+
+    assert commit_build(loc, never) == "adopted"
+    monkeypatch.undo()
+    assert sorted(p.name for p in loc.iterdir()) == before
+    assert (loc / "part-0").read_text() == "winner-0"
+    assert not list(tmp_path.glob("tbl.__debris__*")), "trash leaked"
+
+
 _COMMIT_RACE_WORKER = r"""
 import json, os, sys, time
 from pathlib import Path
