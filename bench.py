@@ -17,6 +17,7 @@ does the retrying now, not the builder.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -100,6 +101,85 @@ def canary_drift_pct(
     if len(drifts) < 2:
         return None
     return round(statistics.median(drifts), 1)
+
+
+# Fixed-work calibration probe (r13, VERDICT r12 missing #2): the
+# canary panel is itself Spark, so JVM/page-cache state confounds it —
+# nothing non-Spark was measured alongside the anchor series, leaving
+# the r9->r12 +44% creep attributable only by argument. Every attempt
+# now times (a) a pure-Python CPU loop of a FIXED iteration count and
+# (b) a single-thread pyarrow decode of a FROZEN parquet file
+# (page-cache-warmed by one untimed read, so it measures decode CPU,
+# not disk). Same box => same work: if the anchor series moves and the
+# calibration moves with it, the box changed; if the calibration is
+# flat, the queries did. Constants are part of the series contract —
+# changing them breaks comparability, like editing HEADLINE.
+CALIB_CPU_ITERS = 10_000_000  # ~1.0s quiet on the reference box
+CALIB_SCAN_FILE = "/root/testdata/sf0.1/lineitem.parquet"
+CALIB_SCAN_READS = 8  # ~0.5s quiet on the reference box
+
+
+def run_calibration(
+    iters: int = CALIB_CPU_ITERS,
+    scan_file: str = CALIB_SCAN_FILE,
+    reads: int = CALIB_SCAN_READS,
+) -> dict:
+    """One calibration sample: {calib_cpu_s, calib_scan_s,
+    calib_scan_bytes}. Scan fields are None where the frozen file is
+    unavailable (the bench must run identically elsewhere)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(iters):
+        x = (x * 1103515245 + i) & 0xFFFFFFFF
+    cpu_s = round(time.perf_counter() - t0, 3)
+    scan_s = scan_bytes = None
+    try:
+        import pyarrow.parquet as pq
+
+        scan_bytes = os.path.getsize(scan_file)
+        pq.read_table(scan_file, use_threads=False)  # untimed cache warm
+        t0 = time.perf_counter()
+        for _ in range(reads):
+            pq.read_table(scan_file, use_threads=False)
+        scan_s = round(time.perf_counter() - t0, 3)
+    except Exception:  # noqa: BLE001 — calibration must never fail the bench
+        scan_s = scan_bytes = None
+    return {
+        "calib_cpu_s": cpu_s,
+        "calib_scan_s": scan_s,
+        "calib_scan_bytes": scan_bytes,
+    }
+
+
+# Any anchor-to-anchor per-query rise above this ratio is named in the
+# mint summary (r13, VERDICT r12 missing #1).
+ANCHOR_FLAG_RATIO = 1.25
+
+
+def anchor_delta(
+    prev_queries: dict | None,
+    cur_queries: dict | None,
+    flag_ratio: float = ANCHOR_FLAG_RATIO,
+) -> dict | None:
+    """Per-query ratio table between two anchors' best-of timings —
+    the decomposition the anchor series lacked (r13, VERDICT r12
+    missing #1: totals alone could not distinguish 'box got slower'
+    from 'five queries each regressed 10%'). None when no query is
+    comparable (e.g. the previous anchor predates per-query anchors
+    and has no backfill). Pure so tests can pin the arithmetic."""
+    ratios = {}
+    for q, cur in (cur_queries or {}).items():
+        prev = (prev_queries or {}).get(q)
+        if prev and prev > 0 and cur is not None:
+            ratios[q] = round(cur / prev, 3)
+    if not ratios:
+        return None
+    return {
+        "ratios": ratios,
+        "median_ratio": round(statistics.median(ratios.values()), 3),
+        "flag_ratio": flag_ratio,
+        "regressed": sorted(q for q, r in ratios.items() if r > flag_ratio),
+    }
 
 
 def _series_key(
@@ -270,6 +350,100 @@ ANCHOR_HISTORY = [
         "code_rev": "4049475",
     },
 ]
+
+
+# Per-query best-of-3 timings of anchors minted BEFORE the anchor
+# carried a queries{} field (r13, VERDICT r12 missing #1), recovered
+# from the committed mint-time BENCH_DETAIL.json (git 2882baf: the
+# chosen series' samples; their best-of sum reproduces the r12
+# anchor's 16.793 exactly). Lets the first per-query mint (r13)
+# compute r12->r13 ratios instead of starting the decomposition a
+# round late. r9-r11 anchors predate the samples sidecar — their
+# per-query timings are unrecoverable, transcribed as absent.
+ANCHOR_QUERY_BACKFILL = {
+    "r12": {
+        "pricing_summary": 0.384,
+        "revenue_by_priority": 0.731,
+        "visits_by_region": 0.65,
+        "top_nations_by_month": 0.618,
+        "distinct_dates": 0.39,
+        "star_schema_summary": 2.282,
+        "distinct_parts_by_flag": 0.483,
+        "views_asof_purchase": 0.571,
+        "events_sessionization": 0.378,
+        "minhash_lsh_pairs": 0.484,
+        "ann_lsh_topk": 0.686,
+        "media_meta": 0.433,
+        "bm25_topk": 0.665,
+        "shipping_priority_q3": 0.812,
+        "events_resampled_5min": 0.39,
+        "embedding_projection": 0.775,
+        "local_supplier_volume_q5": 1.311,
+        "conversion_funnel": 0.578,
+        "time_weighted_avg": 0.438,
+        "returned_revenue_q10": 0.879,
+        "disjunctive_revenue_q19": 0.41,
+        "quantity_discount_corr": 0.314,
+        "volume_shipping_q7": 0.772,
+        "sole_late_supplier_q21": 0.956,
+        "revenue_by_priority_bucketed": 0.403,
+    }
+}
+
+
+def update_anchor_records(
+    prev_detail: dict, mint: dict | None
+) -> tuple[dict | None, list]:
+    """Anchor + series assembly, extracted pure so provenance rules
+    are unit-testable (r13, VERDICT r12 wrong #3):
+
+    * A NON-minting run carries the previous anchor forward
+      BYTE-IDENTICAL — no field is rewritten (the legacy mutable
+      ``from_this_run`` flag, which every later run used to flip, is
+      dropped once on first contact; run-provenance now lives in the
+      per-run ``anchor_from_this_run`` field instead).
+    * A minting run stamps the anchor with immutable provenance
+      (``minted_round``/``minted_attempt``/``minted_utc``, written
+      here and never touched again), attaches the per-query ratio
+      table vs the PREVIOUS anchor (``vs_prev_anchor`` — r13, VERDICT
+      r12 missing #1), and appends the anchor to the series.
+
+    Returns (stable_anchor, stable_anchor_series)."""
+    prev_anchor = prev_detail.get("stable_anchor")
+    hist_rounds = {e["round"] for e in ANCHOR_HISTORY}
+    carried = [
+        e
+        for e in prev_detail.get("stable_anchor_series") or []
+        if e.get("round") not in hist_rounds
+    ]
+    carried = [
+        {**e, "queries": ANCHOR_QUERY_BACKFILL[e["round"]]}
+        if e.get("round") in ANCHOR_QUERY_BACKFILL and "queries" not in e
+        else e
+        for e in carried
+    ]
+    if mint is None:
+        anchor = (
+            {k: v for k, v in prev_anchor.items() if k != "from_this_run"}
+            if prev_anchor is not None
+            else None
+        )
+        return anchor, list(ANCHOR_HISTORY) + carried
+    series_before = list(ANCHOR_HISTORY) + carried
+    prev_entry = series_before[-1] if series_before else None
+    anchor = dict(mint)
+    if prev_entry is not None:
+        delta = anchor_delta(prev_entry.get("queries"), anchor.get("queries"))
+        if delta is not None:
+            anchor["vs_prev_anchor"] = {
+                "round": prev_entry.get("round"),
+                **delta,
+            }
+    rnd = anchor["minted_round"]
+    carried = [e for e in carried if e.get("round") != rnd] + [
+        {"round": rnd, **anchor}
+    ]
+    return anchor, list(ANCHOR_HISTORY) + carried
 
 
 def _current_round(repo: Path = _REPO) -> int:
@@ -489,6 +663,10 @@ def main(argv: list[str] | None = None) -> None:
         (best-of-3), canary panel again — plus the environment counters
         that attribute its total."""
         load_avg_start = os.getloadavg()[0]
+        # Fixed-work calibration FIRST (r13): measured before any Spark
+        # work of this attempt so page-cache churn from the headline
+        # scans can't feed back into it within the attempt.
+        calib = run_calibration()
         steal_start = _proc_stat_steal()
         wall_start = time.time()
         jvm_start = _jvm_state()
@@ -529,6 +707,7 @@ def main(argv: list[str] | None = None) -> None:
                 "delta_jiffies": steal_delta,
                 "elapsed_sec": elapsed,
             },
+            "calib": calib,
             "timings": timings,
             "spreads": spreads,
             "samples": all_samples,
@@ -618,6 +797,11 @@ def main(argv: list[str] | None = None) -> None:
             {
                 "drift_pct": a["drift_pct"],
                 "steal_pct": a["steal_pct"],
+                # Fixed-work calibration per attempt (r13, VERDICT r12
+                # missing #2): read the anchor series against these —
+                # creep that tracks calibration is the box.
+                "calib_cpu_s": a.get("calib", {}).get("calib_cpu_s"),
+                "calib_scan_s": a.get("calib", {}).get("calib_scan_s"),
                 "total": round(sum(a["timings"].values()), 3),
                 "failed": sorted(a["errors"]),
                 "chosen": a is series,
@@ -668,46 +852,56 @@ def main(argv: list[str] | None = None) -> None:
         prev_detail = json.loads(detail_path.read_text())
     except (OSError, ValueError):
         pass
-    prev_anchor = prev_detail.get("stable_anchor")
     minted = not unstable and not errors and default_protocol
+    # Run-provenance is a PER-RUN field now (r13, VERDICT r12 wrong
+    # #3): the legacy in-anchor from_this_run flag was rewritten by
+    # every later run — the driver's own post-close default bench run
+    # flipped a freshly-minted anchor's flag to false in the working
+    # tree. The anchor itself carries only immutable mint stamps.
+    detail["anchor_from_this_run"] = minted
     if minted:
-        detail["stable_anchor"] = {
+        mint = {
             "value": total,
             "value_comparable": comparable,
+            # Per-query best-of-3 (r13, VERDICT r12 missing #1): the
+            # anchor series is decomposable at query grain from the
+            # artifact alone.
+            "queries": dict(timings),
             "canary_drift_pct": drift_pct,
             "steal_pct": series["steal_pct"],
             "steal_jiffies_delta": series["steal"]["delta_jiffies"],
             "load_avg": [load_avg_start, load_avg_end],
+            **series.get("calib", {}),
             "code_rev": _git_rev(),
-            "from_this_run": True,
+            "minted_round": f"r{_current_round():02d}",
+            "minted_attempt": attempts.index(series) + 1,
+            "minted_utc": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(timespec="seconds"),
         }
-    elif prev_anchor is not None:
-        detail["stable_anchor"] = {**prev_anchor, "from_this_run": False}
     else:
-        detail["stable_anchor"] = None
-    # Stable-anchor SERIES (r12, VERDICT r11 #7): cross-round
-    # performance as one machine-readable list instead of
-    # PERFORMANCE.md prose — the transcribed pre-r12 anchors
-    # (ANCHOR_HISTORY) plus one entry per later round, minted the
-    # round a fresh anchor lands and carried forward (newest per
-    # round wins) from the previous detail file otherwise.
-    hist_rounds = {e["round"] for e in ANCHOR_HISTORY}
-    carried = [
-        e
-        for e in prev_detail.get("stable_anchor_series") or []
-        if e.get("round") not in hist_rounds
-    ]
-    if minted:
-        rnd = f"r{_current_round():02d}"
-        entry = {
-            k: v
-            for k, v in detail["stable_anchor"].items()
-            if k != "from_this_run"
-        }
-        carried = [e for e in carried if e.get("round") != rnd] + [
-            {"round": rnd, **entry}
-        ]
-    detail["stable_anchor_series"] = list(ANCHOR_HISTORY) + carried
+        mint = None
+    # Stable-anchor SERIES (r12, VERDICT r11 #7; per-query + immutable
+    # provenance r13): cross-round performance as one machine-readable
+    # list — the transcribed pre-r12 anchors (ANCHOR_HISTORY) plus one
+    # entry per later round, minted the round a fresh anchor lands and
+    # carried forward byte-identical otherwise.
+    anchor, anchor_series = update_anchor_records(prev_detail, mint)
+    detail["stable_anchor"] = anchor
+    detail["stable_anchor_series"] = anchor_series
+    if mint is not None:
+        vs = anchor.get("vs_prev_anchor")
+        if vs is not None:
+            flagged = (
+                ", ".join(vs["regressed"]) if vs["regressed"] else "none"
+            )
+            print(
+                f"bench: anchor minted {anchor['minted_round']} vs "
+                f"{vs['round']}: median per-query ratio "
+                f"{vs['median_ratio']}; regressed (> "
+                f"{vs['flag_ratio']}x): {flagged}",
+                file=sys.stderr,
+            )
     # Comparable-basis series backfill (r10, VERDICT r9 #8): recompute
     # value_comparable for every recorded round from the BENCH_r*.json
     # artifacts themselves (sum of per-query timings minus the
