@@ -780,10 +780,10 @@ def revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (applicationId, warehouse, tag, fingerprint) -> bucket count this
-# process fully validated (counts agree, sidecars match, adoption
-# done). See the memo comment in bucketed_orderkey_tables.
-_VALIDATED_PAIRS: dict[tuple, int] = {}
+# (applicationId, warehouse, tag, fingerprint) -> (version, bucket
+# count) this process fully validated (CURRENT resolved, catalog
+# adoption done). See the memo comment in bucketed_orderkey_tables.
+_VALIDATED_PAIRS: dict[tuple, tuple] = {}
 
 
 def _forget_validated_pairs() -> None:
@@ -796,14 +796,10 @@ def _forget_validated_pairs() -> None:
 
 
 def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
-    """Co-bucketed (lineitem, orders) managed tables keyed on orderkey —
-    the ingest-time layout that turns the repo's worst-scaling join
+    """Co-bucketed (lineitem, orders) tables keyed on orderkey — the
+    ingest-time layout that turns the repo's worst-scaling join
     (fact-to-fact on orderkey, 40x probe ratio 5.87 unbucketed) into a
     ZERO-Exchange local zip of corresponding buckets.
-
-    Written once per sf_dir (idempotent reuse via tableExists): in
-    production this is the one-time bucketing at ingest, and every
-    downstream orderkey join/agg inherits the layout for free.
 
     Bucket count MUST scale with the fact, not be a constant: each
     bucket is one task at read time, so a fixed count turns data growth
@@ -815,257 +811,240 @@ def bucketed_orderkey_tables(spark, sf_dir, n_buckets: int | None = None):
     for every later query. Both facts share the count (co-bucketing
     requires equal bucket numbers).
 
-    Reuse is validated, not assumed: the table tag embeds a content
-    fingerprint (file names + sizes + mtimes of both source parquets),
-    so regenerating the parquet at the same path — which has happened
-    between rounds — yields a new tag and a fresh pair instead of
-    silently serving tables bucketed over the old data. The PAIR is
-    rebuilt atomically: if either table is missing (partial earlier
-    run) or the caller asks for a different bucket count than an
-    existing pair was written with, both are rewritten together, so
-    the two can never disagree on bucket count (unequal counts would
-    silently re-introduce the Exchange this layout exists to remove).
-    Stale same-source pairs from older fingerprints are dropped.
+    Storage is a VERSIONED PAIR STORE (r13, VERDICT r12 #3 — closing
+    the replacement-under-concurrency scope line the r8-r12 designs
+    drew): ``<warehouse>/bktstore_{tag}_{fp}/_v{N}`` holds ONE
+    immutable version of the WHOLE pair (``lineitem/`` + ``orders/``
+    bucketed files, a shared ``_BUCKETS`` sidecar, ``_SUCCESS``),
+    built through ``writers.versioned_replace`` (= ``commit_build``
+    per version + an atomically-published ``CURRENT`` pointer).
+    Because one version IS one pair, the pair can never disagree on
+    bucket count — the crash-between-two-writes divergence the old
+    flat layout had to detect and repair is unrepresentable. And
+    because versions are immutable and replacement lands in a NEW
+    version, two processes pinning DIFFERENT counts now both succeed
+    (each serves its own complete version; CURRENT converges to the
+    newest) instead of the old loud two-writers RuntimeError — readers
+    resolving CURRENT see old pair or new pair, never a mix
+    (two-process replace race + reader loop in tests/test_build_lock).
 
-    A fresh metastore meeting a COMPLETE leftover pair from an earlier
-    process (same fingerprint => identical content) ADOPTS it instead
-    of rebuilding: each write drops a ``_BUCKETS`` sidecar recording
-    the count the files were REALLY written with, and adoption
-    declares exactly that count via CREATE TABLE … CLUSTERED BY …
-    LOCATION (never an inferred one — declaring N over files hashed
-    into M would silently mis-zip the bucket join). A partial dir (no
-    ``_SUCCESS``/``_BUCKETS``) is cleared and rebuilt as before; the
-    existing pair-agreement and pinned-count checks run on the adopted
-    metadata, so a mismatched pair still rebuilds together.
+    Catalog names embed the version (``bkt_{tbl}_{tag}_{fp}_v{N}``)
+    because CLUSTERED BY metadata binds to one location; registration
+    is always external adoption of a published version dir. The table
+    tag embeds a content fingerprint of both source parquets, so
+    regenerated sources yield a fresh store rather than stale buckets;
+    stale fingerprints/versions/legacy flat dirs are swept after a
+    successful serve, with old versions kept one ``gc_versions`` keep
+    window for in-flight readers. Same-host first-callers still
+    serialize through ``build_exclusive`` so local racers WAIT and
+    adopt instead of paying duplicate builds; cross-host racers fall
+    back to the commit protocol's optimistic one-winner rename.
     """
     import math
     import re as _re
-    import shutil
     from pathlib import Path
+
+    from data_engineering_capstone_project_spark.sources.writers import (
+        build_exclusive,
+        gc_versions,
+        resolve_current,
+        versioned_replace,
+    )
 
     tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
     fp = _source_fingerprint(sf_dir, ("lineitem", "orders"))
     pairs = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
-    names = {tbl: f"bkt_{tbl}_{tag}_{fp}" for tbl, _ in pairs}
     warehouse = Path(
         spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
             "file:", ""
         )
     )
-    # Steady-state memo (r8, VERDICT #3): once THIS process has
-    # validated the pair for this (app, warehouse, tag, fingerprint) —
-    # counts agreeing, sidecars matching, adoption done — repeat calls
-    # skip the adoption attempts, the two DESCRIBE TABLE EXTENDED
-    # jobs, and the sidecar reads, on the same pattern as
-    # cached_rowcount/file_signature (registry.py). The fingerprint in
-    # the key keeps regenerated source parquet out (new fp = cache
-    # miss); a DIFFERENT pinned count than the validated one falls
-    # through to the full path (which rebuilds); the residual cheap
-    # tableExists guard keeps a catalog whose tables were dropped
-    # mid-process from being served a dangling name. Cross-process
-    # writers are unaffected — a fresh process always validates once.
+    store = warehouse / f"bktstore_{tag}_{fp}"
+
+    def _names(version: int) -> dict:
+        return {
+            tbl: f"bkt_{tbl}_{tag}_{fp}_v{version}" for tbl, _ in pairs
+        }
+
+    def _sidecar_count(vdir) -> int | None:
+        try:
+            return int((vdir / "_BUCKETS").read_text())
+        except (OSError, ValueError):
+            return None  # partial/corrupt version: never serve it
+
+    def _serve(vdir, version: int, count: int):
+        """Adopt ``vdir`` as this version's catalog pair and return the
+        DataFrames; None when the version dir is partial (caller
+        rebuilds). A pre-existing catalog entry declaring a DIFFERENT
+        count than the immutable files' sidecar can only be a stale or
+        corrupt registration (versioned names + immutable dirs leave no
+        two-writer ambiguity to fail loudly over): drop and re-adopt."""
+        names = _names(version)
+        for tbl, key in pairs:
+            name = names[tbl]
+            if spark.catalog.tableExists(name):
+                if _table_bucket_count(spark, name) == count:
+                    continue
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+            if not _adopt_bucketed_dir(
+                spark, name, vdir / tbl, table(spark, sf_dir, tbl).schema,
+                key, count,
+            ):
+                return None
+        return tuple(spark.table(names[tbl]) for tbl, _ in pairs)
+
+    def _sweep_stale(keep_version: int) -> None:
+        """Drop catalog entries and dirs this serve obsoleted: other
+        versions' names, other fingerprints of this tag, and the
+        pre-r13 flat layout (legacy ``bkt_{tbl}_{tag}[_{fp}]`` names
+        and dirs). Exact-match regexes so a sibling sf_dir whose tag
+        extends this one keeps its live pair; version DIRS are swept
+        by gc_versions' keep window, not here, so in-flight readers
+        of the previous version keep their files."""
+        import shutil
+
+        live = set(_names(keep_version).values())
+        pats = [
+            _re.compile(rf"^bkt_{tbl}_{tag}(_[0-9a-f]{{10}}(_v\d+)?)?$")
+            for tbl, _ in pairs
+        ]
+        for t in spark.catalog.listTables():
+            if t.name not in live and any(p.match(t.name) for p in pats):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        flat = [
+            _re.compile(rf"^bkt_{tbl}_{tag}_[0-9a-f]{{10}}$")
+            for tbl, _ in pairs
+        ]
+        for d in warehouse.glob(f"bkt_*_{tag}_*"):
+            if any(p.match(d.name) for p in flat):
+                shutil.rmtree(d, ignore_errors=True)
+        storepat = _re.compile(rf"^bktstore_{tag}_[0-9a-f]{{10}}$")
+        for d in warehouse.glob(f"bktstore_{tag}_*"):
+            if storepat.match(d.name) and d != store:
+                shutil.rmtree(d, ignore_errors=True)
+        gc_versions(store, keep=2)
+
+    # Steady-state memo (r8, VERDICT #3; versioned r13): once THIS
+    # process has served a version for this (app, warehouse, tag,
+    # fingerprint), repeat calls skip the DESCRIBE TABLE EXTENDED jobs
+    # and the adoption attempts. The memo hit still re-reads CURRENT
+    # (one plain file read, no Spark jobs — the same cost class as the
+    # old sidecar re-read): a concurrent process may have REPLACED the
+    # pair, and freshness should follow the pointer. Version dirs
+    # being immutable, the old every-call sidecar cross-check is
+    # obsolete — files of a served version can never change under it.
     memo_key = (spark.sparkContext.applicationId, str(warehouse), tag, fp)
     cached = _VALIDATED_PAIRS.get(memo_key)
-    if (
-        cached is not None
-        and (n_buckets is None or n_buckets == cached)
-        and all(spark.catalog.tableExists(n) for n in names.values())
-    ):
-        # A memo hit still re-reads the two tiny _BUCKETS sidecars (r9
-        # advice fix): the memo skips the DESCRIBE Spark jobs and the
-        # adoption attempts, but the loud two-writers guarantee below
-        # (catalog count vs the count the FILES were really hashed
-        # into) must hold on EVERY call, not just the first one per
-        # process — a concurrent process with a different pinned count
-        # is allowed to rewrite the pair at any time, and serving the
-        # memoized count over its files would silently mis-zip the
-        # bucket join. Two plain file reads, no Spark jobs, so the
-        # steady-state saving the memo exists for is intact.
-        sidecars_ok = True
-        for n in names.values():
-            try:
-                disk = int((warehouse / n / "_BUCKETS").read_text())
-            except (OSError, ValueError):
-                # Partial/vanished dir behind a live catalog entry:
-                # drop the memo and take the full path, which rebuilds.
-                sidecars_ok = False
-                break
-            if disk != cached:
-                # pop, not del (r9 advice): two driver threads can both
-                # hit the memo and both invalidate; the second del
-                # would mask the loud two-writers RuntimeError below
-                # with a confusing KeyError.
-                _VALIDATED_PAIRS.pop(memo_key, None)
-                raise RuntimeError(
-                    f"{n}: this process validated {cached} buckets but "
-                    f"the files' _BUCKETS sidecar now records {disk}; a "
-                    "concurrent process with a different pinned count "
-                    "rewrote the pair's files — two writers pinned "
-                    "different counts over one warehouse — rebuild with "
-                    "one pinned count (or none) in both processes"
-                )
-        if sidecars_ok:
+    if cached is not None:
+        version, count = cached
+        names = _names(version)
+        if (
+            (n_buckets is None or n_buckets == count)
+            and resolve_current(store)[1] == version
+            and all(spark.catalog.tableExists(n) for n in names.values())
+        ):
             return tuple(spark.table(names[tbl]) for tbl, _ in pairs)
         _VALIDATED_PAIRS.pop(memo_key, None)
-    for tbl, key in pairs:
-        if not spark.catalog.tableExists(names[tbl]):
-            _adopt_bucketed_dir(
-                spark,
-                names[tbl],
-                warehouse / names[tbl],
-                table(spark, sf_dir, tbl).schema,
-                key,
+
+    # Fast path: CURRENT already points at a version whose count
+    # satisfies the caller — adopt and serve it.
+    vdir, version = resolve_current(store)
+    if vdir is not None:
+        count = _sidecar_count(vdir)
+        if count is not None and (n_buckets is None or n_buckets == count):
+            served = _serve(vdir, version, count)
+            if served is not None:
+                _sweep_stale(version)
+                _VALIDATED_PAIRS[memo_key] = (version, count)
+                return served
+
+    # Build (first build, pinned replacement, or corrupt-CURRENT
+    # repair) — a NEW immutable version through the commit protocol.
+    if n_buckets is None:
+        rows = cached_rowcount(spark, sf_dir, "lineitem")
+        n_buckets = max(16, 2 ** math.ceil(math.log2(max(rows / 200_000, 1))))
+    want = n_buckets
+
+    def _complete() -> bool:
+        v, _ = resolve_current(store)
+        return v is not None and _sidecar_count(v) == want
+
+    def _build_pair_to(attempt: str) -> None:
+        import os
+
+        a = Path(attempt)
+        for tbl, key in pairs:
+            # Path-based bucketed write: Spark only writes bucketed
+            # layouts through saveAsTable, so stage through a
+            # throwaway EXTERNAL name — DROP keeps the files.
+            tmp = f"__bld_{tbl}_{os.getpid()}_{abs(hash(attempt)) % 10**8}"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            (
+                table(spark, sf_dir, tbl)
+                .write.bucketBy(want, key)
+                .sortBy(key)
+                .option("path", str(a / tbl))
+                .mode("overwrite")
+                .saveAsTable(tmp)
             )
-    rebuild = not all(spark.catalog.tableExists(n) for n in names.values())
-    if not rebuild:
-        # Both tables exist: verify they agree on bucket count (a crash
-        # between the pair's two writes can leave 32/16) and, when the
-        # caller pins a count, that they match it. Any discrepancy
-        # rebuilds the PAIR — serving an unequal pair would silently
-        # re-introduce the Exchange this layout removes.
-        counts = [_table_bucket_count(spark, n) for n in names.values()]
-        rebuild = (
-            None in counts
-            or len(set(counts)) != 1
-            or (n_buckets is not None and counts[0] != n_buckets)
-        )
-    if not rebuild:
-        # Cross-check the catalog count against the on-disk _BUCKETS
-        # sidecars (r8 advice fix): catalog metadata alone can be
-        # stale relative to the FILES when a concurrent process with a
-        # different pinned count rewrote the pair (allowed by
-        # _build_pair) — serving CLUSTERED BY N metadata over files
-        # hashed into M would silently mis-zip the bucket join. The
-        # adopted path already fails loudly on this; the fast path now
-        # does too. A missing/unreadable sidecar means a partial dir
-        # behind a live catalog entry: rebuild.
-        for n in names.values():
-            try:
-                disk = int((warehouse / n / "_BUCKETS").read_text())
-            except (OSError, ValueError):
-                rebuild = True
-                break
-            if disk != counts[0]:
-                raise RuntimeError(
-                    f"{n}: catalog declares {counts[0]} buckets but its "
-                    f"files' _BUCKETS sidecar records {disk}; a "
-                    "concurrent process with a different pinned count "
-                    "rewrote the pair's files — two writers pinned "
-                    "different counts over one warehouse — rebuild with "
-                    "one pinned count (or none) in both processes"
-                )
-    if rebuild:
-        if n_buckets is None:
-            rows = cached_rowcount(spark, sf_dir, "lineitem")
-            n_buckets = max(16, 2 ** math.ceil(math.log2(max(rows / 200_000, 1))))
-        from data_engineering_capstone_project_spark.sources.writers import (
-            build_exclusive,
-            write_bucketed_table,
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        (a / "_BUCKETS").write_text(str(want))
+        (a / "_SUCCESS").write_text("")  # root marker LAST
+
+    def _replace() -> None:
+        versioned_replace(
+            store,
+            _build_pair_to,
+            {"buckets": want, "source_fingerprint": fp},
         )
 
-        def _pair_complete() -> bool:
-            # Complete = BOTH dirs published (_SUCCESS + _BUCKETS) with
-            # agreeing counts that match the caller's pin. The count
-            # terms keep a pinned-count rebuild from "adopting" the
-            # very pair it was asked to replace. Runs inside
-            # build_exclusive's poll loop while another process may be
-            # mid-rebuild, so a vanished marker (rmtree between
-            # exists() and read) or a half-written one is "not complete
-            # yet — keep polling", never a crash.
-            counts = []
-            for tbl, _ in pairs:
-                loc = warehouse / names[tbl]
-                marker = loc / "_BUCKETS"
-                try:
-                    if not (loc / "_SUCCESS").exists():
-                        return False
-                    counts.append(int(marker.read_text()))
-                except (OSError, ValueError):
-                    return False
-            return len(set(counts)) == 1 and counts[0] == n_buckets
-
-        def _build_pair() -> None:
-            for tbl, key in pairs:
-                # Drop stale variants of this source pair: older
-                # fingerprints (regenerated parquet) and the
-                # pre-fingerprint legacy name. Match the fingerprint
-                # suffix EXACTLY ([0-9a-f]{10}$): a bare prefix test
-                # would also hit sibling sf_dirs whose sanitized tag
-                # extends this one (…_corpus vs …_corpus_big) and
-                # delete their live pair. DROP on an adopted external
-                # table keeps its files, so sweep stale dirs too.
-                stale = _re.compile(rf"^bkt_{tbl}_{tag}_[0-9a-f]{{10}}$")
-                for t in spark.catalog.listTables():
-                    if (
-                        stale.match(t.name) or t.name == f"bkt_{tbl}_{tag}"
-                    ) and t.name != names[tbl]:
-                        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-                for d in warehouse.glob(f"bkt_{tbl}_{tag}_*"):
-                    if stale.match(d.name) and d.name != names[tbl]:
-                        shutil.rmtree(d, ignore_errors=True)
-                spark.sql(f"DROP TABLE IF EXISTS {names[tbl]}")
-                loc = warehouse / names[tbl]
-                if loc.exists():
-                    shutil.rmtree(loc)
-                write_bucketed_table(
-                    table(spark, sf_dir, tbl),
-                    names[tbl],
-                    [key],
-                    n_buckets,
-                    sort_cols=[key],
-                )
-                # Record the REAL write count for later adoption; files
-                # starting with '_' are invisible to the parquet scan.
-                (loc / "_BUCKETS").write_text(str(n_buckets))
-
-        # One lock covers the PAIR (they must be written together):
-        # exactly one process bucketizes; concurrent first-callers wait
-        # for both dirs' markers and adopt (r7, closing the r6
-        # write-write residual — see build_exclusive's docstring for
-        # the protocol and its same-host scope).
-        outcome = build_exclusive(
-            warehouse / f"bkt_pair_{tag}_{fp}", _build_pair, _pair_complete
+    # Same-host wait layer (the pq_codes_table composition): exactly
+    # one local process replaces; local concurrent callers wanting the
+    # same count wait for CURRENT and adopt. Cross-host racers resolve
+    # through versioned_replace's one-winner-per-version protocol.
+    build_exclusive(store / f"_pin{want}", _replace, _complete)
+    # Serve the newest published version carrying OUR count. Not
+    # necessarily CURRENT: an even-newer different-pin replace may
+    # have advanced the pointer past ours — our version remains a
+    # complete consistent snapshot, which is what a pinned caller
+    # asked for (same fingerprint + same count => identical content,
+    # so WHICH such version is immaterial).
+    best = None
+    for d in sorted(store.glob("_v*"), reverse=True):
+        m = _re.fullmatch(r"_v(\d+)", d.name)
+        if not m or not (d / "_SUCCESS").exists():
+            continue
+        if _sidecar_count(d) == want:
+            best = (d, int(m.group(1)))
+            break
+    if best is None:
+        raise RuntimeError(
+            f"bucketed pair build for {store} with {want} buckets "
+            "completed but no published version carries that count"
         )
-        if outcome == "adopted":
-            for tbl, key in pairs:
-                if not spark.catalog.tableExists(names[tbl]):
-                    _adopt_bucketed_dir(
-                        spark,
-                        names[tbl],
-                        warehouse / names[tbl],
-                        table(spark, sf_dir, tbl).schema,
-                        key,
-                    )
-                # A pre-existing catalog entry must agree with the files
-                # it now points at. Disagreement means two processes
-                # pinned DIFFERENT counts over one shared warehouse —
-                # misuse this coordination-free layer cannot reconcile
-                # (re-registering would DROP a managed table's files
-                # under the other process). Fail loudly: serving the
-                # stale metadata would silently mis-zip bucket joins.
-                declared = _table_bucket_count(spark, names[tbl])
-                if declared != n_buckets:
-                    raise RuntimeError(
-                        f"{names[tbl]}: catalog declares {declared} "
-                        f"buckets but a concurrent process published "
-                        f"{n_buckets}; two writers pinned different "
-                        "counts over one warehouse — rebuild with one "
-                        "pinned count (or none) in both processes"
-                    )
-    _VALIDATED_PAIRS[memo_key] = n_buckets if rebuild else counts[0]
-    return tuple(spark.table(names[tbl]) for tbl, _ in pairs)
+    served = _serve(best[0], best[1], want)
+    if served is None:
+        raise RuntimeError(
+            f"published version {best[0]} is missing table markers"
+        )
+    _sweep_stale(best[1])
+    _VALIDATED_PAIRS[memo_key] = (best[1], want)
+    return served
 
 
-def _adopt_bucketed_dir(spark, name, loc, schema, key) -> bool:
-    """Register a COMPLETE bucketed warehouse dir left by an earlier
-    process as an external table, declaring the bucket count its
-    ``_BUCKETS`` sidecar recorded at write time. Returns False (no
+def _adopt_bucketed_dir(spark, name, loc, schema, key, n: int) -> bool:
+    """Register a COMPLETE bucketed dir as an external table declaring
+    bucket count ``n`` (the pair store's ``_BUCKETS`` sidecar — the
+    count the files were REALLY hashed into; declaring anything else
+    would silently mis-zip bucket joins). Returns False (no
     registration) for missing or partial dirs — the caller rebuilds."""
-    marker = loc / "_BUCKETS"
-    if not ((loc / "_SUCCESS").exists() and marker.exists()):
+    from pathlib import Path
+
+    if not (Path(loc) / "_SUCCESS").exists():
         return False
-    n = int(marker.read_text())
-    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
     spark.sql(
         f"CREATE TABLE {name} ({ddl}) USING parquet "
         f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n} BUCKETS "

@@ -195,35 +195,55 @@ class TestBucketedPairLifecycle:
         }
         assert len(set(counts.values())) == 1, counts
 
-    def test_sidecar_disagreement_fails_loudly_in_fast_path(self, spark, src_dir):
-        """r8 advice fix: catalog bucket metadata alone is not trusted
-        on the fast path — if the files' _BUCKETS sidecar records a
-        different count than the catalog declares (a concurrent
-        process with a different pinned count rewrote the pair's
-        files), the call must raise the two-writers RuntimeError, not
-        serve CLUSTERED BY N metadata over files hashed into M."""
+    @staticmethod
+    def _store(spark, src_dir):
+        import re
         from pathlib import Path
 
-        import pytest as _pytest
-
         from data_engineering_capstone_project_spark.plans.relational import (
-            _forget_validated_pairs,
-            bucketed_orderkey_tables,
+            _source_fingerprint,
         )
 
-        bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
-        names = self._pair_names(spark, src_dir)
+        tag = re.sub(r"[^0-9A-Za-z]+", "_", src_dir).strip("_")
+        fp = _source_fingerprint(src_dir, ("lineitem", "orders"))
         warehouse = Path(
             spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
         )
-        victim = [n for n in names if "orders" in n][0]
-        (warehouse / victim / "_BUCKETS").write_text("8")
-        _forget_validated_pairs()  # the disagreement meets a fresh process
-        with _pytest.raises(RuntimeError, match="sidecar records 8"):
-            bucketed_orderkey_tables(spark, src_dir)
-        # restore so the fixture's cleanup (and later tests) see a
-        # consistent pair
-        (warehouse / victim / "_BUCKETS").write_text("16")
+        return warehouse / f"bktstore_{tag}_{fp}"
+
+    def test_concurrent_different_pins_converge_without_error(
+        self, spark, src_dir
+    ):
+        """r13 (VERDICT r12 #3): two writers pinning DIFFERENT counts
+        was the old design's loud two-writers RuntimeError — the one
+        scope line left open. Versioned replacement closes it: each
+        pin lands in its own immutable version, every call succeeds
+        and serves exactly its pinned count, and CURRENT converges to
+        the newest publish instead of anyone failing."""
+        from data_engineering_capstone_project_spark.plans.relational import (
+            _forget_validated_pairs,
+            _table_bucket_count,
+            bucketed_orderkey_tables,
+        )
+        from data_engineering_capstone_project_spark.sources.writers import (
+            resolve_current,
+        )
+
+        bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
+        _forget_validated_pairs()  # writer B = a fresh process
+        bucketed_orderkey_tables(spark, src_dir, n_buckets=32)
+        _forget_validated_pairs()  # writer A again, still pinned 16
+        li, orders = bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
+        assert li.count() > 0 and orders.count() > 0
+        counts = {
+            n: _table_bucket_count(spark, n)
+            for n in self._pair_names(spark, src_dir)
+        }
+        assert set(counts.values()) == {16}, counts
+        store = self._store(spark, src_dir)
+        vdir, n = resolve_current(store)
+        assert n == 3, "each pin must land its own version"
+        assert (vdir / "_BUCKETS").read_text() == "16"
 
     def test_memoized_repeat_call_skips_describe_jobs(self, spark, src_dir):
         """r8 VERDICT #3: after one validated call, repeat calls for the
@@ -249,57 +269,65 @@ class TestBucketedPairLifecycle:
             )
         assert li2.count() == li1.count() == li3.count()
 
-    def test_sidecar_disagreement_fails_loudly_on_memo_hit(self, spark, src_dir):
-        """r9 advice fix: the r8 memo fast path skipped the sidecar
-        cross-check after the first validated call, so a concurrent
-        process rewriting the pair with a different pinned count was
-        served silently from the second call on. Memo hits must
-        re-read the sidecars (plain file I/O) and raise the same
-        two-writers RuntimeError — the loud-failure guarantee is
-        every-call, not first-call-only."""
-        from pathlib import Path
-
-        import pytest as _pytest
+    def test_memo_hit_follows_replaced_current(self, spark, src_dir):
+        """The r9-r12 every-call sidecar cross-check existed because
+        flat-layout files could be REWRITTEN under a memoized serve.
+        Version dirs are immutable, so that hazard is gone — but the
+        memo must still follow the CURRENT pointer: when a concurrent
+        process REPLACES the pair (new version, e.g. a data refresh at
+        the same count), the next memo-hit call must serve the new
+        version's tables, not the memoized old registration."""
+        import shutil
 
         from data_engineering_capstone_project_spark.plans import relational
+        from data_engineering_capstone_project_spark.sources.writers import (
+            resolve_current,
+            versioned_replace,
+        )
 
         relational._forget_validated_pairs()
         relational.bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
         relational.bucketed_orderkey_tables(spark, src_dir)  # prime the memo
-        names = self._pair_names(spark, src_dir)
-        warehouse = Path(
-            spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
-        )
-        victim = [n for n in names if "orders" in n][0]
-        (warehouse / victim / "_BUCKETS").write_text("8")
-        # NO _forget_validated_pairs() here: this call IS the memo hit.
-        with _pytest.raises(RuntimeError, match="sidecar now records 8"):
-            relational.bucketed_orderkey_tables(spark, src_dir)
-        (warehouse / victim / "_BUCKETS").write_text("16")
+        store = self._store(spark, src_dir)
+        v1, n1 = resolve_current(store)
+        assert n1 == 1
 
-    def test_vanished_sidecar_on_memo_hit_falls_through_and_rebuilds(
+        # a "foreign process" refreshes the pair: same count, new version
+        def refresh(attempt: str) -> None:
+            shutil.copytree(v1, attempt)
+
+        _, n2 = versioned_replace(store, refresh)
+        assert n2 == 2
+        # NO _forget_validated_pairs(): this call IS the memo hit.
+        li, orders = relational.bucketed_orderkey_tables(spark, src_dir)
+        names = self._pair_names(spark, src_dir)
+        assert all(n.endswith("_v2") for n in names), names
+        assert li.count() > 0 and orders.count() > 0
+
+    def test_corrupt_current_version_rebuilds_fresh_version(
         self, spark, src_dir
     ):
-        """A memo hit meeting a MISSING sidecar (partial dir behind a
-        live catalog entry — e.g. a concurrent rewrite killed between
-        rmtree and publish) must drop the memo and take the full path,
-        which rebuilds the pair, rather than serving the dangling
-        tables."""
-        from pathlib import Path
-
+        """A CURRENT version whose _BUCKETS sidecar is missing (an
+        externally-damaged store — under the protocol itself this is
+        unreachable, published versions are immutable and complete)
+        must never be served: the next call rebuilds into a FRESH
+        version and repoints CURRENT, rather than serving a pair whose
+        real bucket count is unknowable."""
         from data_engineering_capstone_project_spark.plans import relational
+        from data_engineering_capstone_project_spark.sources.writers import (
+            resolve_current,
+        )
 
         relational._forget_validated_pairs()
         relational.bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
-        relational.bucketed_orderkey_tables(spark, src_dir)  # prime the memo
-        names = self._pair_names(spark, src_dir)
-        warehouse = Path(
-            spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
-        )
-        victim = [n for n in names if "orders" in n][0]
-        (warehouse / victim / "_BUCKETS").unlink()
+        store = self._store(spark, src_dir)
+        v1, n1 = resolve_current(store)
+        assert n1 == 1
+        (v1 / "_BUCKETS").unlink()
+        relational._forget_validated_pairs()  # damage meets a fresh process
         li, o = relational.bucketed_orderkey_tables(spark, src_dir)
-        assert (warehouse / victim / "_BUCKETS").exists()  # pair rebuilt
+        v2, n2 = resolve_current(store)
+        assert n2 == 2 and (v2 / "_BUCKETS").exists()
         counts = {
             n: relational._table_bucket_count(spark, n)
             for n in self._pair_names(spark, src_dir)
@@ -320,31 +348,40 @@ class TestBucketedPairLifecycle:
             bucketed_orderkey_tables,
         )
 
+        from data_engineering_capstone_project_spark.plans.relational import (
+            _forget_validated_pairs,
+        )
+        from data_engineering_capstone_project_spark.sources.writers import (
+            resolve_current,
+        )
+
         li1, _ = bucketed_orderkey_tables(spark, src_dir, n_buckets=16)
         n1 = li1.count()
         names = self._pair_names(spark, src_dir)
-        warehouse = Path(
-            spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
-        )
-        parts_before = {}
+        store = self._store(spark, src_dir)
+        vdir, ver = resolve_current(store)
+        assert (vdir / "_BUCKETS").read_text() == "16"
+        parts_before = {
+            tbl: sorted(p.name for p in (vdir / tbl).glob("*.parquet"))
+            for tbl in ("lineitem", "orders")
+        }
+        # a fresh catalog: registrations are external since r13, so a
+        # plain DROP models the second process (files untouched)
         for n in names:
-            loc = warehouse / n
-            assert (loc / "_BUCKETS").read_text() == "16"
-            stash = loc.with_suffix(".stash")
-            shutil.copytree(loc, stash)
-            spark.sql(f"DROP TABLE {n}")  # managed drop deletes files
-            stash.rename(loc)
-            parts_before[n] = sorted(p.name for p in loc.glob("*.parquet"))
+            spark.sql(f"DROP TABLE {n}")
+        _forget_validated_pairs()
 
         li2, o2 = bucketed_orderkey_tables(spark, src_dir)
         assert li2.count() == n1
         assert self._pair_names(spark, src_dir) == names
+        assert resolve_current(store)[1] == ver, "adoption must not rebuild"
         for n in names:
             assert _table_bucket_count(spark, n) == 16
+        for tbl in ("lineitem", "orders"):
             parts_after = sorted(
-                p.name for p in (warehouse / n).glob("*.parquet")
+                p.name for p in (vdir / tbl).glob("*.parquet")
             )
-            assert parts_after == parts_before[n]  # adopted, not rewritten
+            assert parts_after == parts_before[tbl]  # adopted, not rewritten
 
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:

@@ -675,17 +675,24 @@ def test_two_process_concurrent_bucketed_pair_build(tmp_path):
         results.append(json.loads(payload[-1][len("RESULT ") :]))
     assert results[0] == results[1], "processes served different counts"
     assert results[0]["li"] > 0 and results[0]["joined"] > 0
-    pair_dirs = sorted(
-        d.name for d in warehouse.iterdir() if d.name.startswith("bkt_")
+    # r13 versioned pair store: ONE store dir, ONE published version
+    # holding the whole pair (same-host racers wait+adopt through
+    # build_exclusive, so no duplicate version), shared _BUCKETS
+    # sidecar at the version root, CURRENT pointing at it, no lock leak.
+    stores = [d for d in warehouse.iterdir() if d.name.startswith("bktstore_")]
+    assert len(stores) == 1, stores
+    from data_engineering_capstone_project_spark.sources.writers import (
+        resolve_current as _resolve,
     )
-    assert len(pair_dirs) == 2, pair_dirs
-    sidecars = set()
-    for d in pair_dirs:
-        loc = warehouse / d
-        assert (loc / "_SUCCESS").exists(), f"{d} incomplete"
-        sidecars.add((loc / "_BUCKETS").read_text())
-    assert len(sidecars) == 1, f"pair disagrees on bucket count: {sidecars}"
-    assert not list(warehouse.glob("_BUILDING.*")), "lock leaked"
+
+    vdir, n = _resolve(stores[0])
+    assert n == 1 and (vdir / "_SUCCESS").exists()
+    assert (vdir / "_BUCKETS").read_text().isdigit()
+    for tbl in ("lineitem", "orders"):
+        assert (vdir / tbl / "_SUCCESS").exists(), f"{tbl} incomplete"
+    versions = [d.name for d in stores[0].glob("_v*") if d.is_dir()]
+    assert versions == ["_v1"], f"duplicate versions built: {versions}"
+    assert not list(stores[0].glob("_BUILDING.*")), "lock leaked"
 
 
 # ---------------------------------------------------------------------------
@@ -1046,3 +1053,283 @@ def test_build_exclusive_composed_with_commit_build(tmp_path):
     assert (loc / "_SUCCESS").exists() and (loc / "_MANIFEST").exists()
     assert not list(tmp_path.glob("_BUILDING.*")), "lock leaked"
     assert not list(tmp_path.glob(f"tbl{_ATTEMPT_MARK}*")), "attempt leaked"
+
+
+# ---------------------------------------------------------------------------
+# Versioned replacement (r13, VERDICT r12 #3): _v{N} dirs over
+# commit_build + a CURRENT pointer published by atomic rename.
+# ---------------------------------------------------------------------------
+
+from data_engineering_capstone_project_spark.sources.writers import (  # noqa: E402
+    _advance_current,
+    _read_current,
+    commit_build_conditional,
+    gc_versions,
+    resolve_conditional,
+    resolve_current,
+    versioned_replace,
+)
+
+
+def test_versioned_replace_builds_monotonic_versions(tmp_path):
+    store = tmp_path / "store"
+    assert resolve_current(store) == (None, 0)
+    p1, n1 = versioned_replace(store, _mk_build_to("one"), {"pin": 16})
+    assert n1 == 1 and _read_current(store) == 1
+    vdir, n = resolve_current(store)
+    assert (vdir, n) == (Path(p1), 1)
+    assert (vdir / "part-0").read_text() == "one-0"
+    assert json.loads((vdir / "_MANIFEST").read_text())["pin"] == 16
+    p2, n2 = versioned_replace(store, _mk_build_to("two"), {"pin": 32})
+    assert n2 == 2 and _read_current(store) == 2
+    # the replaced version stays on disk for in-flight readers...
+    assert (Path(p1) / "part-0").read_text() == "one-0"
+    assert (resolve_current(store)[0] / "part-0").read_text() == "two-0"
+    # ...until the GC policy sweeps beyond the keep window
+    assert gc_versions(store, keep=2) == []
+    _, n3 = versioned_replace(store, _mk_build_to("three"))
+    assert n3 == 3
+    assert gc_versions(store, keep=2) == [str(Path(p1))]
+    assert not Path(p1).exists() and Path(p2).exists()
+
+
+def test_versioned_replace_never_adopts_orphan_version(tmp_path):
+    """A crashed replacer can leave a PUBLISHED _v{N} that CURRENT
+    never named. Its content is that writer's, not ours: a later
+    replace must version-number PAST it, never serve it."""
+    store = tmp_path / "store"
+    versioned_replace(store, _mk_build_to("live"))
+    # orphan _v2: published complete but the pointer was never moved
+    assert commit_build(store / "_v2", _mk_build_to("orphan")) == "built"
+    assert _read_current(store) == 1
+    p, n = versioned_replace(store, _mk_build_to("mine"))
+    assert n == 3 and _read_current(store) == 3
+    assert (Path(p) / "part-0").read_text() == "mine-0"
+
+
+def test_advance_current_is_monotonic_and_breaks_stale_lock(tmp_path):
+    store = tmp_path / "store"
+    store.mkdir()
+    _advance_current(store, 3)
+    assert _read_current(store) == 3
+    _advance_current(store, 2)  # slower lower-version writer
+    assert _read_current(store) == 3, "pointer must never regress"
+    _advance_current(store, 4)
+    assert _read_current(store) == 4
+    # a crashed advancer's lock (old mtime) must not wedge the pointer
+    lock = store / "CURRENT.lock"
+    lock.write_text("")
+    old = time.time() - 60
+    os.utime(lock, (old, old))
+    _advance_current(store, 5, stale_sec=10.0, timeout_sec=10.0)
+    assert _read_current(store) == 5
+    # a FRESH lock blocks until the deadline, loudly
+    lock.write_text("")
+    with pytest.raises(TimeoutError):
+        _advance_current(store, 6, stale_sec=30.0, timeout_sec=0.3)
+
+
+_REPLACE_RACE_WORKER = r"""
+import json, sys, time
+from pathlib import Path
+
+repo, store, go_file, payload = sys.argv[1:5]
+sys.path.insert(0, repo)
+from data_engineering_capstone_project_spark.sources.writers import (
+    versioned_replace,
+)
+
+print("READY", flush=True)
+while not Path(go_file).exists():  # barrier: race the replace
+    time.sleep(0.01)
+
+
+def build_to(attempt: str) -> None:
+    d = Path(attempt)
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(3):
+        (d / f"part-{i}").write_text(payload)
+        time.sleep(0.05)  # stretch the build so the writers overlap
+    (d / "_SUCCESS").write_text("")
+
+
+p, n = versioned_replace(Path(store), build_to, {"writer": payload})
+print("RESULT " + json.dumps({"path": p, "version": n}), flush=True)
+"""
+
+
+def test_two_process_concurrent_replace_readers_never_see_a_mix(tmp_path):
+    """THE r13 done-criterion (VERDICT r12 #3): two processes replace
+    a published store concurrently while a reader loop resolves
+    CURRENT and reads the full table each pass. Every read must be one
+    internally-consistent version (all files same content, _SUCCESS
+    present, manifest's writer matches the files) — old or new, never
+    a mix; both replacers must succeed in DISTINCT versions; the
+    pointer must converge to the highest."""
+    store = tmp_path / "store"
+    versioned_replace(store, _mk_build_to("OLD", n_files=3), {"writer": "OLD"})
+    go = tmp_path / "go"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-c",
+                _REPLACE_RACE_WORKER,
+                str(_REPO),
+                str(store),
+                str(go),
+                payload,
+            ],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for payload in ("NEW_A", "NEW_B")
+    ]
+    for p in procs:
+        assert p.stdout.readline().strip() == "READY"
+    go.write_text("")
+    results = []
+    observed: set[str] = set()
+    deadline = time.monotonic() + 120
+    # Reader loop concurrent with the race: resolve once, read all.
+    while len(results) < 2 and time.monotonic() < deadline:
+        vdir, n = resolve_current(store)
+        assert vdir is not None and (vdir / "_SUCCESS").exists()
+        parts = [
+            (vdir / f"part-{i}").read_text().split("-")[0] for i in range(3)
+        ]
+        assert len(set(parts)) == 1, f"torn read in _v{n}: {parts}"
+        man = json.loads((vdir / "_MANIFEST").read_text())
+        assert man["writer"] == parts[0], "manifest/file mismatch"
+        observed.add(parts[0])
+        for p in procs:
+            if p not in [r[0] for r in results] and p.poll() is not None:
+                out = p.stdout.read()
+                line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
+                results.append((p, json.loads(line[len("RESULT "):])))
+        time.sleep(0.01)
+    assert len(results) == 2, "replacers did not finish"
+    versions = sorted(r["version"] for _, r in results)
+    assert versions == [2, 3], f"replacers must land distinct versions: {versions}"
+    assert _read_current(store) == 3, "pointer must converge to the highest"
+    # the reader only ever saw full versions
+    assert observed <= {"OLD", "NEW_A", "NEW_B"}
+    # each writer's returned dir is its own complete table
+    for _, r in results:
+        d = Path(r["path"])
+        assert (d / "_SUCCESS").exists()
+        assert json.loads((d / "_MANIFEST").read_text())["writer"] in (
+            "NEW_A",
+            "NEW_B",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Conditional-PUT commit variant (r13, VERDICT r12 #7): same protocol,
+# the object store's put-if-absent as the atomic primitive.
+# ---------------------------------------------------------------------------
+
+
+class InMemoryConditionalStore:
+    """Object-store fake for the rename-less commit shape: flat
+    key->bytes map whose ONE atomic primitive is put_if_absent
+    (rejects double-creates, like S3 If-None-Match: * / GCS
+    ifGenerationMatch=0). A threading.Lock stands in for the store's
+    server-side atomicity."""
+
+    def __init__(self):
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+        self.conditional_rejections = 0
+
+    def put(self, key: str, data: bytes) -> None:
+        with self._lock:
+            self._objects[key] = bytes(data)
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        with self._lock:
+            if key in self._objects:
+                self.conditional_rejections += 1
+                return False
+            self._objects[key] = bytes(data)
+            return True
+
+    def get(self, key: str):
+        with self._lock:
+            return self._objects.get(key)
+
+    def list_prefix(self, prefix: str):
+        with self._lock:
+            return [k for k in self._objects if k.startswith(prefix)]
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            self._objects.pop(key, None)
+
+
+def _mk_cond_build(payload: str, success: bool = True):
+    def build_to(write) -> None:
+        for i in range(2):
+            write(f"part-{i}", f"{payload}-{i}")
+        if success:
+            write("_SUCCESS", b"")
+
+    return build_to
+
+
+def test_conditional_commit_publishes_and_second_adopts():
+    store = InMemoryConditionalStore()
+    assert commit_build_conditional(store, "tbl", _mk_cond_build("a")) == "built"
+    rec = resolve_conditional(store, "tbl")
+    assert rec["token"] and rec["attempt_prefix"]
+    assert store.get(f"{rec['attempt_prefix']}/part-0") == b"a-0"
+    assert store.get(f"{rec['attempt_prefix']}/_SUCCESS") is not None
+    calls: list = []
+    out = commit_build_conditional(store, "tbl", lambda w: calls.append(w))
+    assert out == "adopted" and calls == []
+
+
+def test_conditional_commit_refuses_markerless_build():
+    store = InMemoryConditionalStore()
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        commit_build_conditional(store, "tbl", _mk_cond_build("a", success=False))
+    assert resolve_conditional(store, "tbl") is None
+    assert store.list_prefix("tbl") == [], "failed attempt's uploads leaked"
+
+
+def test_conditional_commit_race_exactly_one_wins():
+    """The fake-store race (r13 done-criterion for #7): N writers race
+    the conditional create; exactly one wins, the store records the
+    rejected double-creates, losers' uploads are deleted, and the
+    resolved table is the winner's complete upload set."""
+    store = InMemoryConditionalStore()
+    barrier = threading.Barrier(4)
+    outcomes: list[str] = []
+
+    def run(payload: str) -> None:
+        def build_to(write) -> None:
+            barrier.wait(timeout=30)  # all four upload concurrently
+            _mk_cond_build(payload)(write)
+
+        outcomes.append(commit_build_conditional(store, "tbl", build_to))
+
+    threads = [
+        threading.Thread(target=run, args=(f"w{i}",)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert sorted(outcomes) == ["adopted", "adopted", "adopted", "built"]
+    assert store.conditional_rejections == 3
+    rec = resolve_conditional(store, "tbl")
+    winner_keys = set(store.list_prefix(rec["attempt_prefix"]))
+    assert winner_keys == {
+        f"{rec['attempt_prefix']}/part-0",
+        f"{rec['attempt_prefix']}/part-1",
+        f"{rec['attempt_prefix']}/_SUCCESS",
+    }
+    # losers' uploads are gone: the only objects left are the winner's
+    # prefix plus the commit record
+    all_keys = set(store.list_prefix(""))
+    assert all_keys == winner_keys | {"tbl/_COMMIT"}
