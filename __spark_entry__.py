@@ -44,38 +44,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # the invariants (priority head first, then monotone non-decreasing
 # staleness, permutation of the full registry).
 #
-# r12 priority head — changed only, 6 entries (VERDICT r11 #5: the 44
-# remaining slots then drain the stale tail oldest-first — all 30 r7
-# rows fit plus the 14 alphabetically-first r8 rows, leaving zero
-# pre-r8 latest rows after this round).
+# r13 priority head — changed only, 6 entries (VERDICT r12 #6: the 44
+# remaining slots then drain the stale tail oldest-first — all 30 r8
+# rows fit plus the 14 alphabetically-first r9 rows, leaving zero
+# pre-r9 latest rows after this round).
 _PRIORITY = [
-    # CHANGED r12 (VERDICT r11 #4): pq_codes_table now builds through
-    # writers.commit_build — unique fencing-token attempt dir, atomic
-    # rename publish, _MANIFEST stamp, external-only registration —
-    # closing the documented cross-host first-build race. These four
-    # exercise the changed build/adopt path end-to-end; the adoption
-    # parity additionally re-enters it and digests the adopted files.
+    # CHANGED r13 (VERDICT r12 #3): the co-bucketed pair now lives in
+    # a VERSIONED store (_v{N} via commit_build + a CURRENT pointer),
+    # closing the replacement-under-concurrency scope line; this query
+    # exercises the full build/resolve/adopt path end-to-end.
+    "revenue_by_priority_bucketed",
+    # CHANGED r13 (advice fix, medium): commit_build's entry now
+    # clears debris by atomic rename-aside and adopts a concurrently-
+    # published winner instead of check-then-rmtree; these four run
+    # through the changed entry (and the adoption parity re-enters it
+    # and digests the adopted files).
     "codes_table_adoption_parity",
     "ann_pq_topk_indexed",
     "ann_pq_topk_after_delete",
     "ann_ivfpq_topk_indexed",
-    # CHANGED r12 (VERDICT r11 #6): _bpe_apply_arrow gained the >1 MB
-    # merge-table SparkContext.broadcast switchover (code, not prose);
-    # the registered query rides the closure tier, but its kernel
-    # wrapper changed.
+    # CHANGED r13 (advice fix): _bpe_apply_arrow memoizes its
+    # over-threshold Broadcast per merge-table identity; the
+    # registered query rides the closure tier, but its kernel wrapper
+    # changed.
     "bpe_encode_arrow",
-    # CHANGED r12 (advice fix): the publish warehouse now comes from a
-    # per-invocation scratch dir, so a held frame survives a second
-    # same-process invocation (test_bpe_incremental.py pins it).
-    "bpe_encode_published",
 ]
-# NOT in the head despite the shared _parity_scratch_dir change: the
-# streamed-parity family (oov_drift_*, trending/kmv engine parities,
-# user_counts_streamed_parity) — their bodies are byte-identical; the
-# helper change is dir-NAMING only (pid -> pid+seq) and is covered by
-# fresh local oracle runs (oov_drift_streamed_parity,
-# oov_drift_engine_streamed_parity green at sf0.01 on this code) and
-# their r10/r11 driver rows.
 
 _DRIVER_SAMPLE_FIRST = rotation_order(
     QUERIES, last_verified_rounds(_REPO), _PRIORITY
