@@ -26,10 +26,58 @@ from data_engineering_capstone_project_spark.functions.keys import surrogate_key
 from data_engineering_capstone_project_spark.plans.registry import (
     cached_rowcount,
     events_table,
+    file_signature,
     query,
     scoped_persist,
     table,
 )
+
+# {(sf_dir, region_name, source signatures) -> {n_nationkey: n_name}}
+# — same memo discipline as registry.cached_rowcount: keyed on the
+# actual file content of the two dim tables, so a regenerated parquet
+# at the same path re-collects, while repeated plan builds are free.
+_REGION_NATIONS: dict[tuple, dict[int, str]] = {}
+
+
+def _region_nation_map(
+    spark: SparkSession, sf_dir: str, region_name: str
+) -> dict[int, str]:
+    """The nations of one region as a plan-build-time literal
+    {n_nationkey: n_name} (guide §8 "decide with small rows"): region
+    and nation are BOUNDED dims (5/25 rows at every scale), so
+    collapsing them to literals lets fact prefilters stay plain
+    ``isin`` predicates on RAW tables. That matters because Catalyst's
+    non-CBO join-output size estimate is the PRODUCT of the input
+    sizes: a customer/supplier frame that is itself a join can never
+    be chosen as a broadcast build side even when it is tiny, while
+    the same frame as raw-scan+isin keeps its honest file-size stats
+    and broadcasts exactly while it fits. The collect is one 5-row
+    driver job, memoized on the dims' file signature (an unknown
+    signature disables memoization, mirroring cached_rowcount)."""
+    sig = (
+        file_signature(sf_dir, "region"),
+        file_signature(sf_dir, "nation"),
+    )
+    key = (sf_dir, region_name, sig)
+    memoizable = all(sig)
+    if not memoizable or key not in _REGION_NATIONS:
+        region = table(spark, sf_dir, "region").filter(
+            F.col("r_name") == region_name
+        )
+        rows = (
+            table(spark, sf_dir, "nation")
+            .join(
+                broadcast(region),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select("n_nationkey", "n_name")
+            .collect()
+        )
+        val = {int(r["n_nationkey"]): r["n_name"] for r in rows}
+        if not memoizable:
+            return val
+        _REGION_NATIONS[key] = val
+    return _REGION_NATIONS[key]
 
 
 def _fixed_sum(col, alias):
@@ -1467,32 +1515,50 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 re-expression (reference has no Q5, but this is the
     canonical multi-join the ad-hoc SQL surface must plan well;
-    SURVEY.md §2.10). Asia nations only: nation ⋈ region collapses to
-    a 5-row broadcast list BEFORE touching any fact table, so supplier
-    and customer are pre-filtered map-side to 1/5 of their rows."""
-    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    nations = (
-        table(spark, sf_dir, "nation")
-        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("n_nationkey", "n_name")
+    SURVEY.md §2.10). r13 shape — three measured changes
+    (OPTIMIZATION_r13.md "local_supplier_volume_q5"):
+
+    * The Asia nation list is a plan-build literal
+      (``_region_nation_map``), so customer and supplier are
+      raw-scan + ``isin`` prefilters with honest size stats. The r12
+      form pre-filtered them via broadcast joins, whose product-form
+      output estimates disqualified them as broadcast build sides
+      downstream — the planner then built the 600k-row LINEITEM as a
+      broadcast hash relation (the single most expensive node in the
+      r12 plan) and SortMergeJoined supp against every fact row.
+    * Join order lineitem ⋈ orders ⋈ customer streams the fact
+      through two BroadcastHashJoins while orders-1996 and
+      customer-Asia fit the 64 MB threshold, with ZERO fact
+      exchanges; past the threshold the planner degrades each join to
+      the shuffled form independently — no hints, still
+      scale-adaptive.
+    * The fact is pre-aggregated to (l_suppkey, c_nationkey) pairs
+      before the supplier join (guide §2.3): the fixed-point row
+      revenue is an exact int64 distributive sum, so sum-of-sums is
+      byte-identical (each pair matches at most one supplier row) and
+      only the |suppliers x Asia-nations|-bounded pair aggregate
+      crosses an Exchange.
+
+    Measured at sf0.1 (same session, best-of-5): r12 form 1.417s ->
+    0.861s."""
+    nmap = _region_nation_map(spark, sf_dir, "ASIA")
+    asia_keys = sorted(nmap)
+    n_name = F.create_map(
+        *[F.lit(x) for k in asia_keys for x in (k, nmap[k])]
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(asia_keys))
+        .select("c_custkey", "c_nationkey")
     )
     supp = (
         table(spark, sf_dir, "supplier")
-        .join(broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
-    # The final c_nationkey = s_nationkey condition (suppliers are
-    # Asia-only) IMPLIES customers are Asia-only, but Catalyst does not
-    # propagate equality constraints into IN-set filters across joins —
-    # pre-filtering customer here prunes 4/5 of it (and of the
-    # orders⋈customer output) before the lineitem join, same semantics.
-    cust = (
-        table(spark, sf_dir, "customer")
-        .join(
-            broadcast(nations.select(F.col("n_nationkey").alias("cn_key"))),
-            F.col("c_nationkey") == F.col("cn_key"),
+        .filter(F.col("s_nationkey").isin(asia_keys))
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            n_name[F.col("s_nationkey")].alias("n_name"),
         )
-        .select("c_custkey", "c_nationkey")
     )
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1504,16 +1570,23 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_row = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("bigint")
+    pairs = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_suppkey", "c_nationkey")
+        .agg(F.sum(rev_row).alias("rev_fp"))
+    )
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
+        pairs.join(
             supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg((F.sum(rev_row) / F.lit(10000.0)).alias("revenue"))
+        .agg((F.sum("rev_fp") / F.lit(10000.0)).alias("revenue"))
         .select("n_name", "revenue")
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -2640,14 +2713,23 @@ def sole_late_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     than 60 days after the order date): suppliers who were the ONLY late
     shipper on a finished multi-supplier order. The EXISTS/NOT-EXISTS
     pair of the original is re-expressed as ONE (order, supplier)
-    aggregate followed by per-order WINDOW counts — a self-join of the
+    aggregate followed by a per-order aggregate — a self-join of the
     aggregate against its own groupBy would compute the fact join twice
-    (no Exchange reuse survives differing column pruning; verified), so
-    the window form is what keeps this a single pass over the fact.
-    Scale shape: one orderkey+suppkey agg shuffle over the joined fact,
-    then a window shuffle over the already-tiny per-(order,supplier)
-    relation; window state per order = a running count, never the
-    order's lines."""
+    (no Exchange reuse survives differing column pruning; verified).
+    Scale shape (r13): ONE orderkey shuffle over the joined fact serves
+    BOTH aggregation levels — hash-partitioning on l_orderkey satisfies
+    the (l_orderkey, l_suppkey) clustering because it is a subset of
+    the group keys, so the pair agg, the per-order agg, and the sole-
+    late-supplier pick all run in the post-shuffle stage with no second
+    Exchange and no Sort (the r12 form paid a second full shuffle of
+    the pair relation to move from (orderkey, suppkey) partitioning to
+    the window's orderkey partitioning, plus the window's sort). The
+    map-side combine the explicit repartition gives up was already
+    measured worthless here (pairs average ~1.5 lines, r10 probe: the
+    pre-agg form ran ~2x WORSE at 40x), and the shuffle carries only
+    (orderkey, suppkey, late-flag). RepartitionByExpression without an
+    explicit partition count stays AQE-coalescible, so the shuffle
+    width remains scale-adaptive."""
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
@@ -2658,32 +2740,28 @@ def sole_late_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
         F.lit(1),
     ).otherwise(F.lit(0))
-    # Join-first, then aggregate: pre-aggregating lineitem to
-    # (orderkey, suppkey, max shipdate) before the join measured ~2x
-    # WORSE at 40x (7.2s vs 3.8s) — pairs average ~1.5 lines so the
-    # map-side combine saves almost nothing, while the join-first form
-    # drops every non-'F' order's lines before any aggregation.
+    # Join-first (non-'F' orders' lines drop before any aggregation),
+    # project to the three shuffle columns, then ONE explicit orderkey
+    # partitioning shared by every downstream per-order step.
     per_os = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("late_flag"))
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("is_late"))
+        .agg(F.max("late_flag").alias("is_late"))
     )
-    w = Window.partitionBy("l_orderkey")
-    flagged = per_os.select(
-        "l_orderkey",
-        "l_suppkey",
-        "is_late",
-        F.count("*").over(w).alias("n_supp"),
-        F.sum("is_late").over(w).cast("bigint").alias("n_late"),
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+        # With n_late = 1 this is exactly the one late supplier.
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
     )
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        flagged.filter(
-            (F.col("is_late") == 1)
-            & (F.col("n_supp") >= 2)
-            & (F.col("n_late") == 1)
-        )
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        per_o.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(supp, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

@@ -1490,38 +1490,85 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", D.tokenize(F.col("text")).alias("toks")
     )
-    with_dl = docs.select("doc_id", F.size("toks").alias("dl"), "toks")
-    tf = (
-        with_dl.select("doc_id", "dl", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(terms))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # ONE tokenize + explode pass (r13): the r12 (doc, term) model
+    # tokenized the corpus THREE times — the tf branch, the df branch
+    # (its exchange was never reused: df prunes tf's count column, so
+    # the subtrees canonicalize differently), and the avgdl branch —
+    # and exploded it twice. With a fixed 3-term query the tf vector
+    # fits in three conditional-count columns, so one explode + one
+    # per-doc aggregate carries everything: dl rides as a group key,
+    # df and avgdl become ONE scalar aggregate over the same frame
+    # (the per-doc Exchange is reused — both consumers read identical
+    # columns), and the per-term weights are computed per doc from the
+    # broadcast scalar row. explode_outer (not explode) keeps docs
+    # whose token array is NULL, preserving the r12 avgdl sum exactly
+    # (size(NULL) = -1 contributed to sum(dl) there too).
+    ex = docs.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode_outer("toks").alias("tok"),
     )
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    avgdl = with_dl.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    per_doc = ex.groupBy("doc_id", "dl").agg(
+        *[
+            F.sum(
+                F.when(F.col("tok") == t, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"tf_{t}")
+            for t in terms
+        ]
     )
-    idf = (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    weight = idf * (
-        (F.col("tf") * F.lit(2.2))
-        / (
-            F.col("tf")
-            + F.lit(1.2)
-            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+    # Catalyst does not ReusedExchange across the scalars/scoring
+    # branches even though the subtrees are identical (verified on the
+    # AQE-final plan), so the tokenize+explode pass runs once per
+    # branch. A scoped_persist of per_doc (minhash precedent) was
+    # measured WORSE here (0.77s vs 0.56s at sf0.1): the two branches'
+    # shuffle stages run CONCURRENTLY on an under-utilized box, while
+    # the cache serializes them (populate, then probe) and adds
+    # columnar (de)serialization. At 100 TB — where two full corpus
+    # scans dwarf a cache of the n_docs-bounded per-doc table — write
+    # per_doc to parquet once and read it back for both consumers.
+    scalars = per_doc.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.col(f"tf_{t}") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+
+    def wfx(t: str):
+        # Verbatim r12 weight expression (same operator order => same
+        # double rounding), fed per-term columns instead of join rows.
+        idf = (F.lit(n_docs) - F.col(f"df_{t}") + F.lit(0.5)) / (
+            F.col(f"df_{t}") + F.lit(0.5)
         )
+        weight = idf * (
+            (F.col(f"tf_{t}") * F.lit(2.2))
+            / (
+                F.col(f"tf_{t}")
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        return F.when(
+            F.col(f"tf_{t}") > 0, F.floor(weight * 10000).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    hit = sum(
+        (F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0) for t in terms),
+        F.lit(0),
     )
     return (
-        tf.join(broadcast(df_), "tok")
-        .join(broadcast(avgdl))
+        per_doc.join(broadcast(scalars))
         .select(
             "doc_id",
-            F.floor(weight * 10000).cast("bigint").alias("wfx"),
+            hit.cast("bigint").alias("terms_hit"),
+            (
+                sum((wfx(t) for t in terms), F.lit(0).cast("bigint"))
+                / F.lit(10000.0)
+            ).alias("bm25"),
         )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("terms_hit"),
-            (F.sum("wfx") / F.lit(10000.0)).alias("bm25"),
-        )
+        .filter(F.col("terms_hit") > 0)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )

@@ -7,6 +7,8 @@ These inspect plans only (no data correctness — the oracle suite owns
 that), so they run at the smallest SF.
 """
 
+import re
+
 import pytest
 
 from data_engineering_capstone_project_spark.plans import QUERIES
@@ -150,18 +152,31 @@ def test_q3_shape_broadcasts_and_takes_ordered(spark):
 
 
 def test_q5_multijoin_shape(spark):
-    """TPC-H Q5: the region filter and the order-date range must push
-    to their scans; the extra c_nationkey = s_nationkey constraint must
-    be a join key (never a post-join cross product): a
-    BroadcastNestedLoopJoin/CartesianProduct here means the planner
-    lost the equi-condition and the query is quadratic at scale."""
+    """TPC-H Q5 (r13 literal-dim shape): the Asia nation keys are a
+    plan-build literal, so the region constraint must reach BOTH fact
+    prefilters as an In() pushed into the parquet scans (the r12
+    broadcast-join prefilter never pruned the scans); the order-date
+    range must push too; the extra c_nationkey = s_nationkey
+    constraint must be a join key (never a post-join cross product);
+    and the supplier join must consume the PAIR AGGREGATE, not fact
+    rows — pinned as: a hashpartitioning exchange on
+    (l_suppkey, c_nationkey) exists only above a HashAggregate."""
     plan = _plan(QUERIES["local_supplier_volume_q5"](spark, SF_SMALL))
-    assert "EqualTo(r_name,ASIA)" in plan
+    assert "In(c_nationkey, [" in plan
+    assert "In(s_nationkey, [" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # the supplier-side constraint joins on both keys together
     assert "s_suppkey" in plan and "s_nationkey" in plan
+    # pre-aggregated pairs feed the supplier join: the pair exchange
+    # carries the aggregate (sum#... / rev_fp), never raw fact rows
+    assert "hashpartitioning(l_suppkey" in plan
+    m = re.search(
+        r"Exchange hashpartitioning\(l_suppkey[^\n]*\n[^\n]*HashAggregate",
+        plan,
+    )
+    assert m, plan
 
 
 def test_funnel_single_shuffle(spark):
