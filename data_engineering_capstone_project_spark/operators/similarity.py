@@ -50,6 +50,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _with_sq(df: DataFrame, id_alias: str, vec_alias: str, sq_alias: str, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, dot(vec, vec)) for the indexable rows — the squared
+    norm is computed ONCE per row and reused by both the indexability
+    filter and the cosine denominator (r13): ``dot`` is a zip_with/
+    aggregate higher-order expression evaluated in the INTERPRETED
+    expression path (CodegenFallback), so the r12 shape — dot in the
+    filter, plus two fresh norms per candidate PAIR — paid ~3x the
+    lambda evaluations per pair. sqrt(sq) is the same computation
+    chain as norm(), so every double is bit-identical."""
+    sq = dot(F.col(vec_col), F.col(vec_col))
+    return (
+        df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            sq.alias(sq_alias),
+        )
+        .filter(F.col(vec_alias).isNotNull() & (F.col(sq_alias) > 0))
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -65,21 +85,20 @@ def brute_force_topk(
     and runs (unrounded doubles can differ at 1 ulp between engines,
     which must not reorder the top-k boundary).
     """
-    q = queries.filter(indexable(F.col(vec_col))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.filter(indexable(F.col(vec_col))).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    q = _with_sq(queries, "query_id", "qv", "qsq", id_col, vec_col)
+    c = _with_sq(corpus, "neighbor_id", "cv", "csq", id_col, vec_col)
     if broadcast_queries:
         q = broadcast(q)
+    cos = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(F.col("qsq")) * F.sqrt(F.col("csq"))
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10000) / F.lit(10000.0)).alias("cos"),
+            (F.floor(cos * 10000) / F.lit(10000.0)).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -136,15 +155,14 @@ def ann_lsh_topk(
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine rank within bucket. The cross join becomes
     an equi-join on the bucket key -- linear shuffle, no all-pairs."""
-    q = queries.filter(indexable(F.col(vec_col))).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        sign_lsh_bucket(F.col(vec_col)).alias("bkt"),
+    q = _with_sq(queries, "query_id", "qv", "qsq", id_col, vec_col).select(
+        "query_id", "qv", "qsq", sign_lsh_bucket(F.col("qv")).alias("bkt")
     )
-    c = corpus.filter(indexable(F.col(vec_col))).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        sign_lsh_bucket(F.col(vec_col)).alias("bkt"),
+    c = _with_sq(corpus, "neighbor_id", "cv", "csq", id_col, vec_col).select(
+        "neighbor_id", "cv", "csq", sign_lsh_bucket(F.col("cv")).alias("bkt")
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(F.col("qsq")) * F.sqrt(F.col("csq"))
     )
     scored = (
         broadcast(q)
@@ -153,7 +171,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10000) / F.lit(10000.0)).alias("cos"),
+            (F.floor(cos * 10000) / F.lit(10000.0)).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -41,6 +41,7 @@ from pyspark.sql.window import Window
 
 from data_engineering_capstone_project_spark.operators.similarity import (
     cosine,
+    dot,
     indexable,
     norm,
 )
@@ -172,29 +173,36 @@ def assign_cells(
     # quarantined here so every caller (IVF corpus/query assignment,
     # IVFPQ fused encode, the probe sweep) inherits one contract (r8
     # adversarial-embeddings audit; oracles filter identically).
-    df = df.filter(indexable(v))
-    # _vnorm staged in its own projection: sqrt(aggregate(...)) is
-    # non-cheap, so CollapseProject keeps it one-eval-per-row instead
-    # of inlining it into every struct (see the word_shingles note).
-    staged = df.withColumn("_vnorm", norm(v))
+    # The squared norm is computed ONCE and reused by the filter and
+    # as sqrt(_vsq) = _vnorm (r13): dot() is an interpreted
+    # higher-order expression, and the r12 indexable()+norm() pair
+    # evaluated it twice per row. Staged in its own projection so
+    # CollapseProject keeps it one-eval-per-row instead of inlining
+    # it into every struct (see the word_shingles note).
+    cols = df.columns
+    staged = (
+        df.withColumn("_vsq", dot(v, v))
+        .filter(v.isNotNull() & (F.col("_vsq") > 0))
+        .withColumn("_vnorm", F.sqrt(F.col("_vsq")))
+    )
     ranked = staged.withColumn(
         "_cells", F.slice(F.array_sort(F.array(*structs)), 1, n_probe)
     )
     if n_probe == 1 and not with_rank:
         return ranked.withColumn(
             "cell_id", F.element_at("_cells", 1).getField("cell_id")
-        ).drop("_vnorm", "_cells")
+        ).drop("_vsq", "_vnorm", "_cells")
     if with_rank:
         return ranked.select(
-            *df.columns, F.posexplode("_cells").alias("_pos", "_c")
+            *cols, F.posexplode("_cells").alias("_pos", "_c")
         ).select(
-            *df.columns,
+            *cols,
             F.col("_c.cell_id").alias("cell_id"),
             (F.col("_pos") + 1).cast("int").alias("probe_rank"),
         )
     return ranked.select(
-        *df.columns, F.explode("_cells").alias("_c")
-    ).select(*df.columns, F.col("_c.cell_id").alias("cell_id"))
+        *cols, F.explode("_cells").alias("_c")
+    ).select(*cols, F.col("_c.cell_id").alias("cell_id"))
 
 
 def ann_ivf_topk(

@@ -1469,10 +1469,25 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_row = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("bigint")
+    # lineitem joins FIRST and streams (r13): the r12 left-deep
+    # cust⋈orders⋈li order made the planner build the shipdate-filtered
+    # HALF OF LINEITEM as the broadcast hash side — the cust⋈orders
+    # output's product-form size estimate disqualified it, and the raw
+    # lineitem stats (10.8 MB at sf0.1) fit the threshold. With li on
+    # the stream side both build sides are raw scans with honest stats
+    # (orders-below-date, customer-BUILDING); past the threshold each
+    # join degrades to the shuffled form independently — no hints.
     return (
-        broadcast(cust.select("c_custkey"))
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(
+            orders.select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(rev_row) / F.lit(10000.0)).alias("revenue"))
         .select(
@@ -1711,9 +1726,17 @@ def returned_revenue_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_row = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("bigint")
+    # lineitem joins FIRST and streams (r13, same reasoning as
+    # shipping_priority_q3): the r12 order broadcast the R-filtered
+    # QUARTER OF LINEITEM as the hash build; li-first keeps every
+    # build side a raw scan with honest stats (orders-quarter,
+    # customer, nation) and the fact on the stream side.
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg((F.sum(rev_row) / F.lit(10000.0)).alias("revenue"))
@@ -2365,16 +2388,25 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # step — pre-filtering both sides cuts the big shuffle's payload
     # to the 2-nation slice on each side.
     orders_2n = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    # Project to the four needed columns BEFORE the orderkey exchange
+    # (r13, guide §2.3 "project before the exchange"): the year and
+    # the fixed-point row revenue replace the timestamp + two doubles
+    # the r12 form shuffled (floor-per-row-then-sum == _fixed_sum, so
+    # the result is byte-identical). Measured 1.01s -> 0.80s at sf0.1;
+    # the (orderkey, supp_nation, year) pre-aggregate variant measured
+    # WORSE (0.95s) — ~1.2 lines per order-supplier leaves the combine
+    # nothing to combine, the q21 lesson again.
+    left = li.join(supp, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_orderkey",
+        "supp_nation",
+        F.year("l_shipdate").alias("ship_year"),
+        F.floor(revenue * 10000).cast("bigint").alias("rev_fp"),
+    )
     return (
-        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders_2n, F.col("l_orderkey") == F.col("o_orderkey"))
+        left.join(orders_2n, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").alias("ship_year"),
-        )
-        .agg(_fixed_sum(revenue, "revenue"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg((F.sum("rev_fp") / F.lit(10000.0)).alias("revenue"))
     )
 
 

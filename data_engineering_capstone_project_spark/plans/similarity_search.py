@@ -149,17 +149,36 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sign-LSH bucket equi-join, exact cosine as the residual filter.
     The dedup twin of ann_lsh_topk — at 100 TB the all-pairs compare is
     impossible; the bucket join bounds it to O(n x bucket_size)."""
-    emb = table(spark, sf_dir, "embeddings").filter(
-        S.indexable(F.col("embedding"))
-    )
-    withb = emb.select(
-        "vec_id", "embedding", S.sign_lsh_bucket(F.col("embedding")).alias("bkt")
+    # Squared norm computed ONCE per row and reused by the
+    # indexability filter and the cosine denominator (r13, same move
+    # as operators.similarity: dot() is an interpreted higher-order
+    # expression, and the candidate PAIR count is quadratic in bucket
+    # size — per-pair norms paid ~3x the lambda evaluations).
+    sq = S.dot(F.col("embedding"), F.col("embedding"))
+    withb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            sq.alias("sq"),
+            S.sign_lsh_bucket(F.col("embedding")).alias("bkt"),
+        )
+        .filter(F.col("embedding").isNotNull() & (F.col("sq") > 0))
     )
     a = withb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"), "bkt"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("qv"),
+        F.col("sq").alias("qsq"),
+        "bkt",
     )
     b = withb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("cv"), "bkt"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("cv"),
+        F.col("sq").alias("csq"),
+        "bkt",
+    )
+    cos = S.dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(F.col("qsq")) * F.sqrt(F.col("csq"))
     )
     return (
         a.join(b, "bkt")
@@ -167,7 +186,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            (F.floor(S.cosine(F.col("qv"), F.col("cv")) * 10000) / F.lit(10000.0)).alias("cos"),
+            (F.floor(cos * 10000) / F.lit(10000.0)).alias("cos"),
         )
         .filter(F.col("cos") >= 0.35)
     )
