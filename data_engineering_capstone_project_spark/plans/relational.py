@@ -2125,26 +2125,37 @@ def customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def late_shipment_orders_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 re-expression. LEFT SEMI join on the order key with the
-    cross-table date comparison as a join residual: each order is
-    emitted at most once no matter how many qualifying line items
-    exist (the property EXISTS has and an inner join + distinct pays a
-    dedup shuffle for). Only the quarter's orders shuffle; lineitem
-    contributes just (l_orderkey, l_shipdate) after pruning."""
+    """TPC-H Q4 re-expression. The r12 LEFT SEMI form put the
+    quarter's orders on the left, and a left-semi hash join can only
+    BUILD its right side — so the planner built ALL OF LINEITEM
+    (600k rows at sf0.1) as the broadcast hash relation to probe
+    5.4k orders into it. r13: inner-join the fact against the
+    quarter's orders (the build side is now the small raw-stats scan;
+    lineitem streams) and restore EXISTS's emit-once property with a
+    per-(order, priority) aggregate — the dedup "shuffle" it pays
+    carries one row per qualifying order of one quarter, orders of
+    magnitude under the lineitem hash build it replaces, and the
+    orderkey grouping collapses to the priority rollup in the same
+    stage. Past the broadcast threshold the planner degrades the join
+    to the shuffled form — no hints, scale-adaptive."""
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    return (
-        orders.join(
-            li,
+    per_order = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
             (F.col("o_orderkey") == F.col("l_orderkey"))
             & (F.col("l_shipdate") > F.col("o_orderdate")),
-            "left_semi",
         )
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
+        # EXISTS semantics: one row per qualifying order, however many
+        # late lines it has.
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.lit(1).alias("_one"))
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
     )
 
 

@@ -969,27 +969,95 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sub_dist(by_label: dict, lab: int, s: int):
-    """Fixed-point squared L2 between an embedding's subspace-``s``
-    slice and centroid ``lab``'s slice, as a codegen expression.
-    zip_with over an array SLICE, not per-dim unrolled terms: the
-    unrolled form generated ~13k expression nodes across the
-    (subspace, label) grid (8 x 10 here) and crashed whole-stage
-    codegen with an InternalCompilerException."""
-    means = by_label[lab]
-    lo = s * _PQ_SUBDIM
-    sub = F.slice(F.col("embedding"), lo + 1, _PQ_SUBDIM)
-    cent = F.array(
-        *[F.lit(float(means[d])) for d in range(lo, lo + _PQ_SUBDIM)]
-    )
-    terms = F.zip_with(
-        sub,
-        cent,
-        lambda x, m: F.floor(
-            (x.cast("double") - m) * (x.cast("double") - m) * 10000000
-        ).cast("long"),
-    )
-    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
+def _pq_encode_kernel(labels, cent_rows, subspaces, subdim):
+    """Build the Arrow batch function for the PQ corpus encode (r13,
+    guide §4.2): one vectorized numpy distance grid + argmin per batch
+    instead of the r12 per-row (subspaces x labels) grid of zip_with/
+    aggregate lambdas — those are CodegenFallback expressions, so the
+    whole ~1,280-lambda-per-row encode ran in the INTERPRETED
+    evaluator (measured ~60% of ann_pq_topk's wall at sf0.1).
+
+    Exactness (the _CENT_ASSIGN discipline, replicated bit-for-bit):
+    per element, floor((CAST(x AS double) - m) * (x - m) * 1e7) as
+    int64 — float32->float64 widening and the IEEE product/floor are
+    identical in numpy; the per-subspace sum of 8 int64 terms is exact
+    and order-free; the code is the label with the smallest (d, label)
+    pair, which is numpy argmin over the label axis with labels
+    pre-sorted ascending (argmin returns the FIRST minimum = smallest
+    label, the array_min struct ordering). The encode contract covers
+    WELL-FORMED vectors (the r8 adversarial audit pins NULL-element /
+    short vectors as non-indexable corruption elsewhere): NULL
+    embeddings are filtered before the kernel exactly as r12 did, and
+    a short / NULL-element / non-finite vector RAISES loudly instead
+    of the r12 form's silent NULL-distance argmin garbage."""
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        dims = subspaces * subdim
+        C = np.asarray(cent_rows, dtype=np.float64)  # (n_labels, dims)
+        labs = np.asarray(labels, dtype=np.int64)
+        two63 = float(1 << 63)
+        for batch in batches:
+            n = batch.num_rows
+            emb = pa.chunked_array([batch.column(batch.num_columns - 1)])
+            emb = emb.combine_chunks()
+            if n == 0:
+                continue
+            if emb.null_count:
+                raise ValueError(
+                    "pq encode: NULL embedding reached the kernel — "
+                    "callers filter these before encoding"
+                )
+            offsets = emb.offsets.to_numpy(zero_copy_only=False)
+            lengths = offsets[1:] - offsets[:-1]
+            if (lengths < dims).any():
+                raise ValueError(
+                    f"pq encode: vector shorter than {dims} dims — "
+                    "non-well-formed input (corruption contract)"
+                )
+            if emb.values.null_count:
+                raise ValueError(
+                    "pq encode: vector with NULL element — "
+                    "non-well-formed input (corruption contract)"
+                )
+            vals = emb.values.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            take = offsets[:-1][:, None] + np.arange(dims)[None, :]
+            x = vals[take]  # (n, dims)
+            if not np.isfinite(x).all():
+                raise ValueError(
+                    "pq encode: non-finite element — the expression "
+                    "form raised under ANSI too"
+                )
+            diff = x[:, None, :] - C[None, :, :]  # (n, labels, dims)
+            terms = np.floor(diff * diff * 10000000.0)
+            if (np.abs(terms) >= two63).any():
+                raise OverflowError(
+                    "pq encode: fixed-point term overflows int64 "
+                    "(ANSI parity)"
+                )
+            d = (
+                terms.astype(np.int64)
+                .reshape(n, len(labels), subspaces, subdim)
+                .sum(axis=3)
+            )  # (n, labels, subspaces) exact int64
+            codes = labs[np.argmin(d, axis=1)]  # (n, subspaces)
+            idx = np.repeat(np.arange(n), subspaces)
+            out = [batch.column(i).take(pa.array(idx)) for i in
+                   range(batch.num_columns - 1)]
+            out.append(
+                pa.array(
+                    np.tile(np.arange(subspaces, dtype=np.int32), n)
+                )
+            )
+            out.append(pa.array(codes.reshape(-1).astype(np.int32)))
+            names = batch.schema.names[:-1] + ["s", "code"]
+            yield pa.RecordBatch.from_arrays(out, names)
+
+    return encode
 
 
 def _pq_corpus_codes(
@@ -999,51 +1067,33 @@ def _pq_corpus_codes(
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(vec_id, *extra_cols, s, code): the map-only PQ ENCODE of the
-    whole corpus — per-subspace argmin against literal centroid slices
-    inside codegen, zero corpus Exchange before the code explode (same
-    discipline as IVF/Rocchio). This is the expensive half of ADC
-    scoring; ``pq_codes_table`` materializes it once at ingest.
-    ``source``/``extra_cols`` let a caller encode an already-derived
-    frame (e.g. one carrying the IVF cell_id) in the same single
-    map-only pass instead of joining codes back afterwards."""
+    whole corpus — one vectorized Arrow kernel (``_pq_encode_kernel``),
+    zero corpus Exchange (same discipline as IVF/Rocchio). This is the
+    expensive half of ADC scoring; ``pq_codes_table`` materializes it
+    once at ingest. ``source``/``extra_cols`` let a caller encode an
+    already-derived frame (e.g. one carrying the IVF cell_id) in the
+    same single map-only pass instead of joining codes back
+    afterwards."""
     by_label = _cached_label_centroids(spark, sf_dir)
     labels = sorted(by_label)
+    cent_rows = [
+        [float(by_label[lab][d]) for d in range(_PQ_SUBSPACES * _PQ_SUBDIM)]
+        for lab in labels
+    ]
     emb = source if source is not None else table(spark, sf_dir, "embeddings")
     # A NULL embedding has no codes (its sub-distances are all NULL and
     # the argmin garbage); the oracle's scode CTE filters identically.
     # Zero-norm vectors DO encode — PQ/ADC is L2, no normalization.
     emb = emb.filter(F.col("embedding").isNotNull())
-
-    def code_expr(s: int):
-        cand = F.array(
-            *[
-                F.struct(
-                    _pq_sub_dist(by_label, lab, s).alias("d"),
-                    F.lit(lab).alias("lab"),
-                )
-                for lab in labels
-            ]
-        )
-        return F.array_min(cand)["lab"]
-
-    return emb.select(
-        "vec_id",
-        *extra_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"), code_expr(s).alias("code")
-                    )
-                    for s in range(_PQ_SUBSPACES)
-                ]
-            )
-        ).alias("sc"),
-    ).select(
-        "vec_id",
-        *extra_cols,
-        F.col("sc.s").alias("s"),
-        F.col("sc.code").alias("code"),
+    src = emb.select("vec_id", *extra_cols, "embedding")
+    out_fields = [
+        f"{fld.name} {fld.dataType.simpleString()}"
+        for fld in src.schema.fields[:-1]
+    ]
+    schema = ", ".join(out_fields + ["s int", "code int"])
+    return src.mapInArrow(
+        _pq_encode_kernel(labels, cent_rows, _PQ_SUBSPACES, _PQ_SUBDIM),
+        schema,
     )
 
 
