@@ -41,9 +41,7 @@ from pyspark.sql.window import Window
 
 from data_engineering_capstone_project_spark.operators.similarity import (
     cosine,
-    dot,
     indexable,
-    norm,
 )
 
 
@@ -148,61 +146,127 @@ def assign_cells(
             "projection bound (4096); a quantizer that large needs the "
             "join-based assignment, not expression unrolling"
         )
-    v = F.col(vec_col)
-    vnorm = F.col("_vnorm")
-    structs = []
-    for cid, cv in cents:
-        # Python-side sqrt/sum mirror Spark's left-to-right double
-        # aggregate bit-for-bit (same IEEE ops in the same order).
-        cnorm = math.sqrt(sum(x * x for x in cv))
-        carr = F.array(*[F.lit(x) for x in cv])
-        dotc = F.aggregate(
-            F.zip_with(v, carr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sim = dotc / (vnorm * F.lit(cnorm))
-        structs.append(
-            F.struct(
-                (-F.floor(sim * 10000)).cast("long").alias("_negsim"),
-                F.lit(cid).cast("int").alias("cell_id"),
-            )
-        )
     # Non-indexable rows (NULL/zero-norm vector) are unassignable —
     # their cosine to every centroid divides by zero — and are
-    # quarantined here so every caller (IVF corpus/query assignment,
-    # IVFPQ fused encode, the probe sweep) inherits one contract (r8
-    # adversarial-embeddings audit; oracles filter identically).
-    # The squared norm is computed ONCE and reused by the filter and
-    # as sqrt(_vsq) = _vnorm (r13): dot() is an interpreted
-    # higher-order expression, and the r12 indexable()+norm() pair
-    # evaluated it twice per row. Staged in its own projection so
-    # CollapseProject keeps it one-eval-per-row instead of inlining
-    # it into every struct (see the word_shingles note).
-    cols = df.columns
-    staged = (
-        df.withColumn("_vsq", dot(v, v))
-        .filter(v.isNotNull() & (F.col("_vsq") > 0))
-        .withColumn("_vnorm", F.sqrt(F.col("_vsq")))
+    # quarantined inside the kernel so every caller (IVF corpus/query
+    # assignment, IVFPQ fused encode, the probe sweep) inherits one
+    # contract (r8 adversarial-embeddings audit; oracles filter
+    # identically).
+    #
+    # r13: the per-row (cells x dims) zip_with/aggregate expression
+    # grid is now ONE vectorized Arrow kernel. Higher-order
+    # expressions are CodegenFallback — the r12 "map-only projection"
+    # ran ~(cells x 2 x dims) interpreted lambda invocations per row.
+    # Exactness is preserved operation-for-operation: the double dot
+    # folds accumulate STRICTLY LEFT-TO-RIGHT (a vectorized per-dim
+    # loop, never numpy pairwise sum, so every intermediate double
+    # equals the aggregate() fold's), cnorm is the same Python-side
+    # sqrt/sum, sim = dotc / (vnorm * cnorm) in that operator order,
+    # and ranking compares the SAME (-floor(sim*1e4) int64, cell_id)
+    # pairs via lexsort. A non-finite value that survives the
+    # vsq > 0 quarantine raises, as ANSI floor->long did.
+    vec_idx = df.columns.index(vec_col)
+    in_fields = [
+        f"{fld.name} {fld.dataType.simpleString()}"
+        for fld in df.schema.fields
+    ]
+    out_schema = ", ".join(
+        in_fields
+        + ["cell_id int"]
+        + (["probe_rank int"] if with_rank else [])
     )
-    ranked = staged.withColumn(
-        "_cells", F.slice(F.array_sort(F.array(*structs)), 1, n_probe)
-    )
-    if n_probe == 1 and not with_rank:
-        return ranked.withColumn(
-            "cell_id", F.element_at("_cells", 1).getField("cell_id")
-        ).drop("_vsq", "_vnorm", "_cells")
-    if with_rank:
-        return ranked.select(
-            *cols, F.posexplode("_cells").alias("_pos", "_c")
-        ).select(
-            *cols,
-            F.col("_c.cell_id").alias("cell_id"),
-            (F.col("_pos") + 1).cast("int").alias("probe_rank"),
-        )
-    return ranked.select(
-        *cols, F.explode("_cells").alias("_c")
-    ).select(*cols, F.col("_c.cell_id").alias("cell_id"))
+    cent_mat = [cv for _cid, cv in cents]
+    cell_ids = [cid for cid, _cv in cents]
+    # Python-side sqrt/sum mirror Spark's left-to-right double
+    # aggregate bit-for-bit (same IEEE ops in the same order).
+    cnorms = [math.sqrt(sum(x * x for x in cv)) for _cid, cv in cents]
+    emit_rank = with_rank
+    take_n = n_probe
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.asarray(cent_mat, dtype=np.float64)  # (cells, dims)
+        cn = np.asarray(cnorms, dtype=np.float64)  # (cells,)
+        cids = np.asarray(cell_ids, dtype=np.int64)
+        dims = C.shape[1]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec = pa.chunked_array([batch.column(vec_idx)]).combine_chunks()
+            valid = (
+                vec.is_valid().to_numpy(zero_copy_only=False)
+                if vec.null_count
+                else np.ones(n, dtype=bool)
+            )
+            offsets = vec.offsets.to_numpy(zero_copy_only=False)
+            lengths = offsets[1:] - offsets[:-1]
+            if (valid & (lengths != dims)).any():
+                raise ValueError(
+                    f"assign_cells: vector length != {dims} centroid "
+                    "dims — non-well-formed input"
+                )
+            flat = vec.values.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            if vec.values.null_count:
+                # NULL element -> NULL dot -> quarantined (match the
+                # vsq > 0 filter); poison with NaN so vsq turns NaN.
+                elem_valid = vec.values.is_valid().to_numpy(
+                    zero_copy_only=False
+                )
+                flat = np.where(elem_valid, flat, np.nan)
+            vi = np.flatnonzero(valid)
+            if vi.size == 0:
+                continue
+            x = flat[offsets[:-1][vi][:, None] + np.arange(dims)[None, :]]
+            # Strict left-to-right folds (== aggregate() rounding).
+            vsq = np.zeros(len(vi), dtype=np.float64)
+            dotc = np.zeros((len(vi), len(cids)), dtype=np.float64)
+            for d in range(dims):
+                xd = x[:, d]
+                vsq = vsq + xd * xd
+                dotc = dotc + xd[:, None] * C[None, :, d]
+            keep = vsq > 0  # False for NaN -> quarantined
+            if not keep.any():
+                continue
+            vi = vi[keep]
+            sim = dotc[keep] / (np.sqrt(vsq[keep])[:, None] * cn[None, :])
+            f = np.floor(sim * 10000)
+            if not np.isfinite(f).all():
+                raise OverflowError(
+                    "assign_cells: non-finite similarity (ANSI parity)"
+                )
+            negsim = -f.astype(np.int64)
+            # array_sort over (_negsim, cell_id) structs == lexsort
+            # with cell_id as the minor key; cents are already
+            # cell_id-ascending so a stable argsort on negsim suffices.
+            order = np.argsort(negsim, axis=1, kind="stable")[:, :take_n]
+            g = order.shape[0]
+            k = order.shape[1]
+            row_idx = np.repeat(vi, k)
+            cell_col = cids[order].reshape(-1).astype(np.int32)
+            out = [
+                batch.column(i).take(pa.array(row_idx))
+                for i in range(batch.num_columns)
+            ]
+            out.append(pa.array(cell_col))
+            if emit_rank:
+                out.append(
+                    pa.array(
+                        np.tile(
+                            np.arange(1, k + 1, dtype=np.int32), g
+                        )
+                    )
+                )
+            names = list(batch.schema.names) + ["cell_id"] + (
+                ["probe_rank"] if emit_rank else []
+            )
+            yield pa.RecordBatch.from_arrays(out, names)
+
+    return df.mapInArrow(assign, out_schema)
 
 
 def ann_ivf_topk(

@@ -1558,8 +1558,16 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.861s."""
     nmap = _region_nation_map(spark, sf_dir, "ASIA")
     asia_keys = sorted(nmap)
-    n_name = F.create_map(
-        *[F.lit(x) for k in asia_keys for x in (k, nmap[k])]
+    # Empty dims (no ASIA region in the inputs): the zero-entry
+    # create_map cannot be key-indexed (VOID key type); the isin([])
+    # prefilters already yield empty frames, so any NULL literal
+    # matches the r12 join's behavior of producing no rows.
+    n_name = (
+        F.create_map(*[F.lit(x) for k in asia_keys for x in (k, nmap[k])])[
+            F.col("s_nationkey")
+        ]
+        if asia_keys
+        else F.lit(None).cast("string")
     )
     cust = (
         table(spark, sf_dir, "customer")
@@ -1572,7 +1580,7 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_nationkey",
-            n_name[F.col("s_nationkey")].alias("n_name"),
+            n_name.alias("n_name"),
         )
     )
     orders = table(spark, sf_dir, "orders").filter(
