@@ -44,30 +44,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # the invariants (priority head first, then monotone non-decreasing
 # staleness, permutation of the full registry).
 #
-# r13 priority head — changed only, 6 entries (VERDICT r12 #6: the 44
-# remaining slots then drain the stale tail oldest-first — all 30 r8
-# rows fit plus the 14 alphabetically-first r9 rows, leaving zero
-# pre-r9 latest rows after this round).
+# r13 priority head — changed only (standing rule: queries whose CODE
+# CHANGED this round lead; the remaining slots drain the stale tail
+# oldest-first). Two change waves this round: the inherited build
+# commits (versioned pair store, commit-protocol entry fix, BPE
+# broadcast memo) and the optimization pass (join-order/build-side
+# rewrites, the three vectorized Arrow kernels, the plan-construction
+# memo — OPTIMIZATION_r13.md has the per-query ledger).
 _PRIORITY = [
-    # CHANGED r13 (VERDICT r12 #3): the co-bucketed pair now lives in
-    # a VERSIONED store (_v{N} via commit_build + a CURRENT pointer),
-    # closing the replacement-under-concurrency scope line; this query
-    # exercises the full build/resolve/adopt path end-to-end.
+    # CHANGED r13 build (VERDICT r12 #3): the co-bucketed pair now
+    # lives in a VERSIONED store (_v{N} via commit_build + a CURRENT
+    # pointer); this query exercises build/resolve/adopt end-to-end.
     "revenue_by_priority_bucketed",
-    # CHANGED r13 (advice fix, medium): commit_build's entry now
-    # clears debris by atomic rename-aside and adopts a concurrently-
-    # published winner instead of check-then-rmtree; these four run
-    # through the changed entry (and the adoption parity re-enters it
-    # and digests the adopted files).
+    # CHANGED r13 build (advice fix): commit_build's entry clears
+    # debris by atomic rename-aside; these also ride the r13
+    # OPTIMIZATION wave (the PQ encode behind the codes table is now
+    # an Arrow kernel).
     "codes_table_adoption_parity",
     "ann_pq_topk_indexed",
     "ann_pq_topk_after_delete",
     "ann_ivfpq_topk_indexed",
-    # CHANGED r13 (advice fix): _bpe_apply_arrow memoizes its
-    # over-threshold Broadcast per merge-table identity; the
-    # registered query rides the closure tier, but its kernel wrapper
-    # changed.
+    # CHANGED r13 build (advice fix): _bpe_apply_arrow Broadcast memo.
     "bpe_encode_arrow",
+    # CHANGED r13 optimization — headline rewrites (results identical,
+    # oracle-gated; plan diffs in plans/r13/).
+    "local_supplier_volume_q5",
+    "sole_late_supplier_q21",
+    "shipping_priority_q3",
+    "returned_revenue_q10",
+    "volume_shipping_q7",
+    "late_shipment_orders_q4",
+    "bm25_topk",
+    "embedding_projection",
+    "star_schema_summary",
+    # CHANGED r13 optimization — shared-operator riders (similarity
+    # norm staging, PQ encode kernel, IVF assignment kernel).
+    "ann_lsh_topk",
+    "cosine_topk",
+    "embedding_near_dups",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_probe_sweep",
+    "pq_encode_incremental",
+    "cluster_balanced_sample",
+    "hybrid_retrieval_rrf",
 ]
 
 _DRIVER_SAMPLE_FIRST = rotation_order(

@@ -128,7 +128,16 @@ def main() -> int:
         wgl = "y" if "WindowGroupLimit" in plan else ""
         py = sum(
             plan.count(n)
-            for n in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+            for n in (
+                "ArrowEvalPython",
+                "FlatMapGroupsInPandas",
+                "MapInPandas",
+                # r13: the vectorized Arrow kernels (embedding
+                # projection, PQ encode, IVF cell assignment) plan as
+                # MapInArrow — a declared Arrow escape hatch, counted
+                # so the census can't under-report the Python surface.
+                "MapInArrow",
+            )
         )
         tops = "y" if "TakeOrderedAndProject" in plan else ""
         print(
