@@ -82,6 +82,43 @@ def steal_pct(
     return round(delta / (elapsed_sec * hz * ncpus) * 100, 2)
 
 
+# Floor-aware canary gate (r14, VERDICT r13 #2): after the r13
+# optimizations the three panel queries run 0.15-0.25 s, so ±40 ms of
+# JIT/page-cache wobble is ±20% relative — both of the driver's r13
+# attempts (and this round's baseline, drift -14.7% at 0.02% steal)
+# were flagged unstable on a steal-clean box. The gate now has an
+# ABSOLUTE floor: a drift smaller than CANARY_FLOOR_SEC on the panel's
+# median-scale query is within the box's per-query timing noise and
+# cannot flag the series. The PANEL and the recorded drift_pct series
+# are unchanged (comparability preserved); only the accept/reject
+# threshold is scale-aware. 60 ms = the measured best-of-3 wobble band
+# on this box's sub-second queries (BENCH_DETAIL spreads), an order
+# below the ~0.31 s job-submission floor.
+CANARY_FLOOR_SEC = 0.060
+
+
+def effective_drift_gate(
+    start: dict | None,
+    end: dict | None,
+    base_gate: float = DRIFT_GATE_PCT,
+    floor_sec: float = CANARY_FLOOR_SEC,
+) -> float:
+    """max(base_gate, floor_sec as % of the panel's median best
+    timing) — the r13-VERDICT-prescribed max(5%, 60 ms/med) gate.
+    Falls back to base_gate when no panel query measured both sides
+    (the broken-canary case already flags via drift None). Pure so
+    tests can pin the arithmetic."""
+    bests = []
+    for name, s in (start or {}).items():
+        e = (end or {}).get(name)
+        if s and e and min(s) > 0:
+            bests.append(min(min(s), min(e)))
+    if not bests:
+        return base_gate
+    med = statistics.median(bests)
+    return round(max(base_gate, floor_sec / med * 100.0), 1)
+
+
 def canary_drift_pct(
     start: dict | None, end: dict | None
 ) -> float | None:
@@ -200,6 +237,16 @@ def _series_key(
     return (stolen or broken, abs(d) if d is not None else float("inf"))
 
 
+def _series_gate(s: dict, gate: float) -> float:
+    """The drift gate a series is judged against: its own recorded
+    floor-aware gate (r14 — computed from the panel's timing scale at
+    measurement time) when present, else the caller's ``gate``
+    (legacy series and the unit tests' bare dicts keep the fixed-5%
+    arithmetic)."""
+    g = s.get("drift_gate_pct")
+    return g if g is not None else gate
+
+
 def choose_best(
     attempts: list[dict],
     gate: float = DRIFT_GATE_PCT,
@@ -222,7 +269,7 @@ def choose_best(
     sp = chosen.get("steal_pct")
     unstable = (
         d is None
-        or abs(d) > gate
+        or abs(d) > _series_gate(chosen, gate)
         or (sp is not None and sp > steal_gate)
         # Dropped queries make the total incomparable (it excludes the
         # failures) — the same disqualifier series_stable and
@@ -257,7 +304,7 @@ def series_stable(
     sp = s.get("steal_pct")
     return (
         d is not None
-        and abs(d) <= gate
+        and abs(d) <= _series_gate(s, gate)
         and not (sp is not None and sp > steal_gate)
         and not s.get("errors")
     )
@@ -523,7 +570,8 @@ def hunt_stable(
         last = attempts[-1]
         print(
             f"bench: attempt {len(attempts)}/{max_attempts}: canary "
-            f"drift {last['drift_pct']}% (gate ±{DRIFT_GATE_PCT}%) / "
+            f"drift {last['drift_pct']}% (gate "
+            f"±{_series_gate(last, DRIFT_GATE_PCT)}%) / "
             f"steal {last['steal_pct']}% (gate {STEAL_GATE_PCT}%) / "
             f"{len(last['errors'])} errors; rerunning series"
             + (f" in {wait_sec:.0f}s" if wait_sec else ""),
@@ -605,12 +653,26 @@ def main(argv: list[str] | None = None) -> None:
     # environment inside this one run (page cache, CPU contention,
     # JIT): a cross-round total delta larger than the canary drift is
     # code; one inside it is environment.
+    # Plan-build vs execution split (r14, VERDICT r13 #8): each sample
+    # is still builder-call + noop write end-to-end (the series stays
+    # byte-comparable), but the builder-call portion is ALSO recorded
+    # per run, so a memoized-plan query (star_schema_summary's
+    # signature-keyed lazy-DataFrame memo) shows its construction/
+    # execution split in BENCH_DETAIL instead of silently excluding
+    # plan-build from the series' explanation.
+    build_samples: dict[str, list[float]] = {}
+
     def _timed(name: str, runs: int = 3) -> list[float]:
         samples: list[float] = []
+        builds = build_samples.setdefault(name, [])
         for _ in range(runs):
             t0 = time.time()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples.append(round(time.time() - t0, 3))
+            df = qs[name](spark, sf_dir)
+            t1 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            t2 = time.time()
+            builds.append(round(t1 - t0, 3))
+            samples.append(round(t2 - t0, 3))
         return samples
 
     def _jvm_state() -> dict[str, int]:
@@ -663,6 +725,7 @@ def main(argv: list[str] | None = None) -> None:
         (best-of-3), canary panel again — plus the environment counters
         that attribute its total."""
         load_avg_start = os.getloadavg()[0]
+        build_samples.clear()  # per-series plan-build ledger (r14)
         # Fixed-work calibration FIRST (r13): measured before any Spark
         # work of this attempt so page-cache churn from the headline
         # scans can't feed back into it within the attempt.
@@ -711,11 +774,20 @@ def main(argv: list[str] | None = None) -> None:
             "timings": timings,
             "spreads": spreads,
             "samples": all_samples,
+            # Per-run builder-call seconds (r14, VERDICT r13 #8): each
+            # sample above = build + exec; this is the build term, so
+            # memoized-plan queries' series are explainable from the
+            # artifact (star_schema_summary: run 1 builds ~1 s of plan,
+            # runs 2-3 reuse the memo).
+            "build_samples": {k: list(v) for k, v in build_samples.items()},
             "run_order": run_order,
             "errors": errors,
             "canary_start": canary_start,
             "canary_end": canary_end,
             "drift_pct": canary_drift_pct(canary_start, canary_end),
+            # Floor-aware gate this series is judged against (r14,
+            # VERDICT r13 #2): max(5%, CANARY_FLOOR_SEC / panel median).
+            "drift_gate_pct": effective_drift_gate(canary_start, canary_end),
             "jvm": {"start": jvm_start, "end": _jvm_state()},
             "load_avg": {
                 "start": load_avg_start,
@@ -760,6 +832,7 @@ def main(argv: list[str] | None = None) -> None:
     detail = {
         "spread": series["spreads"],
         "samples": series["samples"],
+        "build_samples": series.get("build_samples", {}),
         "run_order": series["run_order"],
         "canary": {
             "panel": canary_panel,
@@ -768,6 +841,8 @@ def main(argv: list[str] | None = None) -> None:
             # median of per-query best-of start->end drifts; ±x% here
             # bounds what the box itself moved during the run
             "drift_pct": drift_pct,
+            # the floor-aware gate it was judged against (r14)
+            "drift_gate_pct": series.get("drift_gate_pct"),
         },
         # JIT time still climbing across the timed region means warmup
         # leaked into the timings despite the untimed warm pass.
@@ -784,6 +859,10 @@ def main(argv: list[str] | None = None) -> None:
         # series is still outside the drift band / steal gate.
         "drift_gate": {
             "gate_pct": DRIFT_GATE_PCT,
+            # r14 floor-aware gate actually applied to the recorded
+            # series: max(gate_pct, CANARY_FLOOR_SEC / panel median).
+            "effective_gate_pct": series.get("drift_gate_pct"),
+            "canary_floor_sec": CANARY_FLOOR_SEC,
             "steal_gate_pct": STEAL_GATE_PCT,
             "reruns": reruns,
             "unstable": unstable,
@@ -796,6 +875,7 @@ def main(argv: list[str] | None = None) -> None:
         "attempts": [
             {
                 "drift_pct": a["drift_pct"],
+                "drift_gate_pct": a.get("drift_gate_pct"),
                 "steal_pct": a["steal_pct"],
                 # Fixed-work calibration per attempt (r13, VERDICT r12
                 # missing #2): read the anchor series against these —
@@ -868,6 +948,7 @@ def main(argv: list[str] | None = None) -> None:
             # artifact alone.
             "queries": dict(timings),
             "canary_drift_pct": drift_pct,
+            "drift_gate_pct": series.get("drift_gate_pct"),
             "steal_pct": series["steal_pct"],
             "steal_jiffies_delta": series["steal"]["delta_jiffies"],
             "load_avg": [load_avg_start, load_avg_end],
@@ -920,6 +1001,7 @@ def main(argv: list[str] | None = None) -> None:
         "queries": timings,
         "runs_per_query": runs_per_query,
         "canary_drift_pct": drift_pct,
+        "canary_gate_pct": series.get("drift_gate_pct"),
         "canary_reruns": reruns,
         "steal_pct": series["steal_pct"],
         "steal_jiffies_delta": series["steal"]["delta_jiffies"],

@@ -1039,6 +1039,18 @@ def _pq_encode_kernel(labels, cent_rows, subspaces, subdim):
                     "pq encode: fixed-point term overflows int64 "
                     "(ANSI parity)"
                 )
+            # Conservative twin of ANSI's add-overflow (r14 advice
+            # fix, the _jl_project_batches guard): with every
+            # |term| <= (2^63-1)/subdim no subdim-term signed sum can
+            # wrap — numpy int64 wraps SILENTLY where the r12 ANSI
+            # aggregate add raised. Terms beyond the bound need
+            # |x - m| >= ~3.4e5, far outside any well-formed corpus,
+            # where the expression form raised too.
+            if np.abs(terms).max(initial=0.0) > (two63 - 1.0) / subdim:
+                raise OverflowError(
+                    "pq encode: subspace sum may overflow int64 "
+                    "(ANSI parity)"
+                )
             d = (
                 terms.astype(np.int64)
                 .reshape(n, len(labels), subspaces, subdim)

@@ -562,3 +562,49 @@ def test_run_calibration_fixed_work_probe():
     # a missing scan file degrades to None, never an exception
     c2 = bench.run_calibration(iters=1_000, scan_file="/nonexistent.parquet")
     assert c2["calib_scan_s"] is None and c2["calib_scan_bytes"] is None
+
+
+def test_effective_drift_gate_floor_arithmetic():
+    """r14 (VERDICT r13 #2): the drift gate gains an absolute floor —
+    max(base%, CANARY_FLOOR_SEC as % of the panel's median best
+    timing) — so a ±40 ms JIT wobble on a 0.2 s panel can no longer
+    flag a steal-clean series, while a panel of >=1.2 s queries keeps
+    the plain 5% gate."""
+    # 0.2 s median panel: 60 ms floor = 30%
+    start = {"a": [0.21, 0.25], "b": [0.20], "c": [0.15]}
+    end = {"a": [0.22], "b": [0.21], "c": [0.16]}
+    assert bench.effective_drift_gate(start, end) == 30.0
+    # heavy panel (median 2.0 s): floor term 3% < 5% -> base gate
+    heavy_s = {"a": [2.0], "b": [2.1], "c": [1.9]}
+    heavy_e = {"a": [2.05], "b": [2.0], "c": [2.0]}
+    assert bench.effective_drift_gate(heavy_s, heavy_e) == bench.DRIFT_GATE_PCT
+    # no measured pairs: fall back to the base gate (drift None
+    # already flags the series through the broken-canary path)
+    assert bench.effective_drift_gate(None, None) == bench.DRIFT_GATE_PCT
+    assert bench.effective_drift_gate({"a": [0.2]}, {}) == bench.DRIFT_GATE_PCT
+
+
+def test_series_stable_honors_recorded_floor_gate():
+    """A series carrying its measured floor-aware gate is judged
+    against IT; legacy dicts without the field keep the fixed-5%
+    arithmetic (every pre-r14 test and artifact shape unchanged)."""
+    # -14.7% drift on a 0.2s panel (the r14 baseline run's exact
+    # failure): gate 30% -> stable now
+    s = {"drift_pct": -14.7, "drift_gate_pct": 30.0, "steal_pct": 0.02,
+         "errors": {}}
+    assert bench.series_stable(s)
+    chosen, unstable, _ = bench.choose_best([s])
+    assert chosen is s and not unstable
+    # the same drift without the recorded gate still flags (legacy)
+    legacy = {"drift_pct": -14.7, "steal_pct": 0.02, "errors": {}}
+    assert not bench.series_stable(legacy)
+    assert bench.choose_best([legacy])[1]
+    # a drift beyond even the floor gate still flags
+    wild = {"drift_pct": -42.0, "drift_gate_pct": 30.0, "steal_pct": 0.0,
+            "errors": {}}
+    assert not bench.series_stable(wild)
+    assert bench.choose_best([wild])[1]
+    # steal still flags independently of the widened drift gate
+    stolen = {"drift_pct": 1.0, "drift_gate_pct": 30.0, "steal_pct": 3.0,
+              "errors": {}}
+    assert not bench.series_stable(stolen)

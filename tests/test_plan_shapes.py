@@ -172,11 +172,16 @@ def test_q5_multijoin_shape(spark):
     # pre-aggregated pairs feed the supplier join: the pair exchange
     # carries the aggregate (sum#... / rev_fp), never raw fact rows
     assert "hashpartitioning(l_suppkey" in plan
-    m = re.search(
-        r"Exchange hashpartitioning\(l_suppkey[^\n]*\n[^\n]*HashAggregate",
-        plan,
-    )
-    assert m, plan
+    # Ordered-substring pin (r14 advice fix: the old adjacent-line
+    # regex false-failed on explain-layout/AQE formatting drift): the
+    # operator printed under the l_suppkey exchange — before any OTHER
+    # exchange — must include a HashAggregate, i.e. the pair-aggregate
+    # feeds that exchange, never raw fact rows.
+    ex_at = plan.index("Exchange hashpartitioning(l_suppkey")
+    below = plan[ex_at + 1 :]
+    nxt_ex = below.find("Exchange ")
+    segment = below if nxt_ex == -1 else below[:nxt_ex]
+    assert "HashAggregate" in segment, segment
 
 
 def test_funnel_single_shuffle(spark):
