@@ -241,6 +241,7 @@ def test_scale_probe_rows_carry_provenance_stamp():
     assert len(fields["load_avg"]) == 2
 
 
+@pytest.mark.slow  # ~3 min: runs the whole bench CLI (r14 split)
 def test_bench_cli_emits_parseable_summary_line():
     """End-to-end pin of the driver's bench contract (the r7 parse
     regression class: an oversized/clipped stdout line left
@@ -404,9 +405,14 @@ def test_current_round_and_anchor_history():
     import json as _json
     import re as _re
 
+    # Same None-guard as bench._current_round itself: the r13 close
+    # added BENCH_r13_c8.json (the driver's 8-core leg), which the
+    # glob matches but the round pattern must skip (inherited r14
+    # breakage — this derivation crashed on .group of None).
     newest = max(
-        int(_re.fullmatch(r"BENCH_r0*(\d+)", p.stem).group(1))
+        int(m.group(1))
         for p in repo.glob("BENCH_r*.json")
+        if (m := _re.fullmatch(r"BENCH_r0*(\d+)", p.stem))
     )
     assert bench._current_round() == newest + 1
     # and the tmp-dir form used by unit callers

@@ -7,6 +7,13 @@ test can miss."""
 
 from __future__ import annotations
 
+import pytest as _pytest_slowmark
+
+# Deep re-verification campaign: deselected from the default
+# (driver-window) run; the round-close full suite runs it (r14,
+# VERDICT r13 #1 -- pytest.ini has the split rationale).
+pytestmark = _pytest_slowmark.mark.slow
+
 import math
 from fractions import Fraction
 

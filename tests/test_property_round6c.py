@@ -8,6 +8,13 @@ corpora may never produce.
 
 from __future__ import annotations
 
+import pytest as _pytest_slowmark
+
+# Deep re-verification campaign: deselected from the default
+# (driver-window) run; the round-close full suite runs it (r14,
+# VERDICT r13 #1 -- pytest.ini has the split rationale).
+pytestmark = _pytest_slowmark.mark.slow
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
