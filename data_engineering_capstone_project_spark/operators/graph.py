@@ -38,46 +38,68 @@ def connected_components(
     (a deterministic canonical id any engine agrees on). Nodes are the
     ids appearing in edges. Raises if ``max_iter`` rounds do not reach
     the fixpoint (diameter > max_iter — not a near-dup graph shape)."""
-    # Materialize the symmetrized edge list ONCE: every round joins
-    # against it, and without this the (possibly expensive) edge-
-    # producing subtree re-executes per round per reference.
+    # Materialize the symmetrized edge list ONCE — WITH a self-loop
+    # per node (r14, VERDICT r13 #4): min over {self} ∪ {neighbors}
+    # computes least(own label, neighbor min) in ONE join + ONE
+    # aggregate per hop, where the r13 shape paid a second
+    # labels⋈nbr_min join per hop just to mix the node's own label
+    # back in. Every round joins against this frame, and without the
+    # checkpoint the (possibly expensive) edge-producing subtree
+    # re-executes per round per reference.
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint()
+        sym.union(
+            sym.select("a").distinct().select("a", F.col("a").alias("b"))
+        )
+    ).localCheckpoint()
+    # The self-loop rows ARE the distinct node list: initial labels
+    # read them off the checkpointed frame instead of paying a fresh
+    # distinct shuffle over the full edge list.
+    labels = sym.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("node"), F.col("a").alias("label")
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["node"])
+
+    def hop(lbl: DataFrame) -> DataFrame:
+        """One min-label propagation hop: per node, the min label over
+        itself (the self-loop row) and its neighbors. Labels are
+        non-increasing, so `changed` = the self-loop's label shrank."""
+        return (
+            sym.join(lbl, sym["b"] == lbl["node"])
             .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+            .agg(
+                F.min("label").alias("new_label"),
+                F.min(F.when(F.col("b") == F.col("a"), F.col("label"))).alias(
+                    "own_label"
+                ),
             )
-            .localCheckpoint()
+            .select(
+                F.col("a").alias("node"),
+                F.col("new_label").alias("label"),
+                (F.col("new_label") < F.col("own_label")).alias("changed"),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels.select("node", F.col("label").alias("component"))
+
+    # Two hops per materialization (r14): the driver-visible round —
+    # localCheckpoint + converged-scan — is the per-iteration fixed
+    # cost at any scale (two jobs on this box's ~0.15s/job floor), so
+    # propagate two hops lazily between materializations. The
+    # fixpoint is unchanged, and the convergence check stays exact:
+    # labels are non-increasing, so a 2-hop no-change implies the
+    # 1-hop fixpoint (hop1 <= old and hop2 <= hop1 force equality).
+    hops = 0
+    while hops < max_iter:
+        new_labels = hop(hop(labels).select("node", "label")).localCheckpoint()
+        hops += 2
+        # The convergence probe scans the just-materialized frame —
+        # the r13 shape re-joined new labels against old (one extra
+        # join + shuffle per round) to detect a change.
+        if new_labels.filter("changed").limit(1).count() == 0:
+            return new_labels.select(
+                "node", F.col("label").alias("component")
+            )
+        labels = new_labels.select("node", "label")
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
