@@ -40,7 +40,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from data_engineering_capstone_project_spark.operators.similarity import (
-    cosine,
+    dot,
     indexable,
 )
 
@@ -106,6 +106,7 @@ def assign_cells(
     vec_col: str = "embedding",
     n_probe: int = 1,
     with_rank: bool = False,
+    with_sq: str | None = None,
 ) -> DataFrame:
     """Attach the ``n_probe`` nearest cell_ids to each vector
     (n_probe=1 = corpus-side assignment; >1 = query-side probing).
@@ -113,7 +114,13 @@ def assign_cells(
     probed cell), so one max-n_probe assignment can serve a whole
     n_probe sweep: a candidate found at rank r is in the probe set of
     every n_probe >= r (``ann_ivfpq_probe_sweep`` builds its
-    cost/recall curve from exactly this).
+    cost/recall curve from exactly this). ``with_sq`` (r14, VERDICT
+    r13 #6) additionally emits the row's squared norm under the given
+    column name: the kernel already folds dot(v, v) strictly
+    left-to-right to quarantine zero-norm rows, so ``sqrt(with_sq)``
+    is bit-identical to ``similarity.norm`` and downstream cosines can
+    drop two of their three interpreted HOF dots per candidate pair
+    (``ann_ivf_topk``).
 
     The centroid table is collected (bounded: n_cells rows — the
     quantizer's contract) and unrolled into literal expressions, so
@@ -174,6 +181,7 @@ def assign_cells(
         in_fields
         + ["cell_id int"]
         + (["probe_rank int"] if with_rank else [])
+        + ([f"{with_sq} double"] if with_sq else [])
     )
     cent_mat = [cv for _cid, cv in cents]
     cell_ids = [cid for cid, _cv in cents]
@@ -181,6 +189,7 @@ def assign_cells(
     # aggregate bit-for-bit (same IEEE ops in the same order).
     cnorms = [math.sqrt(sum(x * x for x in cv)) for _cid, cv in cents]
     emit_rank = with_rank
+    emit_sq = with_sq
     take_n = n_probe
 
     def assign(batches):
@@ -261,8 +270,13 @@ def assign_cells(
                         )
                     )
                 )
-            names = list(batch.schema.names) + ["cell_id"] + (
-                ["probe_rank"] if emit_rank else []
+            if emit_sq:
+                out.append(pa.array(np.repeat(vsq[keep], k)))
+            names = (
+                list(batch.schema.names)
+                + ["cell_id"]
+                + (["probe_rank"] if emit_rank else [])
+                + ([emit_sq] if emit_sq else [])
             )
             yield pa.RecordBatch.from_arrays(out, names)
 
@@ -284,13 +298,21 @@ def ann_ivf_topk(
     production pattern: train once, reuse per query batch)."""
     if centroids is None:
         centroids = train_centroids(corpus, n_cells, vec_col)
+    # Norm passthrough (r14, VERDICT r13 #6): the assignment kernel
+    # already folds each row's dot(v, v); emit it so the per-pair
+    # cosine below costs ONE interpreted HOF dot (the cross term)
+    # instead of three — sqrt(sq) is the same left-to-right fold as
+    # similarity.norm, bit-identical.
     c = assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        centroids, vec_col="cv", n_probe=1,
+        centroids, vec_col="cv", n_probe=1, with_sq="csq",
     )
     q = assign_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        centroids, vec_col="qv", n_probe=n_probe,
+        centroids, vec_col="qv", n_probe=n_probe, with_sq="qsq",
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(F.col("qsq")) * F.sqrt(F.col("csq"))
     )
     scored = (
         broadcast(q)
@@ -299,7 +321,7 @@ def ann_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10000) / F.lit(10000.0)).alias("cos"),
+            (F.floor(cos * 10000) / F.lit(10000.0)).alias("cos"),
         )
         # A (query, neighbor) pair can meet in several probed cells.
         .dropDuplicates(["query_id", "neighbor_id"])
