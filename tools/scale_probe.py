@@ -145,7 +145,15 @@ def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
     spark = get_spark(app_name="scale-probe")
+    materialize(spark, k, out)
+    return _run_probes(k, out)
 
+
+def materialize(spark, k: int, out: str) -> None:
+    """Build (or reuse) the K-times-replicated probe dataset at
+    ``out`` — extracted from main() (r14) so the core-scaling leg
+    (tools/core_scaling_probe.py) shares one replication scheme and
+    one completion-marker contract with the data-scaling probes."""
     # Reuse an already-replicated dir ONLY when its completion marker
     # records the same K: replication dominates probe wall-clock, but a
     # partial dir (killed mid-replication) or a different-K dir would
@@ -157,7 +165,7 @@ def main():
         if (meta.get("k") == k and meta.get("sf_dir") == SF_DIR
                 and meta.get("rev") == 2):
             print(f"reusing replicated tables in {out} (k={k})", file=sys.stderr)
-            return _run_probes(k, out)
+            return
         print(
             f"discarding {out}: replicated with {meta}, need k={k}",
             file=sys.stderr,
@@ -223,7 +231,6 @@ def main():
             shutil.copy(src, dst)
 
     marker.write_text(json.dumps({"k": k, "sf_dir": SF_DIR, "rev": 2}))
-    return _run_probes(k, out)
 
 
 def _run_probes(k: int, out: str):
